@@ -1,0 +1,95 @@
+"""Text-analysis expressions for the `documents` table.
+
+Beyond-reference capability (BASELINE.json north star): the expression
+building blocks a large-scale training-data pipeline needs — token
+counting, quality scoring, language ID, fingerprinting. All pure
+Catalyst expressions (JVM-side, codegen) — no Python in the hot path,
+so they vectorize identically at sf0.001 and at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic.
+# Deliberately small: language ID at pipeline scale is a pruning
+# heuristic, not a classifier — precision comes from a downstream model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space split — deterministic and
+    cheap; a BPE-ish regex split is :func:`subword_tokens`)."""
+    return F.split(text, " ")
+
+
+def subword_tokens(text: Column | str) -> Column:
+    """BPE-ish regex split: word bodies, numbers, and punctuation as
+    separate tokens — the cheap proxy for 'LLM token count'."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(c, r"(?<=\W)|(?=\W)"),
+        lambda t: (t != "") & (t != " "),
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Vocabulary richness = distinct/total tokens — a quality-score
+    component (low TTR ≈ repetitive/spammy text)."""
+    return F.round(distinct_token_count(text) / token_count(text), 4)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] doc-quality heuristic: length band + vocabulary
+    richness + mean token length band. Mirrors common pretraining-data
+    filters (C4/Gopher-style rules) as one Catalyst expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    mean_len = F.length(c) / n_tok
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    richness = distinct_token_count(c) / n_tok
+    word_ok = F.when((mean_len >= 3) & (mean_len <= 12), 1.0).otherwise(0.0)
+    return F.round((len_ok + richness + word_ok) / F.lit(3.0), 4)
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count of stopword tokens for one language."""
+    return F.size(
+        F.filter(tokens(text), lambda t: F.lower(t).isin(STOPWORDS[lang]))
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Pick the language whose stopword list hits most (ties → 'und').
+
+    A greatest-of-N CASE ladder — stays in codegen; no UDF.
+    """
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Reverse insertion order so earlier languages win ties via the
+    # final when() taking precedence.
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 hex) — the exact-dedup
+    key and the Spark analog of the reference's file-level MD5 fingerprints
+    (scripts/esplosione_dati.py:50-103), applied at row grain."""
+    return F.md5((F.col(text) if isinstance(text, str) else text).cast("binary"))

@@ -1,0 +1,169 @@
+"""Deduplication operators over a text corpus.
+
+Beyond-reference capability (BASELINE.json north star). Four tiers,
+cheapest first; each is shuffle-minimal and fully distributed (no
+driver-side collects):
+
+1. :func:`exact_dedup_groups` / :func:`exact_dedup` — md5-hash groupBy.
+   One shuffle on a 128-bit key; at 100 TB the map-side partial
+   aggregation collapses duplicate-heavy partitions before the exchange.
+2. :func:`simhash` — 64-bit near-dup signature via per-token hash bit
+   voting; Hamming-close signatures ≈ similar docs. Pure expressions.
+3. :func:`minhash_lsh_candidates` — shingle → minhash → band-bucket
+   join. The classic near-dup pipeline (Broder '97; used by most LLM
+   data pipelines). Candidate generation is a self-join on (band,
+   bucket-hash) — i.e. a shuffle on small int keys, never an O(n²)
+   cross join.
+4. :func:`ngram_jaccard` — exact Jaccard on shingle sets for a
+   *candidate pair list* (verification step after LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions.text import doc_fingerprint, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts: (text_hash, keeper id = min, copy count)."""
+    return (
+        df.select(doc_fingerprint(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(f"keeper_{id_col}"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text — the 100 TB-safe
+    formulation: shuffle on the hash, not on the full text bytes."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col(f"keeper_{id_col}").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (distinct)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar '02).
+
+    Each distinct token votes ±1 on each of 64 bits of its xxhash64;
+    the signature's bit b is 1 iff the sum of votes is positive.
+    Expressed as explode → groupBy(id) with 64 conditional sums — one
+    shuffle on the document id; token explosion never leaves the map
+    side unaggregated thanks to partial aggregation.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature array (length ``num_hashes``) per document.
+
+    Universal hashing over the shingle's xxhash64: h_i(x) = a_i*x + b_i
+    (mod 2^64 via native long overflow — harmless for min-comparison).
+    Everything is array expressions over the shingle array: zero
+    shuffles to build signatures.
+    """
+    # Deterministic odd multipliers / offsets derived from the index.
+    sh = shingles(text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s) * (i * 2 + 1) + i * 0x9E3779B9)
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes//bands`` rows;
+    docs sharing any band hash become a candidate pair. The self-join
+    key is (band_index, band_hash) — high cardinality, uniformly
+    distributed, so the shuffle is balanced; the quadratic blowup is
+    confined to same-bucket groups (tiny when bands are sized right).
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (LSH verification).
+
+    Two broadcast-able joins attach shingle arrays to each side; the
+    similarity itself is array intersection/union — per-row, no shuffle.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+    )

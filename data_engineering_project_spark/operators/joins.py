@@ -1,0 +1,46 @@
+"""Join operators — SURVEY.md §2.3 (J1–J6).
+
+All reference joins are equi-joins; the two non-inner variants are the
+incremental path's anti-join dedup gate (J5, scripts/
+bronze_incremental.py:275-284) and semi-join scoping (J6, :304-307).
+
+Scale notes: `left_anti`/`left_semi` against a *small* right side should
+broadcast (new-batch keys are small by definition in the incremental
+path); Spark only auto-broadcasts below the threshold, so the helpers
+take an explicit ``broadcast_right`` hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, key: str | list[str]) -> DataFrame:
+    """Inner fact⋈dim with a broadcast hint (J2/J3: dims are always the
+    small side of a star join)."""
+    return fact.join(F.broadcast(dim), key, "inner")
+
+
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Rows of ``left`` whose key is absent from ``right`` (J5 —
+    ``NOT EXISTS``). Composite keys supported (the reference anti-dups
+    items on (order_id, order_item_id))."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r.select(*keys), keys, "left_anti")
+
+
+def semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Rows of ``left`` with ≥1 key match in ``right`` (J6 — scoping)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r.select(*keys), keys, "left_semi")

@@ -1,0 +1,688 @@
+"""The oracle-checked query workload.
+
+Every implemented operator from SURVEY.md §2 (plus the beyond-reference
+extensions) is registered here twice:
+
+- a PySpark builder ``(spark, sf_dir) -> DataFrame``
+- the equivalent DuckDB SQL over the driver's pre-registered testdata
+  views (``region nation customer supplier part orders lineitem events
+  documents embeddings``)
+
+Column names/types are aligned on both sides (the driver's comparator
+sorts columns by name and hashes values). Monetary/averaged doubles are
+rounded (2/4 dp) on BOTH sides: double SUM order differs between Spark
+partial aggregation and DuckDB, and the reference itself displays 2-dp
+currency (dashboard/app_fase1.py:148-152). Pass-through doubles are
+left raw (bit-exact from parquet on both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions import period_key
+from data_engineering_project_spark.functions.text import (
+    distinct_token_count,
+    token_count,
+    type_token_ratio,
+)
+from data_engineering_project_spark.operators import dedup, sessionize, similarity
+from data_engineering_project_spark.operators.joins import anti_join, semi_join
+from data_engineering_project_spark.plans import analytics
+from data_engineering_project_spark.plans.medallion import TESTDATA_SPEC, build_star_schema
+from data_engineering_project_spark.sources.parquet import read_testdata
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, table)
+
+
+def gold(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build the gold star schema lazily from the testdata tables."""
+    return build_star_schema(
+        orders_raw=load(spark, sf_dir, "orders"),
+        items_raw=load(spark, sf_dir, "lineitem"),
+        customers_raw=load(spark, sf_dir, "customer"),
+        products_raw=load(spark, sf_dir, "part"),
+        spec=TESTDATA_SPEC,
+    )
+
+
+# The silver+gold pipeline as a DuckDB CTE prefix — the oracle-side twin
+# of plans/medallion.py (reference etl/tasks/silver.py + gold.py).
+GOLD_CTE = """
+WITH orders_s AS (
+    SELECT CAST(o_orderkey AS VARCHAR)   AS order_id,
+           CAST(o_custkey AS VARCHAR)    AS customer_id,
+           CAST(o_orderstatus AS VARCHAR) AS order_status,
+           CAST(o_orderdate AS TIMESTAMP) AS order_purchase_timestamp
+    FROM orders
+    WHERE o_orderkey IS NOT NULL
+),
+items_s AS (
+    SELECT CAST(l_orderkey AS VARCHAR)      AS order_id,
+           CAST(l_partkey AS VARCHAR)       AS product_id,
+           CAST(l_extendedprice AS DOUBLE)  AS price,
+           CAST(l_discount AS DOUBLE)       AS freight_value,
+           CAST(l_shipdate AS TIMESTAMP)    AS item_event_ts
+    FROM lineitem
+),
+fact_sales AS (
+    SELECT o.order_id,
+           o.customer_id,
+           i.product_id,
+           i.price,
+           i.freight_value,
+           o.order_purchase_timestamp,
+           CAST(date_diff('day',
+                          CAST(o.order_purchase_timestamp AS DATE),
+                          CAST(i.item_event_ts AS DATE)) AS INTEGER) AS delivery_time_days
+    FROM orders_s o
+    JOIN items_s i USING (order_id)
+    WHERE o.order_status = 'F'
+),
+dim_customers AS (
+    SELECT CAST(c_custkey AS VARCHAR)   AS customer_id,
+           CAST(c_name AS VARCHAR)      AS customer_city,
+           CAST(c_mktsegment AS VARCHAR) AS customer_state
+    FROM customer
+),
+dim_products AS (
+    SELECT CAST(p_partkey AS VARCHAR) AS product_id,
+           CAST(p_type AS VARCHAR)    AS product_category_name
+    FROM part
+),
+dim_time AS (
+    SELECT order_date,
+           CAST(EXTRACT(day FROM order_date) AS INTEGER)     AS day,
+           CAST(EXTRACT(month FROM order_date) AS INTEGER)   AS month,
+           CAST(EXTRACT(year FROM order_date) AS INTEGER)    AS year,
+           CAST(EXTRACT(quarter FROM order_date) AS INTEGER) AS quarter,
+           dayname(order_date)                               AS day_of_week
+    FROM (
+        SELECT DISTINCT CAST(order_purchase_timestamp AS DATE) AS order_date
+        FROM orders_s
+        WHERE order_purchase_timestamp IS NOT NULL
+    )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# The 7-query dashboard workload (reference dashboard/queries.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kpis",
+    GOLD_CTE
+    + """
+, per_order AS (
+    SELECT f.order_id,
+           SUM(f.price)               AS order_revenue,
+           MAX(f.delivery_time_days)  AS order_delivery_days,
+           SUM(f.freight_value)       AS order_freight
+    FROM fact_sales f
+    JOIN dim_customers c USING (customer_id)
+    GROUP BY f.order_id
+)
+SELECT ROUND(SUM(order_revenue), 2)      AS total_revenue,
+       ROUND(AVG(order_delivery_days), 4) AS avg_delivery_days,
+       COUNT(*)                           AS total_orders,
+       ROUND(AVG(order_freight), 4)       AS avg_freight,
+       ROUND(AVG(order_revenue), 4)       AS avg_order_value
+FROM per_order
+""",
+)
+def q_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.kpis(g["fact_sales"], g["dim_customers"])
+
+
+@register(
+    "top_categories",
+    GOLD_CTE
+    + """
+SELECT p.product_category_name,
+       ROUND(SUM(f.price), 2) AS revenue
+FROM fact_sales f
+JOIN dim_customers c USING (customer_id)
+JOIN dim_products p USING (product_id)
+GROUP BY p.product_category_name
+ORDER BY revenue DESC, p.product_category_name ASC
+LIMIT 10
+""",
+)
+def q_top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.top_categories(g["fact_sales"], g["dim_products"], g["dim_customers"])
+
+
+@register(
+    "orders_by_state",
+    GOLD_CTE
+    + """
+SELECT c.customer_state,
+       COUNT(DISTINCT f.order_id) AS total_orders
+FROM fact_sales f
+JOIN dim_customers c USING (customer_id)
+GROUP BY c.customer_state
+ORDER BY total_orders DESC, c.customer_state ASC
+""",
+)
+def q_orders_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.orders_by_state(g["fact_sales"], g["dim_customers"])
+
+
+@register(
+    "delivery_days_by_state",
+    GOLD_CTE
+    + """
+, per_order AS (
+    SELECT f.order_id, c.customer_state,
+           MAX(f.delivery_time_days) AS order_delivery_days
+    FROM fact_sales f
+    JOIN dim_customers c USING (customer_id)
+    GROUP BY f.order_id, c.customer_state
+)
+SELECT customer_state,
+       ROUND(AVG(order_delivery_days), 4) AS avg_delivery_days
+FROM per_order
+GROUP BY customer_state
+ORDER BY avg_delivery_days DESC, customer_state ASC
+""",
+)
+def q_delivery_days_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.delivery_days_by_state(g["fact_sales"], g["dim_customers"])
+
+
+@register(
+    "freight_by_state",
+    GOLD_CTE
+    + """
+, per_order AS (
+    SELECT f.order_id, c.customer_state,
+           SUM(f.freight_value) AS order_freight
+    FROM fact_sales f
+    JOIN dim_customers c USING (customer_id)
+    GROUP BY f.order_id, c.customer_state
+)
+SELECT customer_state,
+       ROUND(AVG(order_freight), 4) AS avg_freight
+FROM per_order
+GROUP BY customer_state
+ORDER BY avg_freight DESC, customer_state ASC
+""",
+)
+def q_freight_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.freight_by_state(g["fact_sales"], g["dim_customers"])
+
+
+@register(
+    "monthly_trend",
+    GOLD_CTE
+    + """
+SELECT strftime(f.order_purchase_timestamp, '%Y-%m') AS period,
+       ROUND(SUM(f.price), 2)                        AS revenue
+FROM fact_sales f
+JOIN dim_customers c USING (customer_id)
+GROUP BY period
+ORDER BY period
+""",
+)
+def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.monthly_trend(g["fact_sales"], g["dim_customers"])
+
+
+@register(
+    "weekday_seasonality",
+    GOLD_CTE
+    + """
+SELECT dayname(f.order_purchase_timestamp) AS day_of_week,
+       ROUND(SUM(f.price), 2)              AS revenue
+FROM fact_sales f
+JOIN dim_customers c USING (customer_id)
+GROUP BY day_of_week
+""",
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gold(spark, sf_dir)
+    return analytics.weekday_seasonality(g["fact_sales"], g["dim_customers"])
+
+
+# ---------------------------------------------------------------------------
+# Star-schema tables themselves (gold build correctness, etl/tasks/gold.py)
+# ---------------------------------------------------------------------------
+
+@register("star_fact_sales", GOLD_CTE + "SELECT * FROM fact_sales")
+def q_star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold(spark, sf_dir)["fact_sales"]
+
+
+@register("star_dim_customers", GOLD_CTE + "SELECT * FROM dim_customers")
+def q_star_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold(spark, sf_dir)["dim_customers"]
+
+
+@register("star_dim_products", GOLD_CTE + "SELECT * FROM dim_products")
+def q_star_dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold(spark, sf_dir)["dim_products"]
+
+
+@register("star_dim_time", GOLD_CTE + "SELECT * FROM dim_time")
+def q_star_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold(spark, sf_dir)["dim_time"]
+
+
+# ---------------------------------------------------------------------------
+# Operator-level queries (SURVEY.md §2.2–2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_keys",
+    """
+SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY order_id
+HAVING COUNT(*) > 1
+""",
+)
+def q_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: duplicate natural-key probe (reference test.py:4-14)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("string").alias("order_id"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "dq_summary",
+    """
+SELECT COUNT(*) AS rows_in,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_order_id,
+       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)  AS null_product_id,
+       CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_price
+FROM lineitem
+""",
+)
+def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7/P5: the incremental path's DQ checks
+    (scripts/bronze_incremental.py:68-106) as one aggregate pass."""
+    li = load(spark, sf_dir, "lineitem")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return li.agg(
+        F.count("*").alias("rows_in"),
+        flag(F.col("l_orderkey").isNull()).alias("null_order_id"),
+        flag(F.col("l_partkey").isNull()).alias("null_product_id"),
+        flag(F.col("l_extendedprice") < 0).alias("negative_price"),
+    )
+
+
+@register(
+    "orders_without_items",
+    """
+SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+       o_orderstatus AS order_status,
+       o_totalprice AS total_price
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def q_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: anti-join (the incremental dedup gate,
+    scripts/bronze_incremental.py:275-284)."""
+    orders = load(spark, sf_dir, "orders")
+    items = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return anti_join(orders, items, ["o_orderkey"]).select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "active_customers",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS customer_id,
+       c_mktsegment AS customer_state
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+)
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: semi-join scoping (scripts/bronze_incremental.py:304-307)."""
+    cust = load(spark, sf_dir, "customer")
+    completed = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, completed, ["c_custkey"]).select(
+        F.col("c_custkey").cast("string").alias("customer_id"),
+        F.col("c_mktsegment").alias("customer_state"),
+    )
+
+
+@register(
+    "part_filters",
+    """
+SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+FROM part
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_size BETWEEN 10 AND 30
+  AND p_type LIKE 'PRO%'
+""",
+)
+def q_part_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6/P7: range + IN-list + LIKE predicates, all pushed to the
+    parquet scan (verify with .explain → PushedFilters)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .filter(F.col("p_size").between(10, 30))
+        .filter(F.col("p_type").like("PRO%"))
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    )
+
+
+@register(
+    "period_keys",
+    """
+SELECT DISTINCT
+    CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-' ||
+    lpad(CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR), 2, '0') AS period_key
+FROM orders
+WHERE o_orderdate IS NOT NULL
+""",
+)
+def q_period_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: concat + LPAD period key (reference test_gold.py:29)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    return o.select(
+        period_key(F.year("o_orderdate"), F.month("o_orderdate")).alias("period_key")
+    ).distinct()
+
+
+@register(
+    "status_breakdown",
+    """
+SELECT o_orderstatus AS order_status,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY order_status
+""",
+)
+def q_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A7 + F11: group-by with count/sum/avg over the status domain."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    """
+WITH ranked AS (
+    SELECT p.p_brand,
+           CAST(l.l_partkey AS VARCHAR) AS product_id,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY ROUND(SUM(l.l_extendedprice), 2) DESC,
+                        CAST(l.l_partkey AS VARCHAR) ASC
+           ) AS rank
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, product_id
+)
+SELECT p_brand, product_id, revenue, CAST(rank AS INTEGER) AS rank
+FROM ranked
+WHERE rank <= 3
+""",
+)
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (beyond reference — it used ORDER BY/LIMIT
+    only; a real serving layer needs per-group ranking)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.col("l_partkey").cast("string").alias("product_id"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("product_id"))
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "product_id", "revenue", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: LLM-data-pipeline operators (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY text_hash
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy) on the documents table."""
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_stats",
+    """
+SELECT doc_id,
+       lang,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS ttr,
+       CAST(length(text) AS INTEGER) AS text_len
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + type-token ratio (quality scoring
+    building blocks)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+        type_token_ratio("text").alias("ttr"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "token_count_by_lang",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "events_daily",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY day, event_type
+""",
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily aggregate over the event stream (batch form; the
+    streaming twin is streaming/events.py with window + watermark)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_json",
+    """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (semi-structured props column)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+WITH flagged AS (
+    SELECT user_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h gap) — lag/cumsum window pattern."""
+    counts = sessionize.session_counts(
+        load(spark, sf_dir, "events"), gap_seconds=3600
+    )
+    return counts.select(
+        "user_id", F.col("n_sessions").cast("long").alias("n_sessions"), "n_events"
+    )
+
+
+@register(
+    "cosine_topk",
+    """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           ROUND(
+               list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(
+                   list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) DESC,
+               e.vec_id ASC
+           ) AS rank
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM scored
+WHERE rank <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors (the exact ANN
+    baseline; LSH variant in operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
