@@ -84,18 +84,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature array (length ``num_hashes``) per document.
 
-    Universal hashing over the shingle's xxhash64: h_i(x) = a_i*x + b_i
-    (mod 2^64 via native long overflow — harmless for min-comparison).
+    Hash family = seeded xxhash64: h_i(x) = xxhash64(shingle, i). Using
+    the seed column instead of a*x+b universal hashing keeps everything
+    overflow-free under ANSI mode and avoids correlated low bits.
     Everything is array expressions over the shingle array: zero
     shuffles to build signatures.
     """
-    # Deterministic odd multipliers / offsets derived from the index.
     sh = shingles(text_col, shingle_n)
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s) * (i * 2 + 1) + i * 0x9E3779B9)
-        ),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
     )
     return df.select(F.col(id_col), sig.alias("minhash"))
 

@@ -1,0 +1,131 @@
+"""Declarative data-quality gates — the Pandera-equivalent layer
+(reference etl/tasks/silver.py:7-19,42,58 and the incremental DQC at
+scripts/bronze_incremental.py:68-106).
+
+The reference pulls whole silver tables into Pandas and runs Pandera
+checks — a driver-side materialization that cannot work at 100 TB. The
+same semantics here are **one aggregate pass per table**: every check
+compiles to a conditional count inside a single ``agg``, so the gate
+costs one scan regardless of check count, and nothing but one row of
+violation counters reaches the driver. Fail-fast contract preserved:
+:func:`validate` raises ``DataQualityError`` before downstream layers
+run (README_FASE1.md:61-70).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DataQualityError(ValueError):
+    """A DQ gate failed; downstream layers must not run."""
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative row-level constraint: rows where ``violation``
+    is true are counted against the check."""
+
+    name: str
+    violation: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"{col}_not_null", F.col(col).isNull())
+
+
+def isin(col: str, allowed: Sequence[str]) -> Check:
+    """Closed-domain check (Pandera ``isin``, silver.py:8-11).
+    Nulls count as violations, matching ``nullable=False`` + isin."""
+    return Check(
+        f"{col}_in_domain",
+        F.col(col).isNull() | ~F.col(col).isin(list(allowed)),
+    )
+
+
+def ge(col: str, bound: float) -> Check:
+    """Lower-bound check (Pandera ``ge(0)``, silver.py:15-17).
+    Null passes (Pandera's ge skips NA unless nullable=False)."""
+    return Check(f"{col}_ge_{bound}", F.col(col) < bound)
+
+
+def unique(cols: Sequence[str]) -> "UniqueCheck":
+    return UniqueCheck(cols)
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    """Natural-key uniqueness (the reference's duplicate probe,
+    test.py:4-14). Needs its own groupBy pass, so it is kept separate
+    from the single-scan row checks."""
+
+    cols: Sequence[str]
+
+
+def profile(df: DataFrame, checks: Sequence[Check]) -> dict[str, int]:
+    """Violation counts for all row-level checks in ONE scan."""
+    aggs = [F.count("*").alias("__rows")]
+    aggs += [
+        F.sum(F.when(c.violation, 1).otherwise(0)).cast("long").alias(c.name)
+        for c in checks
+    ]
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def validate(
+    df: DataFrame,
+    checks: Sequence[Check] = (),
+    unique_keys: Sequence[UniqueCheck] = (),
+    allow_empty: bool = False,
+) -> dict[str, int]:
+    """Run all gates; raise :class:`DataQualityError` on any violation.
+
+    Returns the violation profile (all zeros on success) so callers can
+    log it to the ledger.
+    """
+    counts = profile(df, checks) if checks else {"__rows": df.count()}
+    if not allow_empty and counts["__rows"] == 0:
+        raise DataQualityError("empty input")
+    bad = {k: v for k, v in counts.items() if k != "__rows" and v}
+    for uc in unique_keys:
+        dupes = (
+            df.groupBy(*uc.cols).count().filter(F.col("count") > 1).count()
+        )
+        if dupes:
+            bad[f"unique_{'_'.join(uc.cols)}"] = dupes
+    if bad:
+        raise DataQualityError(f"DQ violations: {bad}")
+    return counts
+
+
+# The reference's concrete silver gates (etl/tasks/silver.py:7-19) in
+# declarative form, for an Olist-shaped orders/items pair.
+ORDER_STATUS_DOMAIN = (
+    "delivered",
+    "shipped",
+    "canceled",
+    "invoiced",
+    "processing",
+    "approved",
+    "unavailable",
+    "created",
+)
+
+
+def silver_orders_checks() -> list[Check]:
+    return [
+        not_null("order_id"),
+        isin("order_status", ORDER_STATUS_DOMAIN),
+    ]
+
+
+def silver_items_checks() -> list[Check]:
+    return [
+        not_null("order_id"),
+        ge("price", 0),
+        ge("freight_value", 0),
+    ]

@@ -1,0 +1,109 @@
+"""Structured Streaming operators.
+
+Two roles:
+
+1. **The reference's incremental path, Spark-natively** (SURVEY.md
+   §2.9 I1): a file-source stream with ``Trigger.AvailableNow`` +
+   checkpoint subsumes the manifest's file-level exactly-once — Spark's
+   checkpoint tracks processed files natively. Row-level anti-dup is
+   still the batch anti-join (a changed file re-delivers old rows);
+   :func:`ingest_files_exactly_once` composes both via foreachBatch.
+
+2. **Beyond-reference stream analytics**: tumbling/sliding windowed
+   aggregation with watermarks for late data, and gap-based session
+   windows — the streaming twins of ``plans/workload.py``'s
+   ``events_daily`` / ``sessionize`` batch queries.
+
+All operators return lazy streaming DataFrames; callers pick sink +
+trigger. Tests drive them with ``Trigger.AvailableNow`` over temp dirs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def read_file_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream: every file that lands under ``path`` is
+    processed exactly once (checkpoint-tracked)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts + value sum with a
+    watermark bounding state for late data."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` — the
+    streaming-native twin of operators/sessionize.py (state bounded by
+    the watermark; sessions close when the gap elapses)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def ingest_files_exactly_once(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+) -> StreamingQuery:
+    """File-level exactly-once ingestion (I1) as a streaming plan.
+
+    ``batch_fn(batch_df, batch_id)`` receives each micro-batch — wire
+    the incremental plan's anti-dup append there for row-level dedup.
+    ``Trigger.AvailableNow`` processes the backlog then stops, which is
+    precisely the reference's nightly semantics.
+    """
+    stream = read_file_stream(spark, source_dir, schema)
+    return (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,107 @@
+"""Structured Streaming operators driven with Trigger.AvailableNow."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.sources.parquet import read_testdata
+from data_engineering_project_spark.streaming import events as stream_ops
+
+
+def _events(spark, sf_dir):
+    return read_testdata(spark, sf_dir, "events")
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    """Streaming hourly windows over a file stream == batch groupBy."""
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = stream_ops.read_file_stream(spark, src, ev.schema)
+    windowed = stream_ops.windowed_counts(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        windowed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    expected = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    # watermark may hold back the final (max-ts) window in availableNow;
+    # compare on the windows the stream emitted
+    got_keys = {(r.window_start, r.event_type, r.n_events) for r in got.collect()}
+    exp_keys = {(r.window_start, r.event_type, r.n_events) for r in expected.collect()}
+    assert got_keys <= exp_keys
+    assert len(got_keys) >= 0.9 * len(exp_keys)
+
+
+def test_exactly_once_file_ingest(spark, sf_dir, tmp_path):
+    """I1 via streaming checkpoint: files are processed once; re-running
+    the stream over an unchanged directory processes nothing."""
+    ev = _events(spark, sf_dir).limit(500)
+    src, ckpt, sink = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    ev.write.parquet(src)
+
+    def append_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = stream_ops.ingest_files_exactly_once(spark, src, ev.schema, ckpt, append_batch)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 500
+
+    # second run, nothing new → no new rows
+    q2 = stream_ops.ingest_files_exactly_once(spark, src, ev.schema, ckpt, append_batch)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(sink).count() == n1
+
+    # a new file lands → only its rows are processed
+    extra = _events(spark, sf_dir).limit(600).subtract(ev)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    q3 = stream_ops.ingest_files_exactly_once(spark, src, ev.schema, ckpt, append_batch)
+    q3.awaitTermination(300)
+    n3 = spark.read.parquet(sink).count()
+    assert n1 < n3 <= n1 + 100
+
+
+def test_session_aggregates_stream(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = stream_ops.read_file_stream(spark, src, ev.schema)
+    sessions = stream_ops.session_aggregates(stream, gap="1 hour", watermark="4 hours")
+    out = str(tmp_path / "out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # session invariants: positive event counts, end >= start, per-user
+    # sessions don't overlap
+    assert got.filter("n_events <= 0").count() == 0
+    assert got.filter("session_end < session_start").count() == 0
+    overlap = got.alias("a").join(
+        got.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.session_start") < F.col("b.session_start"))
+        & (F.col("b.session_start") < F.col("a.session_end")),
+    )
+    assert overlap.count() == 0
