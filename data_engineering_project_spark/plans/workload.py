@@ -24,12 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions import period_key
+from data_engineering_project_spark.functions import text as text_fns
 from data_engineering_project_spark.functions.text import (
     distinct_token_count,
     token_count,
     type_token_ratio,
 )
 from data_engineering_project_spark.operators import dedup, sessionize, similarity
+from data_engineering_project_spark.operators.asof import asof_join
 from data_engineering_project_spark.operators.joins import anti_join, semi_join
 from data_engineering_project_spark.plans import analytics
 from data_engineering_project_spark.plans.medallion import TESTDATA_SPEC, build_star_schema
@@ -678,6 +680,229 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+_SW = {
+    lang: ", ".join(f"'{w}'" for w in words)
+    for lang, words in text_fns.STOPWORDS.items()
+}
+_HITS = {
+    lang: f"len(list_filter(string_split(text, ' '), t -> lower(t) IN ({_SW[lang]})))"
+    for lang in _SW
+}
+_BEST = "greatest(" + ", ".join(_HITS.values()) + ")"
+
+
+@register(
+    "quality_scores",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS richness,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len
+    FROM documents
+)
+SELECT doc_id,
+       ROUND((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+              + richness
+              + CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 1.0 ELSE 0.0 END
+             ) / 3.0, 4) AS quality_score
+FROM scored
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality heuristic per document."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.quality_score("text").alias("quality_score")
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+WITH hits AS (
+    SELECT doc_id,
+           lang AS declared_lang,
+           {_HITS['en']} AS h_en,
+           {_HITS['es']} AS h_es,
+           {_HITS['fr']} AS h_fr,
+           {_HITS['de']} AS h_de
+    FROM documents
+)
+SELECT doc_id,
+       declared_lang,
+       CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+            ELSE 'und' END AS guessed_lang
+FROM hits
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic vs the declared lang."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        text_fns.lang_guess("text").alias("guessed_lang"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+WITH elems AS (
+    SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)
+),
+means AS (
+    SELECT label, i, AVG(v) AS mean_v FROM elems GROUP BY label, i
+)
+SELECT label, list(ROUND(mean_v, 6) ORDER BY i) AS centroid
+FROM means
+GROUP BY label
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label (posexplode → per-dim avg → reassemble)."""
+    return similarity.centroids(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "brands_without_late_sales",
+    """
+SELECT p_brand FROM part
+EXCEPT
+SELECT p.p_brand
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2001-11-01'
+""",
+)
+def q_brands_without_late_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT DISTINCT) — SURVEY §2.6 extension."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-11-01").cast("timestamp")
+    )
+    sold = part.join(li, part.p_partkey == li.l_partkey).select("p_brand")
+    return part.select("p_brand").subtract(sold)
+
+
+@register(
+    "revenue_rollup",
+    """
+SELECT c_mktsegment AS customer_state,
+       o_orderstatus AS order_status,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (customer_state, order_status)
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (beyond reference — grouping-set aggregates)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("customer_state"),
+            F.col("o_orderstatus").alias("order_status"),
+            "o_totalprice",
+        )
+        .rollup("customer_state", "order_status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "delivery_percentiles",
+    GOLD_CTE
+    + """
+, joined AS (
+    SELECT c.customer_state, f.delivery_time_days
+    FROM fact_sales f JOIN dim_customers c USING (customer_id)
+)
+SELECT customer_state,
+       ROUND(quantile_cont(delivery_time_days, 0.5), 4) AS p50_delivery_days,
+       ROUND(quantile_cont(delivery_time_days, 0.9), 4) AS p90_delivery_days
+FROM joined
+GROUP BY customer_state
+""",
+)
+def q_delivery_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (beyond reference —
+    Spark `percentile` == DuckDB `quantile_cont` interpolation)."""
+    g = gold(spark, sf_dir)
+    joined = g["fact_sales"].join(F.broadcast(g["dim_customers"]), "customer_id")
+    return joined.groupBy("customer_state").agg(
+        F.round(F.expr("percentile(delivery_time_days, 0.5)"), 4).alias("p50_delivery_days"),
+        F.round(F.expr("percentile(delivery_time_days, 0.9)"), 4).alias("p90_delivery_days"),
+    )
+
+
+@register(
+    "asof_purchase_view",
+    """
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       v.ts    AS view_ts,
+       v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the user's most recent
+    prior view (operators/asof.py merge formulation vs DuckDB ASOF)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_ts", "view_value"],
+        suffix="",
+    )
+
+
+# --- rows-only entries (no SQL-expressible oracle: hash-based sketches) ---
+
+@register("minhash_lsh_pairs")
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs over documents
+    (xxhash64-seeded signatures — not expressible in DuckDB SQL, so the
+    driver records the weaker rows-only check; accuracy is covered by
+    tests/test_operators.py with planted near-duplicates)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=16)
+    return dedup.ngram_jaccard(docs, pairs, "text", "doc_id").filter(
+        F.col("jaccard") > 0.5
+    )
+
+
+@register("simhash_signatures")
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64 not in DuckDB)."""
+    return dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def queries() -> dict[str, QueryFn]:
