@@ -73,12 +73,20 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     )
 
 
-def lang_guess(text: Column | str) -> Column:
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Same, over a pre-tokenized array column — callers scoring several
+    languages should tokenize ONCE into a column first (the split would
+    otherwise be recomputed per language per row; Catalyst does not CSE
+    across when() branches)."""
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS[lang])))
+
+
+def lang_guess_from_tokens(toks: Column) -> Column:
     """Pick the language whose stopword list hits most (ties → 'und').
 
     A greatest-of-N CASE ladder — stays in codegen; no UDF.
     """
-    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    hits = {lang: stopword_hits_from_tokens(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     # Reverse insertion order so earlier languages win ties via the
@@ -86,6 +94,13 @@ def lang_guess(text: Column | str) -> Column:
     for lang in reversed(list(STOPWORDS)):
         expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
     return expr
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Language ID from raw text (tokenizes inline — prefer
+    :func:`lang_guess_from_tokens` over a materialized token column when
+    scoring at scale)."""
+    return lang_guess_from_tokens(tokens(text))
 
 
 def doc_fingerprint(text: Column | str) -> Column:

@@ -84,18 +84,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature array (length ``num_hashes``) per document.
 
-    Hash family = seeded xxhash64: h_i(x) = xxhash64(shingle, i). Using
-    the seed column instead of a*x+b universal hashing keeps everything
-    overflow-free under ANSI mode and avoids correlated low bits.
-    Everything is array expressions over the shingle array: zero
-    shuffles to build signatures.
+    Hash family = seeded xxhash64 over a per-shingle base hash:
+    h_i(x) = xxhash64(xxhash64(shingle), i) — overflow-free under ANSI
+    mode (vs a*x+b universal hashing).
+
+    Shape matters: higher-order-function lambdas are evaluated
+    *interpreted* in Spark, so a nested transform-over-transform
+    formulation runs ~50× slower than codegen. Instead: explode the
+    shingle array and compute the ``num_hashes`` minima as ordinary
+    ``min`` aggregates — whole-stage codegen + map-side partial
+    aggregation, one shuffle on the doc id whose width is just
+    ``num_hashes`` longs per doc.
     """
-    sh = shingles(text_col, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh")
+    ).withColumn("__h", F.xxhash64("__sh"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(1, num_hashes + 1)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{i}") for i in range(1, num_hashes + 1)]).alias(
+                "minhash"
+            ),
+        )
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(

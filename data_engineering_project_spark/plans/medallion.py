@@ -61,6 +61,12 @@ class StarSchemaSpec:
     # product entity
     prod_key: str = ""
     prod_attrs: dict[str, str] = field(default_factory=dict)
+    # Key typing: Olist IDs are genuinely VARCHAR (hash strings), so the
+    # Olist spec casts keys to string for reference fidelity. Sources
+    # with native integer keys (the TPC-H-ish testdata) keep them —
+    # string-cast keys would double shuffle width and add per-row cast
+    # work on every join at 100 TB for no semantic gain.
+    cast_keys_to_string: bool = True
 
 
 # The driver's TPC-H-ish tables in Olist roles (FIXTURES.md §3):
@@ -82,14 +88,20 @@ TESTDATA_SPEC = StarSchemaSpec(
     cust_attrs={"customer_city": "c_name", "customer_state": "c_mktsegment"},
     prod_key="p_partkey",
     prod_attrs={"product_category_name": "p_type"},
+    cast_keys_to_string=False,
 )
+
+
+def _key(col_name: str, spec: StarSchemaSpec) -> F.Column:
+    c = F.col(col_name)
+    return c.cast("string") if spec.cast_keys_to_string else c
 
 
 def silver_orders(orders_raw: DataFrame, spec: StarSchemaSpec) -> DataFrame:
     """Silver typing + the null-key gate (etl/tasks/silver.py:29-40)."""
     cols = [
-        F.col(spec.order_key).cast("string").alias("order_id"),
-        F.col(spec.customer_key).cast("string").alias("customer_id"),
+        _key(spec.order_key, spec).alias("order_id"),
+        _key(spec.customer_key, spec).alias("customer_id"),
         F.col(spec.order_status).cast("string").alias("order_status"),
         F.col(spec.purchase_ts).cast("timestamp").alias("order_purchase_timestamp"),
     ]
@@ -103,8 +115,8 @@ def silver_orders(orders_raw: DataFrame, spec: StarSchemaSpec) -> DataFrame:
 def silver_items(items_raw: DataFrame, spec: StarSchemaSpec) -> DataFrame:
     """Silver typing of the item entity (etl/tasks/silver.py:46-56)."""
     cols = [
-        F.col(spec.item_order_key).cast("string").alias("order_id"),
-        F.col(spec.product_key).cast("string").alias("product_id"),
+        _key(spec.item_order_key, spec).alias("order_id"),
+        _key(spec.product_key, spec).alias("product_id"),
         F.col(spec.price).cast("double").alias("price"),
         F.col(spec.freight).cast("double").alias("freight_value"),
     ]
@@ -115,14 +127,14 @@ def silver_items(items_raw: DataFrame, spec: StarSchemaSpec) -> DataFrame:
 
 def gold_dim_customers(customers_raw: DataFrame, spec: StarSchemaSpec) -> DataFrame:
     """dim_customers projection (etl/tasks/gold.py:12-19)."""
-    cols = [F.col(spec.cust_key).cast("string").alias("customer_id")]
+    cols = [_key(spec.cust_key, spec).alias("customer_id")]
     cols += [F.col(src).cast("string").alias(dst) for dst, src in spec.cust_attrs.items()]
     return customers_raw.select(*cols)
 
 
 def gold_dim_products(products_raw: DataFrame, spec: StarSchemaSpec) -> DataFrame:
     """dim_products projection (etl/tasks/gold.py:22-28)."""
-    cols = [F.col(spec.prod_key).cast("string").alias("product_id")]
+    cols = [_key(spec.prod_key, spec).alias("product_id")]
     cols += [F.col(src).cast("string").alias(dst) for dst, src in spec.prod_attrs.items()]
     return products_raw.select(*cols)
 
