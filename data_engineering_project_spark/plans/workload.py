@@ -890,6 +890,129 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "month_fingerprints",
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS period,
+       COUNT(*) AS n_orders,
+       md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY CAST(o_orderkey AS VARCHAR))) AS fingerprint
+FROM orders
+WHERE o_orderdate IS NOT NULL
+GROUP BY period
+""",
+)
+def q_month_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: deterministic per-partition content fingerprints (the
+    incremental path's change detector, scripts/esplosione_dati.py:50-103)
+    — order-insensitive via in-group sort, cross-engine identical md5."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("period"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(F.col("o_orderkey").cast("string")))
+                ).cast("binary")
+            ).alias("fingerprint"),
+        )
+    )
+
+
+@register(
+    "user_value_deltas",
+    """
+WITH d AS (
+    SELECT user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+)
+SELECT user_id,
+       ROUND(AVG(delta), 4) AS avg_delta,
+       COUNT(delta) AS n_deltas
+FROM d
+GROUP BY user_id
+""",
+)
+def q_user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-difference analytics per user (window lag + aggregate)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("delta"), 4).alias("avg_delta"),
+            F.count("delta").alias("n_deltas"),
+        )
+    )
+
+
+@register(
+    "running_monthly_revenue",
+    GOLD_CTE
+    + """
+, monthly AS (
+    SELECT strftime(f.order_purchase_timestamp, '%Y-%m') AS period,
+           ROUND(SUM(f.price), 2) AS revenue
+    FROM fact_sales f
+    JOIN dim_customers c USING (customer_id)
+    GROUP BY period
+)
+SELECT period,
+       revenue,
+       ROUND(SUM(revenue) OVER (ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS cumulative_revenue
+FROM monthly
+""",
+)
+def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total over ordered periods (window frame aggregate) —
+    the identical ordered frame makes the double sum bit-stable across
+    engines."""
+    g = gold(spark, sf_dir)
+    monthly = analytics.monthly_trend(g["fact_sales"], g["dim_customers"])
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "period",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cumulative_revenue"),
+    )
+
+
+@register(
+    "segments_active_in_both",
+    """
+SELECT DISTINCT c.c_mktsegment AS customer_state
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+INTERSECT
+SELECT DISTINCT c.c_mktsegment AS customer_state
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def q_segments_active_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT) — SURVEY §2.6 extension."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    def seg(status: str) -> DataFrame:
+        return (
+            cust.join(
+                orders.filter(F.col("o_orderstatus") == status),
+                cust.c_custkey == orders.o_custkey,
+            )
+            .select(F.col("c_mktsegment").alias("customer_state"))
+            .distinct()
+        )
+
+    return seg("F").intersect(seg("O"))
+
+
 # --- rows-only entries (no SQL-expressible oracle: hash-based sketches) ---
 
 @register("minhash_lsh_pairs")
