@@ -1,0 +1,118 @@
+"""Scale operators: salting correctness, bucketed joins eliminating
+exchanges, and plan-shape assertions (pushdown, broadcast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import skew
+from data_engineering_project_spark.plans import workload
+from data_engineering_project_spark.sources import bucketing
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        (r.l_returnflag,): (r.n, r.total, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_quantity").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("total"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.n, round(r.total, 4), r.mx)
+        for r in skew.salted_agg(
+            li,
+            keys=["l_returnflag"],
+            aggs={
+                "n": ("count", "l_quantity"),
+                "total": ("sum", "l_quantity"),
+                "mx": ("max", "l_quantity"),
+            },
+            salt_from=["l_orderkey", "l_linenumber"],
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    li2 = li.select(F.col("l_partkey").alias("p_partkey"), "l_extendedprice")
+    plain = (
+        li2.join(part, "p_partkey")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        skew.salted_join(li2, part, "p_partkey", salt_from=["l_extendedprice"], salt_buckets=4)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted((r.p_brand, r.n) for r in plain.collect()) == sorted(
+        (r.p_brand, r.n) for r in salted.collect()
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    bucketing.write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    bucketing.write_bucketed(li, "b_lineitem", ["o_orderkey"], 8, ["o_orderkey"])
+    # Force sort-merge (at test scale the planner would broadcast and
+    # skip bucketing entirely; at 100 TB neither side broadcasts).
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k, v in thresholds.items():
+            spark.conf.set(k, v)
+        joined = bucketing.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == li.count()  # every item has an order
+
+        # contrast: the same join over plain parquet shuffles both sides
+        plain = orders.join(li, "o_orderkey")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_part_filters_pushed_to_scan(spark, sf_dir):
+    """The P5/P6/P7 predicates must reach the parquet scan."""
+    df = workload.QUERIES["part_filters"](spark, sf_dir)
+    scan = _formatted_plan(df)
+    assert "PushedFilters: [" in scan
+    for frag in ("In(p_brand", "GreaterThanOrEqual(p_size,10)", "StringStartsWith(p_type,PRO"):
+        assert frag in scan, scan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    df = workload.QUERIES["top_categories"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
