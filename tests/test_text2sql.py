@@ -1,0 +1,68 @@
+"""Rule-based text-to-SQL over the gold views (serving/text2sql.py)
+and the remaining serving-surface odds and ends (S13, F17, A9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.plans import analytics
+from data_engineering_project_spark.plans.workload import gold
+from data_engineering_project_spark.serving import text2sql
+from data_engineering_project_spark.serving.sql import register_gold_views
+
+
+@pytest.fixture(scope="module")
+def gold_views(spark, sf_dir):
+    g = gold(spark, sf_dir)
+    register_gold_views(spark, g)
+    return g
+
+
+def test_revenue_by_category_matches_dataframe(spark, sf_dir, gold_views):
+    df = text2sql.answer(spark, "What is the revenue by category?")
+    got = {r.product_category_name: r.total_revenue for r in df.collect()}
+    expected = {
+        r.product_category_name: r.revenue
+        for r in analytics.top_categories(
+            gold_views["fact_sales"], gold_views["dim_products"], gold_views["dim_customers"], k=100
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_filters_and_topk(spark, gold_views):
+    df = text2sql.answer(spark, "top 3 categories by revenue... I mean revenue by category, top 3")
+    assert df.count() == 3
+
+    df2 = text2sql.answer(spark, "orders by state in state BU")  # mktsegment codes aren't 2 letters; empty ok
+    assert df2.columns == ["customer_state", "total_orders"]
+
+    df3 = text2sql.answer(spark, "average delivery by month")
+    rows = df3.collect()
+    assert rows and df3.columns == ["period", "avg_delivery_days"]
+
+
+def test_untranslatable_raises():
+    with pytest.raises(text2sql.UntranslatableQuestion):
+        text2sql.translate("tell me a joke")
+    with pytest.raises(text2sql.UntranslatableQuestion):
+        text2sql.translate("top 5 revenue")  # top-N without a dimension
+
+
+def test_groupby_ordinal_and_format_number(spark, gold_views):
+    """A9 (GROUP BY ordinal) + F17 (client-side formatting) + S13
+    (toPandas serving hop)."""
+    df = spark.sql(
+        "SELECT c.customer_state, ROUND(SUM(f.price), 2) AS total_revenue "
+        "FROM fact_sales f JOIN dim_customers c ON f.customer_id = c.customer_id "
+        "GROUP BY 1 ORDER BY 2 DESC"
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and rows[0].total_revenue >= rows[-1].total_revenue
+
+    formatted = df.select(
+        "customer_state", F.format_number("total_revenue", 2).alias("display")
+    )
+    pdf = formatted.toPandas()  # the serving hop — only ever at the edge
+    assert len(pdf) == 5 and "," in pdf["display"].iloc[0]
