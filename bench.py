@@ -47,6 +47,7 @@ EXTENSION_QUERIES = [
     "cosine_topk",
     "embedding_centroids",
     "revenue_rollup",
+    "embedding_similar_pairs",
     "minhash_lsh_pairs",
     "simhash_signatures",
 ]

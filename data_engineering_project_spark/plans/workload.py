@@ -1013,6 +1013,31 @@ def q_segments_active_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg("F").intersect(seg("O"))
 
 
+@register(
+    "embedding_similar_pairs",
+    """
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a
+JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.35
+""",
+)
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine similar pairs within label blocks, via the
+    vectorized applyInPandas matmul kernel (operators/similarity.py).
+    The 0.35 threshold is tuned to this corpus (max same-label cosine
+    ≈0.47); the operator itself is the embedding near-dup detector with
+    threshold as a parameter."""
+    return similarity.embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
 # --- rows-only entries (no SQL-expressible oracle: hash-based sketches) ---
 
 @register("minhash_lsh_pairs")

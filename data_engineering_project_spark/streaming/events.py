@@ -86,6 +86,49 @@ def session_aggregates(
     )
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value sum
+    maintained across micro-batches via ``applyInPandasWithState``.
+
+    The state (one row of two numbers per user) lives in the state
+    store, checkpointed with the query — the pattern for stateful logic
+    that watermarked windows can't express (running lifetime totals,
+    custom decay, per-entity models). Emits the updated running totals
+    for the users seen in each micro-batch.
+    """
+    import pandas as pd
+
+    out_schema = StructType.fromDDL(
+        f"{user_col} long, n_events long, total_value double"
+    )
+    state_schema = StructType.fromDDL("n long, total double")
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def ingest_files_exactly_once(
     spark: SparkSession,
     source_dir: str,

@@ -105,6 +105,49 @@ def test_lsh_bucket_topk_recall(spark, sf_dir):
     assert all(v <= 5 for v in per_q.values())
 
 
+def test_embedding_near_dups_matches_numpy(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dups(emb, threshold=0.3).collect()
+    }
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids, labels = pdf["vec_id"].to_numpy(), pdf["label"].to_numpy()
+    sims = normed @ normed.T
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if labels[i] == labels[j] and sims[i, j] > 0.3:
+                a, b = sorted((ids[i], ids[j]))
+                expected[(a, b)] = round(sims[i, j], 4)
+    assert got == expected and expected  # non-trivial at threshold 0.3
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.centroids(emb)
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    # full probe == exact search (every cell searched)
+    n_cells = cents.count()
+    full = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=n_cells).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == {
+        (r.query_id, r.neighbor_id) for r in exact
+    }
+    # pruned probe trades recall for ~n_probe/n_cells of the work. The
+    # synthetic labels are NOT trained clusters (max in-cell cosine
+    # ≈0.47), so pruning here is near-random cell selection — the bound
+    # just checks it beats the 3/10 random floor; real IVF recall comes
+    # from a trained coarse quantizer.
+    pruned = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    pruned_pairs = {(r.query_id, r.neighbor_id) for r in pruned}
+    recall = len(pruned_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3, recall
+
+
 def test_centroids_shape(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     cents = similarity.centroids(emb).collect()

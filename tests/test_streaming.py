@@ -77,6 +77,59 @@ def test_exactly_once_file_ingest(spark, sf_dir, tmp_path):
     assert n1 < n3 <= n1 + 100
 
 
+def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user running totals across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    part1 = ev.limit(300)
+    part2 = ev.limit(600).subtract(part1)
+    part1.coalesce(1).write.mode("append").parquet(src)
+    part2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    totals = stream_ops.stateful_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from pyspark.sql import functions as F2
+
+    got = (
+        spark.table("user_totals")
+        .groupBy("user_id")
+        .agg(F2.max("n_events").alias("n"), F2.max("total_value").alias("tv"))
+    )
+    both = part1.unionByName(part2)
+    expected = both.groupBy("user_id").agg(
+        F2.count("*").alias("n"), F2.sum("value").alias("tv")
+    )
+    g = {r.user_id: (r.n, round(r.tv, 6)) for r in got.collect()}
+    e = {r.user_id: (r.n, round(r.tv, 6)) for r in expected.collect()}
+    assert g == e
+    # state actually carried across batches: some user seen in both files
+    # must have emitted an intermediate row smaller than its final total
+    multi = (
+        spark.table("user_totals")
+        .groupBy("user_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert multi > 0
+
+
 def test_session_aggregates_stream(spark, sf_dir, tmp_path):
     ev = _events(spark, sf_dir)
     src = str(tmp_path / "src")
