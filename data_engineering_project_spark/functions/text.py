@@ -84,9 +84,14 @@ def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
 def lang_guess_from_tokens(toks: Column) -> Column:
     """Pick the language whose stopword list hits most (ties → 'und').
 
-    A greatest-of-N CASE ladder — stays in codegen; no UDF.
+    A greatest-of-N CASE ladder — stays in codegen; no UDF. Tokens are
+    lowercased once up front rather than per-language.
     """
-    hits = {lang: stopword_hits_from_tokens(toks, lang) for lang in STOPWORDS}
+    lowered = F.transform(toks, F.lower)
+    hits = {
+        lang: F.size(F.filter(lowered, lambda t: t.isin(STOPWORDS[lang])))
+        for lang in STOPWORDS
+    }
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     # Reverse insertion order so earlier languages win ties via the

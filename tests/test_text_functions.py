@@ -1,0 +1,59 @@
+"""Unit tests for the text-analysis expression library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions import text as t
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "text string").select(
+        expr.alias("x")
+    ).collect()[0].x
+
+
+def test_subword_tokens(spark):
+    got = _one(spark, "Hello, world! x2", t.subword_tokens("text"))
+    assert got == ["Hello", ",", "world", "!", "x2"]
+
+
+def test_token_counts_and_ttr(spark):
+    assert _one(spark, "a b a c", t.token_count("text")) == 4
+    assert _one(spark, "a b a c", t.distinct_token_count("text")) == 3
+    assert _one(spark, "a b a c", t.type_token_ratio("text")) == 0.75
+
+
+def test_quality_score_bands(spark):
+    # too short → loses the length band; repetitive → low richness
+    short = _one(spark, "one two three", t.quality_score("text"))
+    good = _one(
+        spark, " ".join(f"word{i:02d}" for i in range(50)), t.quality_score("text")
+    )
+    assert good > short
+    assert 0.0 <= short <= 1.0 and 0.0 <= good <= 1.0
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("el gato y la casa de que si",),
+            ("xyz qqq zzz",),
+        ],
+        "text string",
+    )
+    got = [
+        r.g
+        for r in df.select(
+            t.lang_guess_from_tokens(t.tokens("text")).alias("g")
+        ).collect()
+    ]
+    assert got == ["en", "es", "und"]
+
+
+def test_doc_fingerprint_is_md5(spark):
+    import hashlib
+
+    got = _one(spark, "hello world", t.doc_fingerprint("text"))
+    assert got == hashlib.md5(b"hello world").hexdigest()
