@@ -63,6 +63,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Local-mode scan parallelism: the sf0.1 tables are single ~30 MB
+    # parquet files, which the default 128 MB split reads in ≤3 tasks on
+    # 32 cores. 16 MB splits ≈25-30% faster here. A cluster reading real
+    # multi-TB tables keeps the 128 MB default (session.py) — this knob
+    # compensates for small benchmark files, not a scale setting.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     timings: dict[str, float] = {}
 
     # Warm the JVM/codegen paths so numbers measure plans, not class loading.

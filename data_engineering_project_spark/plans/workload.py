@@ -1014,6 +1014,39 @@ def q_segments_active_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "activity_timeline_union",
+    """
+WITH unioned AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, 'order_placed' AS activity
+    FROM orders
+    UNION ALL
+    SELECT CAST(l_shipdate AS DATE) AS day, 'item_shipped' AS activity
+    FROM lineitem
+)
+SELECT CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
+       activity,
+       COUNT(*) AS n
+FROM unioned
+GROUP BY year, activity
+""",
+)
+def q_activity_timeline_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous event sources into one timeline
+    (completes SURVEY §2.6's set-operation surface)."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), F.lit("order_placed").alias("activity")
+    )
+    ships = load(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("day"), F.lit("item_shipped").alias("activity")
+    )
+    return (
+        orders.unionByName(ships)
+        .groupBy(F.year("day").alias("year"), "activity")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "embedding_similar_pairs",
     """
 SELECT a.vec_id AS id_a,

@@ -143,6 +143,38 @@ def test_dimension_replace_on_change(spark, sf_dir, tmp_path):
     assert fp_before != fp_after
 
 
+def test_incremental_generalizes_to_olist_shape(spark, tmp_path):
+    """Same incremental plan, Olist-shaped columns (string keys,
+    order_items composite key) — the spec is the only thing that
+    changes (SURVEY §7.1 'generalize, don't hardcode')."""
+    from datetime import datetime
+
+    orders = spark.createDataFrame(
+        [
+            (f"o{i:02d}", f"c{i % 3}", "delivered", datetime(2017, 1 + i % 2, 1 + i))
+            for i in range(10)
+        ],
+        "order_id string, customer_id string, order_status string, order_purchase_timestamp timestamp",
+    )
+    items = spark.createDataFrame(
+        [(f"o{i:02d}", j + 1, f"p{j}", 10.0) for i in range(10) for j in range(2)],
+        "order_id string, order_item_id int, product_id string, price double",
+    )
+    spec = IncrementalSpec(
+        order_key="order_id",
+        item_order_key="order_id",
+        item_line_key="order_item_id",
+        ts_col="order_purchase_timestamp",
+    )
+    landing, bronze = str(tmp_path / "landing"), str(tmp_path / "bronze")
+    land_monthly(orders, "order_purchase_timestamp", "order_id", landing)
+    r1 = run_incremental(spark, landing, bronze, spec, items)
+    assert sum(v["orders_inserted"] for v in r1.values()) == 10
+    assert sum(v["items_inserted"] for v in r1.values()) == 20
+    r2 = run_incremental(spark, landing, bronze, spec, items)
+    assert all(v["orders_inserted"] == 0 for v in r2.values())
+
+
 def test_dq_gate_raises(spark, orders):
     bad = orders.withColumn(
         "o_orderkey", F.when(F.col("o_orderkey") % 100 == 0, None).otherwise(F.col("o_orderkey"))

@@ -48,6 +48,70 @@ def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert len(got_keys) >= 0.9 * len(exp_keys)
 
 
+def test_sliding_windows_and_late_data(spark, tmp_path):
+    """Sliding windows emit one row per overlapping window; a row older
+    than the watermark at its arrival batch is dropped."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    batch1 = spark.createDataFrame(
+        [(t(10, 5), "click", 1.0), (t(12, 5), "click", 1.0)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    # late row: 10:10 arrives after the stream has seen 12:05; watermark
+    # (1h) puts the cutoff at 11:05 → must be dropped
+    late = spark.createDataFrame([(t(10, 10), "click", 1.0)], schema)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(src)
+        )
+        windowed = stream_ops.windowed_counts(
+            stream, window="1 hour", slide="30 minutes", watermark="1 hour"
+        )
+        q = (
+            windowed.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # close remaining windows with a far-future row
+    spark.createDataFrame([(t(23), "click", 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).collect()
+    by_start = {(r.window_start, r.n_events) for r in got}
+    # each on-time event belongs to two sliding windows
+    assert (t(9, 30), 1) in by_start and (t(10, 0), 1) in by_start
+    assert (t(11, 30), 1) in by_start and (t(12, 0), 1) in by_start
+    # the late 10:10 row was dropped — the 10:00 window still counts 1
+    assert not any(r.window_start == t(10, 0) and r.n_events == 2 for r in got)
+
+
 def test_exactly_once_file_ingest(spark, sf_dir, tmp_path):
     """I1 via streaming checkpoint: files are processed once; re-running
     the stream over an unchanged directory processes nothing."""
