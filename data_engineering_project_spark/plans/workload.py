@@ -53,7 +53,17 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries may run in a session WE did not build (the driver's
+    harness constructs its own SparkSession): pin the runtime-settable
+    confs our semantics depend on — nanos-parquet reads (events table)
+    and UTC time semantics (dayname/period vs the DuckDB oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return read_testdata(spark, sf_dir, table)
 
 
