@@ -133,6 +133,51 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means → (label, centroid).
+
+    The trained coarse quantizer for :func:`ivf_topk` (a label column is
+    only a stand-in when the data happens to ship clusters). Per
+    iteration: assign = broadcast-k cosine argmax per vector (map-side,
+    no corpus shuffle), update = per-(cell, dim) mean via posexplode —
+    one shuffle of k×dim rows. Init = the k lowest-id vectors
+    (deterministic; k-means++ would sample). Iterations are driver-side
+    loop over lazy plans with a localCheckpoint per round to stop plan
+    growth.
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn("label", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+        .select("label", F.transform("centroid", lambda x: x.cast("double")).alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    cents = init
+    for _ in range(iters):
+        assigned = assign_cells(df, cents, id_col, vec_col)
+        cents = (
+            assigned.select(F.col("cell").alias("label"), F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+                    lambda s: s["mean_v"],
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def assign_cells(
     corpus: DataFrame,
     cents: DataFrame,

@@ -148,6 +148,31 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.3, recall
 
 
+def test_ivf_with_trained_quantizer_beats_label_cells(spark, sf_dir):
+    """A trained k-means coarse quantizer gives real locality; pruned
+    IVF recall must beat the label-cell stand-in."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(cents, n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(emb, queries, cents, k=5, n_probe=n_probe).collect()
+        }
+        return len(got & exact_pairs) / len(exact_pairs)
+
+    trained = similarity.kmeans_fit(emb, k=10, iters=2)
+    label_cells = similarity.centroids(emb)
+    r_trained = recall(trained, 3)
+    r_labels = recall(label_cells, 3)
+    assert r_trained > r_labels, (r_trained, r_labels)
+    assert r_trained >= 0.7, r_trained
+
+
 def test_centroids_shape(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     cents = similarity.centroids(emb).collect()

@@ -112,6 +112,25 @@ def test_part_filters_pushed_to_scan(spark, sf_dir):
         assert frag in scan, scan
 
 
+def test_partitioned_lake_prunes(spark, sf_dir, tmp_path):
+    """The landing layout as a partitioned directory: a month filter
+    must become a PartitionFilter (pruned at file-listing time), not a
+    data filter."""
+    from data_engineering_project_spark.sources.parquet import write_parquet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    lake = str(tmp_path / "orders_lake")
+    write_parquet(orders, lake, partition_by=["order_month"])
+
+    one_month = spark.read.parquet(lake).filter(F.col("order_month") == "1995-03")
+    plan = _formatted_plan(one_month)
+    assert "PartitionFilters: [isnotnull(order_month" in plan, plan
+    # the partition predicate must NOT appear as a post-scan Filter
+    assert one_month.count() == orders.filter(F.col("order_month") == "1995-03").count()
+
+
 def test_dim_joins_are_broadcast(spark, sf_dir):
     df = workload.QUERIES["top_categories"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
