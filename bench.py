@@ -45,6 +45,8 @@ EXTENSION_QUERIES = [
     "sessionize",
     "asof_purchase_view",
     "cosine_topk",
+    "cosine_topk_fast",
+    "corpus_filter",
     "embedding_centroids",
     "revenue_rollup",
     "embedding_similar_pairs",

@@ -80,6 +80,64 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries_pdf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k, vectorized: numpy matmul per corpus partition.
+
+    ``queries_pdf`` is a *pandas* DataFrame (id, vector) — the query set
+    is small by definition and ships to executors inside the closure
+    (same idea as a broadcast). Each Arrow batch of the corpus scores
+    against ALL queries with one BLAS matmul and emits only its local
+    top-k per query; the global reduce then ranks |partitions|×k rows
+    per query. Crossover: at sf0.1 (5k vectors × 10 queries) the
+    expression path still wins (Python-worker spinup dominates); the
+    matmul path takes over as |corpus|×|queries| grows — per-pair cost
+    is a fused multiply-add instead of an interpreted lambda tree.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pdf[id_col].to_numpy()
+    q_mat = np.stack(queries_pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    q_normed = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_normed @ normed.T  # queries × batch
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_idx = np.where(mask)[0]
+                if not len(cand_idx):
+                    continue
+                local = cand_idx[np.argsort(-row[cand_idx])[:k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[local],
+                        "cosine": np.round(row[local], 6),
+                    }
+                )
+
+    local_topk = corpus.mapInPandas(
+        kernel, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit signature: sign of ⟨vec, plane⟩ per hyperplane, packed to long."""
     sig = F.lit(0).cast("long")

@@ -1024,6 +1024,70 @@ def q_segments_active_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_filter",
+    f"""
+WITH scored AS (
+    SELECT doc_id,
+           lang,
+           len(string_split(text, ' ')) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS richness,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+           {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+           {_HITS['fr']} AS h_fr, {_HITS['de']} AS h_de
+    FROM documents
+),
+q AS (
+    SELECT doc_id, lang,
+           ROUND((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                  + richness
+                  + CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 1.0 ELSE 0.0 END
+                 ) / 3.0, 4) AS quality_score,
+           CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+                ELSE 'und' END AS guessed_lang
+    FROM scored
+)
+SELECT doc_id, lang, quality_score, guessed_lang
+FROM q
+WHERE quality_score >= 0.6 AND guessed_lang <> 'und'
+""",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-corpus filter: quality threshold +
+    confident language ID — the C4-style keep-set in one pass."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__toks", text_fns.tokens("text")
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text_fns.quality_score("text").alias("quality_score"),
+        text_fns.lang_guess_from_tokens(F.col("__toks")).alias("guessed_lang"),
+    )
+    return scored.filter(
+        (F.col("quality_score") >= 0.6) & (F.col("guessed_lang") != "und")
+    )
+
+
+@register("cosine_topk_fast")
+def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized exact top-k (mapInPandas numpy matmul per corpus
+    partition + global reduce). Same contract as cosine_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_pdf = (
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    )
+    return similarity.cosine_topk_vectorized(emb, queries_pdf, k=5)
+
+
+ORACLES["cosine_topk_fast"] = ORACLES["cosine_topk"]
+
+
+@register(
     "activity_timeline_union",
     """
 WITH unioned AS (

@@ -148,6 +148,18 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.3, recall
 
 
+def test_cosine_topk_vectorized_equals_expression_path(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    expr_path = similarity.cosine_topk(emb, queries, k=4).collect()
+    vec_path = similarity.cosine_topk_vectorized(
+        emb, queries.select("vec_id", "embedding").toPandas(), k=4
+    ).collect()
+    assert {(r.query_id, r.neighbor_id, r.cosine) for r in expr_path} == {
+        (r.query_id, r.neighbor_id, r.cosine) for r in vec_path
+    }
+
+
 def test_ivf_with_trained_quantizer_beats_label_cells(spark, sf_dir):
     """A trained k-means coarse quantizer gives real locality; pruned
     IVF recall must beat the label-cell stand-in."""
