@@ -157,6 +157,39 @@ def test_dq_failure_blocks_gold(spark, olist_raw, tmp_path):
     assert not os.path.exists(os.path.join(lake, "gold"))
 
 
+def test_main_flow_incremental_idempotent(spark, olist_raw, tmp_path):
+    """Phase-2 composition: landing → bronze incremental → silver →
+    gold; a re-run is a observable no-op and gold is unchanged."""
+    import csv as csvmod
+
+    lake = str(tmp_path / "lake_inc")
+    gold1 = olist.main_flow_incremental(spark, olist_raw, lake)
+    fact_rows_1 = gold1["fact_sales"].count()
+    orders_1 = spark.read.parquet(os.path.join(lake, "bronze", "orders")).count()
+    assert fact_rows_1 > 0 and orders_1 == 60
+
+    gold2 = olist.main_flow_incremental(spark, olist_raw, lake)
+    assert spark.read.parquet(os.path.join(lake, "bronze", "orders")).count() == orders_1
+    assert gold2["fact_sales"].count() == fact_rows_1
+
+    # a new order arrives in the orders CSV (new month) → exactly one
+    # more bronze order; its items follow
+    path = os.path.join(olist_raw, "olist_orders_dataset.csv")
+    with open(path, "a", newline="", encoding="utf-8-sig") as fh:
+        csvmod.writer(fh).writerow(
+            ["o999", "c001", "delivered", "2019-06-01 10:00:00", "2019-06-05 10:00:00", "2019-06-15 10:00:00"]
+        )
+    items_path = os.path.join(olist_raw, "olist_order_items_dataset.csv")
+    with open(items_path, "a", newline="", encoding="utf-8-sig") as fh:
+        csvmod.writer(fh).writerow(["o999", "1", "p001", "s1", "42.0", "7.0"])
+
+    gold3 = olist.main_flow_incremental(spark, olist_raw, lake)
+    assert spark.read.parquet(os.path.join(lake, "bronze", "orders")).count() == orders_1 + 1
+    assert gold3["fact_sales"].count() == fact_rows_1 + 1
+    new_fact = gold3["fact_sales"].filter(F.col("order_id") == "o999").collect()
+    assert len(new_fact) == 1 and new_fact[0].delivery_time_days == 4
+
+
 def test_table_name_derivation():
     assert olist.table_name_from_csv("olist_orders_dataset.csv") == "orders"
     assert olist.table_name_from_csv("/x/olist_order_items_dataset.csv") == "order_items"
