@@ -168,8 +168,15 @@ def ngram_jaccard(
 
     Two broadcast-able joins attach shingle arrays to each side; the
     similarity itself is array intersection/union — per-row, no shuffle.
+    Shingles are built only for documents that appear in a candidate
+    pair (semi-join pre-filter) — the candidate set is tiny relative to
+    the corpus after LSH banding.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    pair_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    scoped = df.join(F.broadcast(pair_ids), id_col, "left_semi")
+    sh = scoped.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -754,16 +754,11 @@ FROM hits
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID heuristic vs the declared lang.
-    Tokenizes once into a column; the CASE ladder then reads the array
-    8× without re-splitting (≈4× faster than inline tokenization)."""
-    return (
-        load(spark, sf_dir, "documents")
-        .withColumn("__toks", text_fns.tokens("text"))
-        .select(
-            "doc_id",
-            F.col("lang").alias("declared_lang"),
-            text_fns.lang_guess_from_tokens(F.col("__toks")).alias("guessed_lang"),
-        )
+    Hit counts are materialized as columns so each stopword filter
+    evaluates once per row (functions.text.with_lang_guess)."""
+    docs = load(spark, sf_dir, "documents")
+    return text_fns.with_lang_guess(docs, "text").select(
+        "doc_id", F.col("lang").alias("declared_lang"), "guessed_lang"
     )
 
 
@@ -1059,14 +1054,12 @@ WHERE quality_score >= 0.6 AND guessed_lang <> 'und'
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pretraining-corpus filter: quality threshold +
     confident language ID — the C4-style keep-set in one pass."""
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "__toks", text_fns.tokens("text")
-    )
+    docs = text_fns.with_lang_guess(load(spark, sf_dir, "documents"), "text")
     scored = docs.select(
         "doc_id",
         "lang",
         text_fns.quality_score("text").alias("quality_score"),
-        text_fns.lang_guess_from_tokens(F.col("__toks")).alias("guessed_lang"),
+        "guessed_lang",
     )
     return scored.filter(
         (F.col("quality_score") >= 0.6) & (F.col("guessed_lang") != "und")
