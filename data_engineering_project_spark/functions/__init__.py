@@ -79,3 +79,18 @@ def money(col: Column | str, scale: int = 2) -> Column:
     at that precision.
     """
     return F.round(col, scale)
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-independent monetary SUM: accumulate in DECIMAL(38,6).
+
+    A double SUM's value depends on partial-aggregation order; when the
+    group total is large (≥~1e7) the drift can straddle a half-cent and
+    flip ``round(2)`` between engines (observed at sf0.01). Rounding
+    each term to 6dp (identical half-up on both engines), summing
+    exactly in decimal, rounding to cents, and casting back to double
+    is bit-stable at any magnitude and any partitioning. SQL twin:
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(38,6))), 2) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(38,6)")), 2).cast("double")

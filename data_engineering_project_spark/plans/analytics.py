@@ -28,6 +28,7 @@ from pyspark.sql.functions import broadcast
 from data_engineering_project_spark.functions import (
     day_name,
     money,
+    money_sum,
     month_period,
     weekday_index,
 )
@@ -60,7 +61,7 @@ def kpis(
         )
     )
     return per_order.agg(
-        money(F.sum("order_revenue")).alias("total_revenue"),
+        money_sum("order_revenue").alias("total_revenue"),
         F.round(F.avg("order_delivery_days"), 4).alias("avg_delivery_days"),
         F.count("*").alias("total_orders"),
         F.round(F.avg("order_freight"), 4).alias("avg_freight"),
@@ -84,7 +85,7 @@ def top_categories(
         _with_state(fact, dim_customers, states)
         .join(broadcast(dim_products), "product_id", "inner")
         .groupBy("product_category_name")
-        .agg(money(F.sum("price")).alias("revenue"))
+        .agg(money_sum("price").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("product_category_name"))
         .limit(k)
     )
@@ -144,7 +145,7 @@ def monthly_trend(
     return (
         _with_state(fact, dim_customers, states)
         .groupBy(month_period("order_purchase_timestamp").alias("period"))
-        .agg(money(F.sum("price")).alias("revenue"))
+        .agg(money_sum("price").alias("revenue"))
         .orderBy("period")
     )
 
@@ -157,6 +158,6 @@ def weekday_seasonality(
     by_day = (
         _with_state(fact, dim_customers, states)
         .groupBy(day_name("order_purchase_timestamp").alias("day_of_week"))
-        .agg(money(F.sum("price")).alias("revenue"))
+        .agg(money_sum("price").alias("revenue"))
     )
     return by_day.orderBy(weekday_index("day_of_week")).select("day_of_week", "revenue")

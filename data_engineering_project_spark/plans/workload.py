@@ -155,7 +155,7 @@ dim_time AS (
     JOIN dim_customers c USING (customer_id)
     GROUP BY f.order_id
 )
-SELECT ROUND(SUM(order_revenue), 2)      AS total_revenue,
+SELECT CAST(ROUND(SUM(CAST(order_revenue AS DECIMAL(38, 6))), 2) AS DOUBLE) AS total_revenue,
        ROUND(AVG(order_delivery_days), 4) AS avg_delivery_days,
        COUNT(*)                           AS total_orders,
        ROUND(AVG(order_freight), 4)       AS avg_freight,
@@ -173,7 +173,7 @@ def q_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     GOLD_CTE
     + """
 SELECT p.product_category_name,
-       ROUND(SUM(f.price), 2) AS revenue
+       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(38, 6))), 2) AS DOUBLE) AS revenue
 FROM fact_sales f
 JOIN dim_customers c USING (customer_id)
 JOIN dim_products p USING (product_id)
@@ -255,7 +255,7 @@ def q_freight_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     GOLD_CTE
     + """
 SELECT strftime(f.order_purchase_timestamp, '%Y-%m') AS period,
-       ROUND(SUM(f.price), 2)                        AS revenue
+       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(38, 6))), 2) AS DOUBLE) AS revenue
 FROM fact_sales f
 JOIN dim_customers c USING (customer_id)
 GROUP BY period
@@ -272,7 +272,7 @@ def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     GOLD_CTE
     + """
 SELECT dayname(f.order_purchase_timestamp) AS day_of_week,
-       ROUND(SUM(f.price), 2)              AS revenue
+       CAST(ROUND(SUM(CAST(f.price AS DECIMAL(38, 6))), 2) AS DOUBLE) AS revenue
 FROM fact_sales f
 JOIN dim_customers c USING (customer_id)
 GROUP BY day_of_week
@@ -447,7 +447,7 @@ def q_period_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus AS order_status,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 6))), 2) AS DOUBLE) AS total_price,
        ROUND(AVG(o_totalprice), 4) AS avg_price
 FROM orders
 GROUP BY order_status
@@ -961,7 +961,7 @@ def q_user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , monthly AS (
     SELECT strftime(f.order_purchase_timestamp, '%Y-%m') AS period,
-           ROUND(SUM(f.price), 2) AS revenue
+           CAST(ROUND(SUM(CAST(f.price AS DECIMAL(38, 6))), 2) AS DOUBLE) AS revenue
     FROM fact_sales f
     JOIN dim_customers c USING (customer_id)
     GROUP BY period
@@ -1016,6 +1016,145 @@ def q_segments_active_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return seg("F").intersect(seg("O"))
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: wide multi-aggregate scan with a
+    pushed date predicate — pure map-side arithmetic + tiny shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "shipping_priority",
+    """
+SELECT l.l_orderkey AS order_key,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate AS order_date,
+       o.o_orderpriority AS order_priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY order_key, order_date, order_priority
+ORDER BY revenue DESC, order_key ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective filters on all three inputs, two-hop
+    join, grouped revenue, top-10. Segment filter broadcast-prunes the
+    customer side before the orders join."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select("order_key", "revenue", "order_date", "order_priority")
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_supplier_revenue",
+    """
+SELECT r.r_name AS region,
+       n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38, 6))), 2)
+            AS DOUBLE) AS revenue,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY region, nation
+""",
+)
+def q_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style snowflake: region→nation→supplier dimension chain
+    broadcast onto lineitem, then one shuffle join to orders. The
+    three-dim chain collapses to a single broadcast hash-join pipeline
+    on the lineitem scan.
+
+    Revenue accumulates in DECIMAL(38,6): double SUM order differs
+    between engines and this query's group sums are large enough
+    (~6e7) that a half-cent boundary actually flipped at sf0.01. Both
+    engines round the identical term to 6dp, sum exactly
+    (order-independent), round to cents, then cast to double —
+    bit-identical output."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    dim_chain = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(dim_chain), li.l_suppkey == dim_chain.s_suppkey)
+        .join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("region", "nation")
+        .agg(
+            F.round(F.sum(revenue.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
 
 
 @register(
