@@ -1,0 +1,95 @@
+"""Deterministic content-hash sampling and train/val/test splits.
+
+A training-data pipeline needs samples and splits that are (a)
+reproducible across runs and engines, (b) stable under task retries and
+repartitioning, and (c) assigned map-side with no shuffle and no state.
+``rand()``-based sampling fails (a) and (b) — a retried task draws new
+numbers. Hashing the record key gives all three: membership is a pure
+function of the key, so any engine that agrees on md5 (all of them)
+produces the identical sample.
+
+Mechanics: bucket = the first two hex chars of ``md5(key)`` — 256
+uniform buckets. Fixed-width lowercase hex sorts numerically, so
+bucket-range membership is a plain string comparison that DuckDB (the
+oracle), Spark, and every SQL engine evaluate identically; fraction
+granularity is 1/256. At 100 TB this is a map-only predicate on the
+scan — no shuffle, no sort, trivially parallel — and a split column
+computed this way is a stable lineage fact: the same document lands in
+``train`` on every engine, forever (no leakage when the pipeline
+re-runs on grown data: membership never depends on the rest of the
+dataset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """256-way uniform bucket of a key: first 2 hex chars of md5."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, 2)
+
+
+def _hex2(bucket: int) -> str:
+    if not 0 <= bucket <= 256:
+        raise ValueError(f"bucket {bucket} outside [0, 256]")
+    return format(min(bucket, 255), "02x") if bucket < 256 else "zz"
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ``fraction`` sample by key hash (granularity 1/256).
+
+    SQL twin: ``WHERE substring(md5(CAST(key AS VARCHAR)), 1, 2) <
+    '<hex(floor(fraction*256))>'``.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    threshold = int(fraction * 256)
+    if threshold >= 256:
+        return df
+    return df.filter(hash_bucket(key) < F.lit(_hex2(threshold)))
+
+
+def split_column(key: Column | str, weights: dict[str, float]) -> Column:
+    """CASE-ladder split assignment from cumulative hash-bucket ranges.
+
+    ``weights`` maps split name → fraction (must sum to ~1; the last
+    split absorbs rounding). Insertion order defines the bucket layout,
+    so the same dict always yields the same assignment.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights sum to {total}, expected 1.0")
+    bucket = hash_bucket(key)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(_hex2(int(cum * 256)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame, key: str, weights: dict[str, float], col: str = "split"
+) -> DataFrame:
+    """Add a deterministic train/val/test column (map-only, no shuffle)."""
+    return df.withColumn(col, split_column(key, weights))
+
+
+def split_case_sql(key_sql: str, weights: dict[str, float]) -> str:
+    """The DuckDB/ANSI twin of :func:`split_column` for oracle checks."""
+    names = list(weights)
+    clauses = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        clauses.append(
+            f"WHEN substring(md5(CAST({key_sql} AS VARCHAR)), 1, 2) <"
+            f" '{_hex2(int(cum * 256))}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"

@@ -30,7 +30,12 @@ from data_engineering_project_spark.functions.text import (
     token_count,
     type_token_ratio,
 )
-from data_engineering_project_spark.operators import dedup, sessionize, similarity
+from data_engineering_project_spark.operators import (
+    dedup,
+    sampling,
+    sessionize,
+    similarity,
+)
 from data_engineering_project_spark.operators.asof import asof_join
 from data_engineering_project_spark.operators.joins import anti_join, semi_join
 from data_engineering_project_spark.plans import analytics
@@ -1274,6 +1279,52 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold as a parameter."""
     return similarity.embedding_near_dups(
         load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "corpus_sample",
+    """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+""",
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample by doc_id content hash
+    (operators/sampling.py): engine-independent, retry-stable, map-only
+    — the reproducible-subset primitive every training pipeline needs.
+    64/256 md5 buckets ⇒ exactly the same rows in Spark and DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.25).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "train_split_summary",
+    f"""
+SELECT {sampling.split_case_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY split, lang
+""",
+)
+def q_train_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket train/val/test assignment (80/10/10 on doc_id) and
+    per-split-per-language corpus accounting. Split membership is a
+    pure function of the key — no leakage across re-runs or engines."""
+    docs = sampling.hash_split(
+        load(spark, sf_dir, "documents"), "doc_id", _SPLIT_WEIGHTS
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )
 
 
