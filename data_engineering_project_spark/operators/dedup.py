@@ -20,6 +20,7 @@ driver-side collects):
 
 from __future__ import annotations
 
+from pyspark.ml.feature import NGram
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,12 +45,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Word n-gram shingles as an array column (distinct)."""
-    toks = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """(id, distinct word-n-gram array) per document.
+
+    Built with ``pyspark.ml.feature.NGram`` (Scala-side array kernel).
+    The obvious expression — ``transform(sequence(...), i ->
+    concat_ws(' ', slice(tokens, i, n)))`` — evaluates the lambda
+    *interpreted* per shingle; swapping it for NGram measured 3.5s →
+    0.3s for 260k shingles at sf0.1. Documents shorter than ``n``
+    tokens yield an empty array (no shingles — they can't be near-dups
+    at n-gram granularity anyway).
+    """
+    tok_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    ng = NGram(n=n, inputCol="__toks", outputCol="__ng")
+    return ng.transform(tok_df).select(
+        F.col(id_col), F.array_distinct("__ng").alias(out)
     )
 
 
@@ -91,13 +103,13 @@ def minhash_signatures(
     Shape matters: higher-order-function lambdas are evaluated
     *interpreted* in Spark, so a nested transform-over-transform
     formulation runs ~50× slower than codegen. Instead: explode the
-    shingle array and compute the ``num_hashes`` minima as ordinary
-    ``min`` aggregates — whole-stage codegen + map-side partial
-    aggregation, one shuffle on the doc id whose width is just
-    ``num_hashes`` longs per doc.
+    shingle array (NGram-built, see :func:`shingle_arrays`) and compute
+    the ``num_hashes`` minima as ordinary ``min`` aggregates —
+    whole-stage codegen + map-side partial aggregation, one shuffle on
+    the doc id whose width is just ``num_hashes`` longs per doc.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh")
+    exploded = shingle_arrays(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("sh").alias("__sh")
     ).withColumn("__h", F.xxhash64("__sh"))
     mins = [
         F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
@@ -176,7 +188,7 @@ def ngram_jaccard(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
     scoped = df.join(F.broadcast(pair_ids), id_col, "left_semi")
-    sh = scoped.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh = shingle_arrays(scoped, text_col, id_col, shingle_n)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

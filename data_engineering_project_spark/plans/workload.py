@@ -1341,7 +1341,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps candidates near-linear even on this corpus's tiny shared
     # vocabulary (2-row bands go quadratic: every doc pair shares
     # common 3-grams). Recall at jaccard≥0.9 stays >99.9%.
-    pairs = dedup.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=64, bands=8)
+    # Eagerly materialize the (tiny) candidate set: ngram_jaccard
+    # consumes `pairs` in three subtrees (id scoping + both join sides),
+    # and without truncation each one re-runs the whole LSH pipeline
+    # (measured 9.5s → 4.5s at sf0.1).
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=8
+    ).localCheckpoint(eager=True)
     return dedup.ngram_jaccard(docs, pairs, "text", "doc_id").filter(
         F.col("jaccard") > 0.5
     )

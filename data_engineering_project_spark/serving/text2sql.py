@@ -53,7 +53,8 @@ def translate(question: str) -> str:
 
     Understands: a metric (revenue/sales/orders/delivery/freight),
     optionally "by <dimension>", optionally "in state XX[, YY]",
-    optionally "top N".
+    optionally "top N" / "bottom N", optionally a time window
+    ("in 2023", "from 2023-01 to 2023-06", "since 2023-05").
     """
     q = question.lower()
     metric = next((m for m in _METRICS if m in q), None)
@@ -68,28 +69,52 @@ def translate(question: str) -> str:
     select = [f"{expr} AS {alias}"]
     group = ""
     order = ""
+    bottom = re.search(r"\b(bottom|lowest|worst)\s+(\d+)", q)
     if dim:
         dim_expr, dim_alias, join = _DIMENSIONS[dim]
         select.insert(0, f"{dim_expr} AS {dim_alias}")
         group = f"GROUP BY {dim_expr}"
-        order = f"ORDER BY {alias} DESC, {dim_alias} ASC"
+        direction = "ASC" if bottom else "DESC"
+        order = f"ORDER BY {alias} {direction}, {dim_alias} ASC"
         if join:
             joins.append(_JOINS[join])
 
-    where = ""
+    conds: list[str] = []
     states = re.search(r"in state[s]?\s+((?:[a-z]{2})(?:\s*,\s*[a-z]{2})*)", q)
     if states:
         codes = ", ".join(f"'{s.strip().upper()}'" for s in states.group(1).split(","))
         if _JOINS["customers"] not in joins:
             joins.append(_JOINS["customers"])
-        where = f"WHERE c.customer_state IN ({codes})"
+        conds.append(f"c.customer_state IN ({codes})")
+
+    # month range: "from 2023-01 to 2023-06" / "between 2023-01 and 2023-06"
+    span = re.search(
+        r"(?:from|between)\s+(\d{4}-\d{2})\s+(?:to|and)\s+(\d{4}-\d{2})", q
+    )
+    if span:
+        lo, hi = span.group(1), span.group(2)
+        conds.append(
+            f"date_format(f.order_purchase_timestamp, 'yyyy-MM') BETWEEN '{lo}' AND '{hi}'"
+        )
+    else:
+        # bare year filter: "in 2023" (but not the year-dimension case)
+        year = re.search(r"\b(?:in|during|for)\s+(\d{4})\b", q)
+        if year:
+            conds.append(f"year(f.order_purchase_timestamp) = {int(year.group(1))}")
+        since = re.search(r"since\s+(\d{4}-\d{2})", q)
+        if since:
+            conds.append(
+                f"date_format(f.order_purchase_timestamp, 'yyyy-MM') >= '{since.group(1)}'"
+            )
+
+    where = f"WHERE {' AND '.join(conds)}" if conds else ""
 
     limit = ""
-    top = re.search(r"top\s+(\d+)", q)
+    top = re.search(r"top\s+(\d+)", q) or bottom
     if top:
         if not dim:
-            raise UntranslatableQuestion("top-N needs a 'by <dimension>'")
-        limit = f"LIMIT {int(top.group(1))}"
+            raise UntranslatableQuestion("top-N/bottom-N needs a 'by <dimension>'")
+        limit = f"LIMIT {int(top.group(top.lastindex or 1))}"
 
     parts = ["SELECT", ", ".join(select), "FROM fact_sales f", *joins, where, group, order, limit]
     return " ".join(p for p in parts if p)

@@ -66,3 +66,28 @@ def test_groupby_ordinal_and_format_number(spark, gold_views):
     )
     pdf = formatted.toPandas()  # the serving hop — only ever at the edge
     assert len(pdf) == 5 and "," in pdf["display"].iloc[0]
+
+
+def test_time_window_shapes(spark, gold_views):
+    sql = text2sql.translate("revenue by month from 2023-01 to 2023-06")
+    assert "BETWEEN '2023-01' AND '2023-06'" in sql
+    df = text2sql.answer(spark, "revenue by month from 2023-01 to 2023-06")
+    periods = [r.period for r in df.collect()]
+    assert all("2023-01" <= p <= "2023-06" for p in periods)
+
+    sql_year = text2sql.translate("total revenue in 2023")
+    assert "year(f.order_purchase_timestamp) = 2023" in sql_year
+
+    sql_since = text2sql.translate("orders by state since 2023-05")
+    assert ">= '2023-05'" in sql_since
+
+
+def test_bottom_n_orders_ascending(spark, gold_views):
+    sql = text2sql.translate("bottom 3 states by revenue ... revenue by state, bottom 3")
+    assert "ASC" in sql.split("ORDER BY")[1] and sql.endswith("LIMIT 3")
+    df = text2sql.answer(spark, "revenue by state, bottom 3")
+    vals = [r.total_revenue for r in df.collect()]
+    assert vals == sorted(vals) and len(vals) == 3
+    # bottom-N without a dimension is rejected like top-N
+    with pytest.raises(text2sql.UntranslatableQuestion):
+        text2sql.translate("bottom 5 revenue")
