@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -74,6 +74,46 @@ def profile(df: DataFrame, checks: Sequence[Check]) -> dict[str, int]:
         for c in checks
     ]
     return df.agg(*aggs).collect()[0].asDict()
+
+
+def observe_checks(
+    df: DataFrame, checks: Sequence[Check], name: str = "dq"
+) -> tuple[DataFrame, Observation]:
+    """Attach the row-level checks to ``df`` as an ``Observation``.
+
+    Unlike :func:`profile` (its own aggregate job), the observation
+    rides whatever action the caller runs next — typically the write
+    that materializes the table — so at 100 TB the DQ gate costs ZERO
+    extra scans. Pattern::
+
+        gated, obs = observe_checks(silver, silver_orders_checks())
+        gated.write.parquet(path)        # one pass: write + metrics
+        assert_observed(obs)             # raises DataQualityError
+
+    The trade-off vs :func:`validate` is ordering: the data is already
+    written when the gate fires, so pair it with a transactional sink
+    (sources/txlog.py) or a pre-publish staging dir when downstream
+    must never see a bad table.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    aggs += [
+        F.sum(F.when(c.violation, 1).otherwise(0)).cast("long").alias(c.name)
+        for c in checks
+    ]
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs
+
+
+def assert_observed(obs: Observation, allow_empty: bool = False) -> dict[str, int]:
+    """Check an :func:`observe_checks` observation after its action ran;
+    raises :class:`DataQualityError` like :func:`validate`."""
+    counts = {k: (v or 0) for k, v in obs.get.items()}
+    if not allow_empty and counts.get("__rows", 0) == 0:
+        raise DataQualityError("empty input")
+    bad = {k: v for k, v in counts.items() if k != "__rows" and v}
+    if bad:
+        raise DataQualityError(f"DQ violations: {bad}")
+    return counts
 
 
 def validate(

@@ -97,3 +97,31 @@ def test_text_to_sql_execution_path(spark, sf_dir):
         "GROUP BY t.year",
     )
     assert out2.count() >= 2
+
+
+def test_observed_checks_ride_the_write_pass(spark, tmp_path):
+    """observe_checks: metrics come from the write action itself —
+    no second scan — and assert_observed gates like validate."""
+    df = spark.createDataFrame(
+        [(1, "delivered", 5.0), (2, "delivered", -1.0), (3, "bogus", 2.0)],
+        "order_id long, order_status string, price double",
+    )
+    gated, obs = quality.observe_checks(
+        df,
+        [quality.isin("order_status", ["delivered", "shipped"]), quality.ge("price", 0)],
+    )
+    gated.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    with pytest.raises(quality.DataQualityError) as err:
+        quality.assert_observed(obs)
+    assert "order_status_in_domain" in str(err.value)
+    assert "price_ge_0" in str(err.value)
+
+    clean = df.filter((F.col("order_status") == "delivered") & (F.col("price") >= 0))
+    gated2, obs2 = quality.observe_checks(
+        clean,
+        [quality.isin("order_status", ["delivered", "shipped"]), quality.ge("price", 0)],
+        name="dq2",
+    )
+    gated2.write.mode("overwrite").parquet(str(tmp_path / "out2"))
+    counts = quality.assert_observed(obs2)
+    assert counts["__rows"] == 1 and counts["price_ge_0"] == 0
