@@ -701,8 +701,13 @@ _SW = {
     lang: ", ".join(f"'{w}'" for w in words)
     for lang, words in text_fns.STOPWORDS.items()
 }
+# Distinct-stopword hits: list_intersect dedups in DuckDB exactly like
+# array_intersect in Spark, so both engines count the same thing.
 _HITS = {
-    lang: f"len(list_filter(string_split(text, ' '), t -> lower(t) IN ({_SW[lang]})))"
+    lang: (
+        "len(list_intersect(list_transform(string_split(text, ' '),"
+        f" t -> lower(t)), [{_SW[lang]}]))"
+    )
     for lang in _SW
 }
 _BEST = "greatest(" + ", ".join(_HITS.values()) + ")"
