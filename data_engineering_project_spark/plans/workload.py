@@ -32,6 +32,7 @@ from data_engineering_project_spark.functions.text import (
 )
 from data_engineering_project_spark.operators import (
     dedup,
+    packing,
     sampling,
     sessionize,
     similarity,
@@ -1362,6 +1363,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: xxhash64 not in DuckDB)."""
     return dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register("pack_documents")
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing of the corpus (rows-only: greedy
+    per-shard bin packing is iterative, not SQL-expressible; invariants
+    — budget respected, every doc packed once, deterministic across
+    partitionings — are asserted in tests/test_packing.py)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text_fns.token_count("text").alias("n_tok")
+    )
+    return packing.pack_sequences(docs, "doc_id", "n_tok", max_tokens=512, num_shards=16)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -15,7 +15,7 @@ from data_engineering_project_spark.plans import workload
 
 # Queries whose physical plan is *expected* to contain a Python-side
 # stage (Arrow-batched kernels — not row-at-a-time UDFs).
-ARROW_KERNELS = {"cosine_topk_fast", "embedding_similar_pairs"}
+ARROW_KERNELS = {"cosine_topk_fast", "embedding_similar_pairs", "pack_documents"}
 
 
 def _formatted_plan(spark, df) -> str:
