@@ -129,6 +129,25 @@ def stateful_user_totals(
     )
 
 
+def txlog_sink(table, app_id: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink into a transactional table (sources/txlog.py)
+    with TRUE exactly-once delivery.
+
+    The plain parquet-append sink is exactly-once only while the
+    checkpoint and the sink agree; if the driver dies after the sink
+    write but before the checkpoint commit, the batch is replayed and
+    the rows double. Here each batch commits with its
+    ``(app_id, batch_id)`` transaction id, so a replayed batch is
+    recognized inside the sink's own log and skipped — the classic
+    idempotent-sink half of end-to-end exactly-once.
+    """
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, app_id=app_id, batch_id=batch_id)
+
+    return batch_fn
+
+
 def ingest_files_exactly_once(
     spark: SparkSession,
     source_dir: str,

@@ -222,3 +222,31 @@ def test_session_aggregates_stream(spark, sf_dir, tmp_path):
         & (F.col("b.session_start") < F.col("a.session_end")),
     )
     assert overlap.count() == 0
+
+
+def test_stream_into_transactional_table_survives_batch_replay(spark, sf_dir, tmp_path):
+    """foreachBatch → TransactionalTable: a replayed micro-batch (the
+    crash-between-sink-and-checkpoint case the parquet-append sink gets
+    wrong) is recognized by its (app_id, batch_id) and skipped."""
+    from data_engineering_project_spark.sources.txlog import TransactionalTable
+
+    ev = _events(spark, sf_dir).limit(400)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.write.parquet(src)
+    table = TransactionalTable(spark, str(tmp_path / "tx"))
+    sink = stream_ops.txlog_sink(table, app_id="ingest-events")
+
+    q = stream_ops.ingest_files_exactly_once(spark, src, ev.schema, ckpt, sink)
+    q.awaitTermination(300)
+    assert table.read().count() == 400
+    committed = [c for c in table.history() if c.get("txn")]
+    assert committed, "expected txn ids in the commit log"
+
+    # simulate the replay: re-deliver an already-committed batch id
+    replay_id = int(committed[0]["txn"]["batch_id"])
+    sink(ev.limit(50), replay_id)
+    assert table.read().count() == 400, "replayed batch must be a no-op"
+
+    # a genuinely new batch id still appends
+    sink(ev.limit(25), replay_id + 1000)
+    assert table.read().count() == 425
