@@ -32,6 +32,7 @@ from data_engineering_project_spark.functions.text import (
 )
 from data_engineering_project_spark.operators import (
     dedup,
+    funnel,
     packing,
     sampling,
     sessionize,
@@ -1332,6 +1333,72 @@ def q_train_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "conversion_funnel",
+    """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+    JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+    JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+""",
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel (operators/funnel.py):
+    stage k counts users whose first qualifying event follows their
+    stage-(k-1) first event."""
+    ev = load(spark, sf_dir, "events")
+    return funnel.funnel_counts(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('month', ts) AS DATE) AS activity_month
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(activity_month) AS cohort_month
+    FROM activity GROUP BY user_id
+)
+SELECT cohort_month,
+       CAST((EXTRACT(year FROM activity_month) - EXTRACT(year FROM cohort_month)) * 12
+            + (EXTRACT(month FROM activity_month) - EXTRACT(month FROM cohort_month))
+            AS INTEGER) AS month_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a
+JOIN cohorts USING (user_id)
+GROUP BY cohort_month, month_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-activity-month cohorts × month offset retention counts."""
+    return funnel.cohort_retention(load(spark, sf_dir, "events"))
 
 
 # --- rows-only entries (no SQL-expressible oracle: hash-based sketches) ---
