@@ -605,6 +605,63 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot",
+    f"""
+SELECT CAST(ts AS DATE) AS day,
+       {', '.join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY day
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day × event-type count matrix. The pivot values are
+    enumerated explicitly so Spark skips the extra distinct-values job
+    (an unbounded pivot is a full scan + collect at scale); absent
+    cells are 0 to match the oracle's SUM(CASE) formulation."""
+    out = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out
+
+
+@register(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_id, event_type, value
+FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the CDC/SCD "current snapshot"
+    operator): one window shuffle on the key, deterministic tiebreak on
+    event_id. At scale this is the standard merge-on-read collapse of
+    an append log into current state."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
 @register(
     "events_json",
     """
