@@ -1460,6 +1460,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rows-only entries (no SQL-expressible oracle: hash-based sketches) ---
 
+@register("events_reach_approx")
+def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path for distinct counts
+    and percentiles: HyperLogLog++ (`approx_count_distinct`, rsd 1%)
+    and KLL-style quantile sketches (`percentile_approx`) merge
+    map-side in constant memory, vs an exact count-distinct whose
+    shuffle carries every distinct key and an exact percentile that
+    sorts the group. Rows-only for the driver (DuckDB's HLL yields
+    different estimates); tests/test_operators.py bounds the error vs
+    the exact answers."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 @register("minhash_lsh_pairs")
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs over documents

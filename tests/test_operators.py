@@ -216,3 +216,30 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(df.filter("payload is not null")).collect()
     assert {r.media_id for r in frames} == {"m1", "m2"}
     assert all(r.byte_offset == r.frame_idx * 1024 for r in frames)
+
+
+def test_approx_sketches_track_exact(spark, sf_dir):
+    """HLL++ distinct counts within rsd bounds and approx percentiles
+    within the accuracy parameter's rank error vs exact answers."""
+    from data_engineering_project_spark.plans import workload
+
+    ev = workload.load(spark, sf_dir, "events")
+    approx = {
+        r.event_type: r for r in workload.QUERIES["events_reach_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("ps"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) <= max(3, 0.05 * ex.users), (
+            f"{et}: HLL {ap.approx_users} vs exact {ex.users}"
+        )
+        for a, e in zip(ap.value_p50_p95, ex.ps):
+            assert abs(a - e) <= 0.1 * max(1.0, abs(e)), f"{et}: {a} vs {e}"
