@@ -53,6 +53,17 @@ EXTENSION_QUERIES = [
     "embedding_similar_pairs",
     "minhash_lsh_pairs",
     "simhash_signatures",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_supplier_revenue",
+    "corpus_sample",
+    "train_split_summary",
+    "conversion_funnel",
+    "cohort_retention",
+    "events_pivot",
+    "latest_event_per_user",
+    "events_reach_approx",
+    "pack_documents",
 ]
 
 
