@@ -902,6 +902,49 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_flag_cube",
+    """
+SELECT o_orderstatus AS order_status,
+       l_returnflag AS return_flag,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(l_returnflag) AS BIGINT)
+           AS grouping_level,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38, 6))), 2) AS DOUBLE)
+           AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY CUBE (order_status, return_flag)
+""",
+)
+def q_status_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, flag) with grouping_id — completes the
+    grouping-set family next to ROLLUP. All 2^2 grouping sets come out
+    of ONE shuffle (Spark expands grouping sets map-side); the decimal
+    accumulator keeps the cross-engine cents stable on the grand-total
+    row (~2e9 at sf0.1)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("l_returnflag").alias("return_flag"),
+            "l_extendedprice",
+        )
+        .cube("order_status", "return_flag")
+        .agg(
+            F.grouping_id().alias("grouping_level"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "order_status", "return_flag", "grouping_level", "n_items", "total_price"
+        )
+    )
+
+
+@register(
     "delivery_percentiles",
     GOLD_CTE
     + """
