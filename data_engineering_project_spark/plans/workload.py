@@ -687,6 +687,27 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_json_typed")
+def q_events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregate via schema-declared ``from_json`` — the scale
+    path when several fields are extracted: the document parses ONCE
+    into a struct instead of once per get_json_object path."""
+    props = F.from_json("props", "k int")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("__p", props)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("__p.k"), 4).alias("avg_k"),
+            F.max("__p.k").alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+ORACLES["events_json_typed"] = ORACLES["events_json"]
+
+
 @register(
     "sessionize",
     """
@@ -1502,6 +1523,30 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- rows-only entries (no SQL-expressible oracle: hash-based sketches) ---
+
+@register("media_featurize")
+def q_media_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on the driver's gate: documents'
+    text bytes stand in for media payloads (the container has no
+    codecs; the decode kernel is a deterministic stub — see
+    multimodal/binary_ops.py), flowing through the real binary-column
+    schema, Arrow-batched mapInPandas decode, and a feature aggregate.
+    Rows-only: the stubbed features have no SQL twin."""
+    from data_engineering_project_spark.multimodal import binary_ops
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.length("text").cast("int").alias("n_bytes"),
+    )
+    feats = binary_ops.decode_and_featurize(docs, dim=8)
+    return feats.groupBy("mime").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_f0"),
+    )
+
 
 @register("events_reach_approx")
 def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

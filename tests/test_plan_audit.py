@@ -15,7 +15,12 @@ from data_engineering_project_spark.plans import workload
 
 # Queries whose physical plan is *expected* to contain a Python-side
 # stage (Arrow-batched kernels — not row-at-a-time UDFs).
-ARROW_KERNELS = {"cosine_topk_fast", "embedding_similar_pairs", "pack_documents"}
+ARROW_KERNELS = {
+    "cosine_topk_fast",
+    "embedding_similar_pairs",
+    "pack_documents",
+    "media_featurize",
+}
 
 
 def _formatted_plan(spark, df) -> str:
