@@ -172,6 +172,70 @@ def minhash_lsh_candidates(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc id, cluster id).
+
+    After LSH+verify produces pairwise matches, dedup needs GROUPS: if
+    A≈B and B≈C, keep one of {A,B,C}. That's connected components,
+    computed here by iterative min-label propagation — each round every
+    node adopts the smallest label among itself and its neighbors; the
+    loop stops when no label changes (converges in O(component
+    diameter) rounds, and near-dup clusters are shallow in practice).
+
+    Scale shape: each round is one join on the (small) edge list + one
+    min-aggregate, both keyed on int ids — no driver-side union-find,
+    no O(n²) anything. Edges are symmetrized once up front;
+    ``localCheckpoint`` per round truncates the growing lineage (20
+    rounds of joins would otherwise stack into one giant plan).
+
+    Returns one row per distinct doc id appearing in ``pairs``;
+    ``cluster_id`` is the component's minimum doc id (so the canonical
+    "keeper" is the row where doc_id == cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "nbr_min").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_labels, labels.doc_id == neighbor_labels.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -1592,6 +1592,29 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup GROUPING pipeline: LSH candidates → exact
+    Jaccard verify → connected components (iterative min-label
+    propagation) → (doc, cluster, is_keeper). Rows-only: iterative
+    fixpoint, not SQL-expressible; component semantics are unit-tested
+    (chains, transitivity, separate components)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=8
+    ).localCheckpoint(eager=True)
+    verified = (
+        dedup.ngram_jaccard(docs, pairs, "text", "doc_id")
+        .filter(F.col("jaccard") > 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    clusters = dedup.dup_clusters(verified)
+    return clusters.withColumn(
+        "is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
+    )
+
+
 @register("simhash_signatures")
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: xxhash64 not in DuckDB)."""

@@ -243,3 +243,38 @@ def test_approx_sketches_track_exact(spark, sf_dir):
         )
         for a, e in zip(ap.value_p50_p95, ex.ps):
             assert abs(a - e) <= 0.1 * max(1.0, abs(e)), f"{et}: {a} vs {e}"
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chains, separate components, and transitive closure: A-B, B-C
+    form one cluster keyed by the min id; isolated pair is its own."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 9: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_dup_clusters_on_lsh_output(spark, sf_dir):
+    """End-to-end: planted near-dup pairs collapse into clusters whose
+    keeper is the original (minimum) doc id."""
+    docs = _docs(spark, sf_dir)
+    near = (
+        docs.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    corpus = docs.unionByName(near)
+    pairs = dedup.minhash_lsh_candidates(corpus, "text", "doc_id", num_hashes=32, bands=16)
+    verified = dedup.ngram_jaccard(corpus, pairs, "text", "doc_id").filter(
+        F.col("jaccard") > 0.8
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    clusters = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(verified).collect()}
+    for i in range(3):
+        if i + 1_000_000 in clusters:
+            assert clusters[i + 1_000_000] == clusters.get(i, i)
