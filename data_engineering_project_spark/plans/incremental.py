@@ -129,6 +129,34 @@ def land_monthly(
         tagged.unpersist()
 
 
+def merge_aggregate(
+    existing: DataFrame | None,
+    new_partial: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    counts: list[str] = (),
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's partial
+    aggregate into a materialized one without touching history.
+
+    ``existing`` and ``new_partial`` share the schema (keys + additive
+    measures). Additive measures (SUM, COUNT) merge by key with one
+    union + re-aggregate whose input is |existing keys| + |new keys|
+    rows — at 100 TB the rebuild-from-scratch alternative rescans the
+    whole fact table to refresh one month. Non-additive measures (AVG,
+    percentiles) should be stored as their additive parts (sum + count)
+    and finalized at read time.
+    """
+    if existing is None:
+        return new_partial
+    measures = [F.sum(c).alias(c) for c in [*sums, *counts]]
+    return (
+        existing.unionByName(new_partial)
+        .groupBy(*keys)
+        .agg(*measures)
+    )
+
+
 def dq_check(df: DataFrame, key_cols: list[str], non_negative: list[str]) -> dict[str, int]:
     """The incremental DQ gate (scripts/bronze_incremental.py:68-106):
     non-empty batch, no null keys, no negative measures. One aggregate

@@ -210,3 +210,29 @@ def test_ledger_upsert_and_update(spark, tmp_path):
         {"note": F.regexp_replace("note", "^SKIP: ", "")},
     )
     assert ledger.read().collect()[0].note == "unchanged"
+
+
+def test_merge_aggregate_equals_full_recompute(spark, sf_dir):
+    """Folding one month's partial into the materialized aggregate
+    yields exactly the full-recompute answer (additive measures)."""
+    from data_engineering_project_spark.plans.incremental import merge_aggregate
+    from data_engineering_project_spark.plans.workload import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("period"),
+        "o_totalprice",
+    )
+    cutoff = "1997-01"
+    hist = orders.filter(F.col("period") < cutoff)
+    new = orders.filter(F.col("period") >= cutoff)
+    agg = lambda df: df.groupBy("period").agg(
+        F.sum("o_totalprice").alias("revenue"), F.count("*").alias("n")
+    )
+    merged = merge_aggregate(agg(hist), agg(new), keys=["period"], sums=["revenue"], counts=["n"])
+    full = agg(orders)
+    m = {r.period: (round(r.revenue, 2), r.n) for r in merged.collect()}
+    f = {r.period: (round(r.revenue, 2), r.n) for r in full.collect()}
+    assert m == f
+    # bootstrap case: no existing aggregate yet
+    boot = merge_aggregate(None, agg(new), ["period"], ["revenue"], ["n"])
+    assert boot.count() == agg(new).count()
