@@ -268,3 +268,114 @@ def ngram_jaccard(
             F.round(inter / union, 4).alias("jaccard"),
         )
     )
+
+
+# --- Portable (cross-engine deterministic) variants -----------------------
+#
+# The production paths above hash with xxhash64 (fastest JVM-side hash).
+# DuckDB has no xxhash64, so those queries can only get the driver's
+# rows-only check. The variants below derive every hash from md5 —
+# byte-identical in Spark and DuckDB — so the FULL near-dup pipeline
+# (shingle → minhash → banding → candidate pairs) is value-checkable
+# against an SQL oracle. Same plan shape and shuffle structure as the
+# fast path; only the hash family differs (~1.6x hash cost, still
+# whole-stage codegen).
+
+
+def portable_hash60(col) -> F.Column:
+    """Deterministic 60-bit hash both engines can compute exactly:
+    first 15 hex chars of md5(utf8) as a bigint. DuckDB twin:
+    ``CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _portable_minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, m1..m<num_hashes>) wide MinHash frame with the portable hash
+    family h_i(x) = portable_hash60(shingle || '|' || i). Same
+    explode→min-aggregate shape as :func:`minhash_signatures` — one
+    shuffle on the doc id, map-side partial aggregation."""
+    exploded = shingle_arrays(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("sh").alias("__sh")
+    )
+    mins = [
+        F.min(
+            portable_hash60(F.concat(F.col("__sh"), F.lit(f"|{i}")))
+        ).alias(f"m{i}")
+        for i in range(1, num_hashes + 1)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Long-form portable MinHash: one (id, h_idx, min_h) row per hash
+    — scalar columns only, so the cross-engine canonicalizer can hash
+    the result. Docs with fewer than ``shingle_n`` tokens yield no rows
+    (no shingles), matching the SQL oracle's generate_series join."""
+    wide = _portable_minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    # <i>L literals: bigint h_idx, matching the oracle's generate_series
+    stack = "stack({n}, {args}) AS (h_idx, min_h)".format(
+        n=num_hashes,
+        args=", ".join(f"{i}L, m{i}" for i in range(1, num_hashes + 1)),
+    )
+    return wide.select(F.col(id_col), F.expr(stack))
+
+
+def lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with the portable hash family —
+    the whole candidate-generation pipeline is exactly reproducible in
+    DuckDB SQL (string_agg band keys). 8 rows per band keeps the
+    band-collision probability at jaccard^8, so same-bucket groups stay
+    tiny and the self-join never goes quadratic."""
+    rows_per_band = num_hashes // bands
+    wide = _portable_minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    band_keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{b * rows_per_band + j}").cast("string")
+                for j in range(1, rows_per_band + 1)
+            ],
+        )
+        for b in range(bands)
+    ]
+    banded = wide.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_portable(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """60-bit portable SimHash (fits a signed bigint; same branchless
+    bit-sum shape as :func:`simhash`)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", portable_hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            (F.col(f"b{b}") * 2) > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sig.alias("simhash"))

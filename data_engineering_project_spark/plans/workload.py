@@ -855,21 +855,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     """
-WITH elems AS (
-    SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
-    FROM embeddings, generate_series(1, 64) AS t(i)
-),
-means AS (
-    SELECT label, i, AVG(v) AS mean_v FROM elems GROUP BY label, i
-)
-SELECT label, list(ROUND(mean_v, 6) ORDER BY i) AS centroid
-FROM means
-GROUP BY label
+SELECT label,
+       i - 1 AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, i
 """,
 )
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean embedding per label (posexplode → per-dim avg → reassemble)."""
-    return similarity.centroids(load(spark, sf_dir, "embeddings"))
+    """Mean embedding per label, one scalar row per (label, dim) so the
+    cross-engine canonicalizer can hash it (arrays aren't hashable there).
+    The array-valued variant remains available as similarity.centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    )
 
 
 @register(
@@ -1619,6 +1621,99 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: xxhash64 not in DuckDB)."""
     return dedup.simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- Portable near-dup pipeline: every hash derived from md5, so the
+# ENTIRE shingle → minhash → band → candidate-pair pipeline is exactly
+# reproducible in DuckDB SQL (value-hash check, not rows-only).
+# Production keeps the xxhash64 fast path above; these prove the math.
+
+_P_HASH = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLE_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+)"""
+
+_MINHASH_PORTABLE_SQL = f"""
+WITH {_SHINGLE_CTES}
+SELECT doc_id, i AS h_idx,
+       MIN({_P_HASH.format(x="sh || '|' || CAST(i AS VARCHAR)")}) AS min_h
+FROM sh, generate_series(1, 16) AS s(i)
+GROUP BY doc_id, i
+"""
+
+
+@register("minhash_portable", _MINHASH_PORTABLE_SQL)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form MinHash signatures with the md5-derived hash family —
+    one scalar (doc_id, h_idx, min_h) row per hash so the driver's
+    canonicalizer can value-hash the result. Same explode→min-agg plan
+    shape as the xxhash64 fast path (one shuffle on doc_id)."""
+    return dedup.minhash_signatures_portable(
+        load(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16
+    )
+
+
+_LSH_PAIRS_PORTABLE_SQL = f"""
+WITH {_SHINGLE_CTES},
+mins AS (
+    SELECT doc_id, i AS h_idx,
+           MIN({_P_HASH.format(x="sh || '|' || CAST(i AS VARCHAR)")}) AS min_h
+    FROM sh, generate_series(1, 32) AS s(i)
+    GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, (h_idx - 1) // 8 AS band,
+           string_agg(CAST(min_h AS VARCHAR), ',' ORDER BY h_idx) AS band_key
+    FROM mins
+    GROUP BY doc_id, (h_idx - 1) // 8
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("lsh_pairs_portable", _LSH_PAIRS_PORTABLE_SQL)
+def q_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs, oracle-matched end-to-end: DuckDB
+    reproduces the identical band keys (string_agg of the same md5-based
+    minima), so the candidate SET itself is value-checked — the
+    strongest possible evidence the near-dup pipeline is correct."""
+    return dedup.lsh_candidates_portable(
+        load(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=32, bands=4
+    )
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_BITSUMS = ",\n           ".join(
+    f"SUM((h >> {b}) & 1) AS b{b}" for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN 2 * b{b} > n THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_PORTABLE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, tok FROM toks, unnest(t) AS u(tok)),
+h AS (SELECT doc_id, {_P_HASH.format(x="tok")} AS h FROM tok),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n,
+           {_SIMHASH_BITSUMS}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM agg
+"""
+
+
+@register("simhash_portable", _SIMHASH_PORTABLE_SQL)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with the portable hash family — bit-for-bit
+    oracle-matched (the xxhash64 production variant above stays
+    rows-only)."""
+    return dedup.simhash_portable(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @register("pack_documents")
