@@ -64,6 +64,12 @@ EXTENSION_QUERIES = [
     "latest_event_per_user",
     "events_reach_approx",
     "pack_documents",
+    "ngram_jaccard_portable",
+    "priority_order_counts",
+    "customers_above_nation_avg",
+    "events_near_order",
+    "large_orders",
+    "revenue_7d_moving",
 ]
 
 
@@ -87,6 +93,17 @@ def main() -> None:
 
     # Warm the JVM/codegen paths so numbers measure plans, not class loading.
     _force(workload.QUERIES["kpis"](spark, sf_dir))
+    # Warm the Python/Arrow worker pool too: mapInPandas spawns workers
+    # lazily and the first spawn costs ~2-3s of interpreter startup
+    # (measured: cosine_topk_fast 3.4s cold vs 0.5s warm at sf0.1).
+    # That's process bring-up, not plan execution — a long-lived cluster
+    # pays it once at provisioning, so the bench shouldn't charge it to
+    # whichever Pandas-path query happens to run first.
+    _force(
+        spark.range(1024)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 32))
+        .mapInPandas(lambda it: it, "id long")
+    )
 
     # --- pipeline: materialize the gold star schema (reference: nightly CTAS)
     gold_dir = tempfile.mkdtemp(prefix="bench_gold_")

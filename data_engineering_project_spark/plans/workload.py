@@ -1636,13 +1636,42 @@ sh AS (
     FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
 )"""
 
-_MINHASH_PORTABLE_SQL = f"""
-WITH {_SHINGLE_CTES}
-SELECT doc_id, i AS h_idx,
-       MIN({_P_HASH.format(x="sh || '|' || CAST(i AS VARCHAR)")}) AS min_h
-FROM sh, generate_series(1, 16) AS s(i)
-GROUP BY doc_id, i
-"""
+_LO_MASK = (1 << 30) - 1
+
+
+def _min_cols_sql(num_hashes: int) -> str:
+    """The per-hash MIN(a_i*hi + b_i*lo + c_i) columns — SAME constants
+    as dedup.mix_consts, so the oracle reproduces Spark's exact hashes."""
+    cols = []
+    for i in range(1, num_hashes + 1):
+        a, b, c = dedup.mix_consts(i)
+        cols.append(f"MIN({a} * hi + {b} * lo + {c}) AS m{i}")
+    return ",\n           ".join(cols)
+
+
+def _minhash_wide_ctes(num_hashes: int) -> str:
+    base = _P_HASH.format(x="sh")
+    return f"""{_SHINGLE_CTES},
+parts AS (
+    SELECT doc_id, base >> 30 AS hi, base & {_LO_MASK} AS lo
+    FROM (SELECT doc_id, {base} AS base FROM sh)
+),
+mins AS (
+    SELECT doc_id,
+           {_min_cols_sql(num_hashes)}
+    FROM parts GROUP BY doc_id
+)"""
+
+
+_MINHASH_PORTABLE_SQL = (
+    "WITH "
+    + _minhash_wide_ctes(16)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({i} AS BIGINT) AS h_idx, m{i} AS min_h FROM mins"
+        for i in range(1, 17)
+    )
+)
 
 
 @register("minhash_portable", _MINHASH_PORTABLE_SQL)
@@ -1656,20 +1685,22 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bands_cte(num_hashes: int, bands: int) -> str:
+    rpb = num_hashes // bands
+    branches = []
+    for b in range(bands):
+        key = " || ',' || ".join(
+            f"CAST(m{b * rpb + j} AS VARCHAR)" for j in range(1, rpb + 1)
+        )
+        branches.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM mins"
+        )
+    return "bands AS (\n" + "\nUNION ALL\n".join(branches) + "\n)"
+
+
 _LSH_PAIRS_PORTABLE_SQL = f"""
-WITH {_SHINGLE_CTES},
-mins AS (
-    SELECT doc_id, i AS h_idx,
-           MIN({_P_HASH.format(x="sh || '|' || CAST(i AS VARCHAR)")}) AS min_h
-    FROM sh, generate_series(1, 32) AS s(i)
-    GROUP BY doc_id, i
-),
-bands AS (
-    SELECT doc_id, (h_idx - 1) // 8 AS band,
-           string_agg(CAST(min_h AS VARCHAR), ',' ORDER BY h_idx) AS band_key
-    FROM mins
-    GROUP BY doc_id, (h_idx - 1) // 8
-)
+WITH {_minhash_wide_ctes(32)},
+{_bands_cte(32, 4)}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b USING (band, band_key)
 WHERE a.doc_id < b.doc_id
@@ -1726,6 +1757,209 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text_fns.token_count("text").alias("n_tok")
     )
     return packing.pack_sequences(docs, "doc_id", "n_tok", max_tokens=512, num_shards=16)
+
+
+# --- Round-2 SQL-surface widening: subquery shapes, range joins,
+# sliding window frames, and the value-checked Jaccard verify step.
+
+_LSH_PAIRS_CTES = f"""{_minhash_wide_ctes(32)},
+{_bands_cte(32, 4)},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "ngram_jaccard_portable",
+    f"""
+WITH {_LSH_PAIRS_CTES},
+shl AS (SELECT doc_id, list(sh) AS sh_list FROM sh GROUP BY doc_id)
+SELECT p.id_a, p.id_b,
+       ROUND(CAST(len(list_intersect(a.sh_list, b.sh_list)) AS DOUBLE)
+             / (len(a.sh_list) + len(b.sh_list)
+                - len(list_intersect(a.sh_list, b.sh_list))), 4) AS jaccard
+FROM pairs p
+JOIN shl a ON p.id_a = a.doc_id
+JOIN shl b ON p.id_b = b.doc_id
+""",
+)
+def q_ngram_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-verify step, value-checked end-to-end: exact shingle
+    Jaccard (array_intersect/union — integer set math, bit-identical
+    across engines) on the portable candidate pairs. Together with
+    lsh_pairs_portable this makes the WHOLE near-dup pipeline
+    oracle-matched, candidate generation through verification."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidates_portable(
+        docs, "text", "doc_id", num_hashes=32, bands=4
+    ).localCheckpoint(eager=True)
+    return dedup.ngram_jaccard(docs, pairs, "text", "doc_id")
+
+
+@register(
+    "priority_order_counts",
+    """
+SELECT o_orderpriority AS order_priority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY order_priority
+""",
+)
+def q_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS with a non-equi conjunct, expressed as a
+    left-semi join so the engine keeps it a single hash semi-join on
+    l_orderkey (the range conjunct evaluates as a join residual; no
+    second scan, no count-distinct)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate)
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "customers_above_nation_avg",
+    """
+SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey, c.c_acctbal AS acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+""",
+)
+def q_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance) — decorrelated by hand into a per-nation aggregate plus a
+    broadcast equi-join, which is how this shape should run at scale:
+    25 nation rows broadcast instead of a per-row subquery."""
+    c = load(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "events_near_order",
+    """
+SELECT o.o_orderkey AS orderkey,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38, 6))), 2) AS DOUBLE) AS total_value
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY orderkey
+""",
+)
+def q_events_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range ("interval") join: events within 7 days after the
+    order, for the ordering user. The equality on user_id keeps this a
+    plain hash join with the time window as a residual predicate — at
+    100 TB this shuffles on user_id, never falls back to a broadcast
+    nested loop."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < o.o_orderdate + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        o.join(e, cond)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "large_orders",
+    """
+SELECT o.o_orderkey AS orderkey,
+       o.o_totalprice AS totalprice,
+       s.sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150) s
+  ON o.o_orderkey = s.l_orderkey
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — aggregate-then-join-back (HAVING subquery).
+    The aggregate side shrinks to the few qualifying keys BEFORE the
+    join, so the join input is tiny; quantities are integral doubles,
+    making the HAVING boundary exact on both engines."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey", F.round("__sq", 2).alias("sum_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        "sum_qty",
+    )
+
+
+@register(
+    "revenue_7d_moving",
+    """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 6))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    GROUP BY day
+)
+SELECT day, revenue,
+       ROUND(AVG(revenue) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+FROM daily
+""",
+)
+def q_revenue_7d_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame (7-row trailing moving average) — completes
+    the frame family next to the cumulative running_monthly_revenue.
+    Daily totals go through a decimal accumulator so the frame input is
+    identical across engines before the double average."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "revenue", F.round(F.avg("revenue").over(w), 2).alias("ma7")
+    )
 
 
 def queries() -> dict[str, QueryFn]:

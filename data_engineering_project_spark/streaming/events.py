@@ -86,6 +86,55 @@ def session_aggregates(
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the prior
+    views of the same user within the attribution window.
+
+    Both sides are watermarked and the join condition bounds event time
+    on BOTH streams (view_ts in [purchase_ts - window, purchase_ts]),
+    which is what lets Spark expire join state: a buffered view can be
+    dropped once the purchase-side watermark passes view_ts + window.
+    Without the time bound the state store would grow without limit —
+    the difference between a demo and something that survives a week of
+    100 TB/day event traffic.
+    """
+    v = views.select(
+        F.col(user_col),
+        F.col(ts_col).alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col(user_col),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        (p[user_col] == v[user_col])
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        p[user_col].alias(user_col),
+        "purchase_event_id",
+        "purchase_ts",
+        "purchase_value",
+        "view_event_id",
+        "view_ts",
+    )
+
+
 def stateful_user_totals(
     events: DataFrame,
     user_col: str = "user_id",

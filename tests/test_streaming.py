@@ -250,3 +250,50 @@ def test_stream_into_transactional_table_survives_batch_replay(spark, sf_dir, tm
     # a genuinely new batch id still appends
     sink(ev.limit(25), replay_id + 1000)
     assert table.read().count() == 425
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join (purchases x prior views within the
+    attribution window, both sides watermarked) emits exactly the pairs
+    the equivalent batch join produces."""
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = stream_ops.read_file_stream(spark, src, ev.schema)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_ops.attribution_join(
+        views, purchases, attribution_window="1 hour", watermark="4 hours"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.purchase_event_id, r.view_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase")
+    expected = {
+        (r.event_id, r.view_event_id)
+        for r in bp.join(
+            bv,
+            (bp.user_id == bv.v_user)
+            & (F.col("view_ts") <= bp.ts)
+            & (F.col("view_ts") >= bp.ts - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert expected, "batch attribution join is unexpectedly empty"
+    assert got == expected
