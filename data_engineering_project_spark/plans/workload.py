@@ -1925,6 +1925,40 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brand_type_grouping_sets",
+    """
+SELECT p_brand AS brand,
+       p_type AS part_type,
+       COUNT(*) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38, 6))), 2) AS DOUBLE)
+           AS total_price
+FROM part
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+""",
+)
+def q_brand_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (brand totals + type totals + grand
+    total) — completes the grouping-set family next to ROLLUP and CUBE.
+    All three sets come out of ONE shuffle (Spark expands the sets
+    map-side with a grouping-id column), vs three scans if written as a
+    UNION ALL of aggregates."""
+    part = load(spark, sf_dir, "part")
+    part.createOrReplaceTempView("__gs_part")
+    _ensure_session_confs(spark)
+    return spark.sql(
+        """
+        SELECT p_brand AS brand,
+               p_type AS part_type,
+               COUNT(*) AS n_parts,
+               CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38, 6))), 2)
+                    AS DOUBLE) AS total_price
+        FROM __gs_part
+        GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        """
+    )
+
+
+@register(
     "revenue_7d_moving",
     """
 WITH daily AS (

@@ -66,3 +66,34 @@ def test_stream_plus_antijoin_dedup(spark, sf_dir, tmp_path):
     got = spark.read.parquet(bronze)
     assert got.count() == 200
     assert got.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
+    """JSON-lines sink/source: schema-first read keeps parse failures
+    observable in _corrupt_record instead of dropping them silently."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from data_engineering_project_spark.sources import json_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["id", "name"]
+    )
+    path = str(tmp_path / "docs_jsonl")
+    json_lines.write_jsonl(df, path)
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    back = json_lines.read_jsonl(spark, path, schema)
+    assert {(r.id, r.name) for r in back.collect()} == {
+        (1, "alpha"),
+        (2, "beta"),
+        (3, "gamma"),
+    }
+
+    # corrupt line: not valid JSON for the declared schema
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 1, "name": "ok"}\n{not json at all}\n')
+    assert json_lines.corrupt_count(spark, str(bad), schema) == 1
+    clean = json_lines.read_jsonl(spark, str(bad), schema)
+    assert [(r.id, r.name) for r in clean.collect()] == [(1, "ok")]
