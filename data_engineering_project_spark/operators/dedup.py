@@ -95,7 +95,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature array (length ``num_hashes``) per document.
 
@@ -111,7 +116,8 @@ def minhash_signatures(
     whole-stage codegen + map-side partial aggregation, one shuffle on
     the doc id whose width is just ``num_hashes`` longs per doc.
     """
-    exploded = shingle_arrays(df, text_col, id_col, shingle_n).select(
+    sh = shingles if shingles is not None else shingle_arrays(df, text_col, id_col, shingle_n)
+    exploded = sh.select(
         F.col(id_col), F.explode("sh").alias("__sh")
     ).withColumn("__h", F.xxhash64("__sh"))
     mins = [
@@ -137,8 +143,12 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    ``shingles``: optional precomputed ``shingle_arrays`` frame shared
+    with the verify step — tokenize+NGram once, not twice.
 
     Signature split into ``bands`` bands of ``num_hashes//bands`` rows;
     docs sharing any band hash become a candidate pair. The self-join
@@ -148,7 +158,7 @@ def minhash_lsh_candidates(
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -242,8 +252,12 @@ def ngram_jaccard(
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (LSH verification).
+
+    ``shingles``: optional precomputed ``shingle_arrays`` frame (still
+    scoped to the candidate ids here before the pair joins).
 
     Two broadcast-able joins attach shingle arrays to each side; the
     similarity itself is array intersection/union — per-row, no shuffle.
@@ -254,8 +268,11 @@ def ngram_jaccard(
     pair_ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
-    scoped = df.join(F.broadcast(pair_ids), id_col, "left_semi")
-    sh = shingle_arrays(scoped, text_col, id_col, shingle_n)
+    if shingles is not None:
+        sh = shingles.join(F.broadcast(pair_ids), id_col, "left_semi")
+    else:
+        scoped = df.join(F.broadcast(pair_ids), id_col, "left_semi")
+        sh = shingle_arrays(scoped, text_col, id_col, shingle_n)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -305,7 +322,12 @@ _LO_MASK = (1 << 30) - 1
 
 
 def _portable_minhash_wide(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m1..m<num_hashes>) wide MinHash frame with the portable hash
     family: ONE md5 per shingle (base = portable_hash60(shingle), split
@@ -315,9 +337,9 @@ def _portable_minhash_wide(
     shuffle on the doc id, map-side partial aggregation. (The first cut
     computed num_hashes FULL md5s per shingle: 9.7s → 2.9s at sf0.1 for
     the 32-hash pipeline.)"""
+    sh = shingles if shingles is not None else shingle_arrays(df, text_col, id_col, shingle_n)
     exploded = (
-        shingle_arrays(df, text_col, id_col, shingle_n)
-        .select(F.col(id_col), F.explode("sh").alias("__sh"))
+        sh.select(F.col(id_col), F.explode("sh").alias("__sh"))
         .withColumn("__base", portable_hash60(F.col("__sh")))
         .withColumn("__hi", F.shiftright("__base", 30))
         .withColumn("__lo", F.col("__base").bitwiseAND(F.lit(_LO_MASK)))
@@ -356,6 +378,7 @@ def lsh_candidates_portable(
     num_hashes: int = 32,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with the portable hash family —
     the whole candidate-generation pipeline is exactly reproducible in
@@ -363,7 +386,7 @@ def lsh_candidates_portable(
     band-collision probability at jaccard^8, so same-bucket groups stay
     tiny and the self-join never goes quadratic."""
     rows_per_band = num_hashes // bands
-    wide = _portable_minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    wide = _portable_minhash_wide(df, text_col, id_col, num_hashes, shingle_n, shingles)
     band_keys = [
         F.concat_ws(
             ",",

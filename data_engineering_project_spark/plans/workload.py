@@ -1585,11 +1585,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Eagerly materialize the (tiny) candidate set: ngram_jaccard
     # consumes `pairs` in three subtrees (id scoping + both join sides),
     # and without truncation each one re-runs the whole LSH pipeline
-    # (measured 9.5s → 4.5s at sf0.1).
+    # (measured 9.5s → 4.5s at sf0.1). The shingle frame is likewise
+    # checkpointed once and shared by signatures AND verify — tokenize
+    # + NGram is the pipeline's single most expensive map stage.
+    sh = dedup.shingle_arrays(docs, "text", "doc_id").localCheckpoint(eager=True)
     pairs = dedup.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=64, bands=8
+        docs, "text", "doc_id", num_hashes=64, bands=8, shingles=sh
     ).localCheckpoint(eager=True)
-    return dedup.ngram_jaccard(docs, pairs, "text", "doc_id").filter(
+    return dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingles=sh).filter(
         F.col("jaccard") > 0.5
     )
 
@@ -1602,11 +1605,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint, not SQL-expressible; component semantics are unit-tested
     (chains, transitivity, separate components)."""
     docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_arrays(docs, "text", "doc_id").localCheckpoint(eager=True)
     pairs = dedup.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=64, bands=8
+        docs, "text", "doc_id", num_hashes=64, bands=8, shingles=sh
     ).localCheckpoint(eager=True)
     verified = (
-        dedup.ngram_jaccard(docs, pairs, "text", "doc_id")
+        dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingles=sh)
         .filter(F.col("jaccard") > 0.5)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
@@ -1792,10 +1796,61 @@ def q_ngram_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_pairs_portable this makes the WHOLE near-dup pipeline
     oracle-matched, candidate generation through verification."""
     docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_arrays(docs, "text", "doc_id").localCheckpoint(eager=True)
     pairs = dedup.lsh_candidates_portable(
-        docs, "text", "doc_id", num_hashes=32, bands=4
+        docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
     ).localCheckpoint(eager=True)
-    return dedup.ngram_jaccard(docs, pairs, "text", "doc_id")
+    return dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingles=sh)
+
+
+@register(
+    "dedup_clusters_portable",
+    f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+shl AS (SELECT doc_id, list(sh) AS sh_list FROM sh GROUP BY doc_id),
+verified AS (
+    SELECT p.id_a, p.id_b
+    FROM pairs p
+    JOIN shl a ON p.id_a = a.doc_id
+    JOIN shl b ON p.id_b = b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.sh_list, b.sh_list)) AS DOUBLE)
+                / (len(a.sh_list) + len(b.sh_list)
+                   - len(list_intersect(a.sh_list, b.sh_list))), 4) > 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM reach
+GROUP BY node
+""",
+)
+def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPING, oracle-checked end to end: portable LSH
+    candidates → exact-Jaccard verify → connected components. The Spark
+    side iterates min-label propagation to a fixpoint; the oracle is a
+    recursive CTE computing min reachable label — independent
+    formulations of the same components, so a value match is strong
+    evidence for both. (The xxhash64 production twin stays rows-only.)"""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_arrays(docs, "text", "doc_id").localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidates_portable(
+        docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
+    ).localCheckpoint(eager=True)
+    verified = (
+        dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingles=sh)
+        .filter(F.col("jaccard") > 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    return dedup.dup_clusters(verified)
 
 
 @register(

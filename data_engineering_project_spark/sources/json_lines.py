@@ -45,9 +45,19 @@ def read_jsonl(
 
 
 def corrupt_count(spark: SparkSession, path: str, schema: StructType) -> int:
-    """DQ probe: how many lines fail the declared schema."""
-    df = read_jsonl(spark, path, schema, keep_corrupt=True)
-    return df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+    """DQ probe: how many lines fail the declared schema.
+
+    Spark disallows queries that touch ONLY ``_corrupt_record`` on a raw
+    JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parsed frame is
+    cached for the count then released — the sanctioned pattern. For a
+    100 TB feed, prefer folding this count into the main read as an
+    ``Observation`` on the already-parsed frame instead of a second scan.
+    """
+    df = read_jsonl(spark, path, schema, keep_corrupt=True).cache()
+    try:
+        return df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+    finally:
+        df.unpersist()
 
 
 def write_jsonl(

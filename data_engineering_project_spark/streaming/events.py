@@ -86,6 +86,28 @@ def session_aggregates(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key that
+    arrive within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming twin of the batch anti-join dedup (SURVEY §2.9 I2):
+    at-least-once upstreams (replayed files, retried producers) re-emit
+    rows; keeping every key ever seen would need unbounded state, so
+    state is scoped to the watermark window — exactly the guarantee a
+    100 TB/day feed can afford. Keys older than the watermark are
+    assumed already-settled (the batch anti-join at the sink remains
+    the belt-and-suspenders layer, as in the reference's changed-file
+    redelivery path)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def attribution_join(
     views: DataFrame,
     purchases: DataFrame,

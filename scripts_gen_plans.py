@@ -1,0 +1,82 @@
+"""Regenerate PLANS.md — physical-plan evidence for flagship queries.
+
+Run: python scripts_gen_plans.py   (writes PLANS.md at the repo root)
+
+The narrative claims in SCALE.md are asserted mechanically by
+tests/test_plan_audit.py; this artifact lets a reviewer SEE the plans
+without running Spark. Everything below is generated from live
+``explain('formatted')`` output at sf0.01 — do not hand-edit.
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_engineering_project_spark.session import get_spark
+from data_engineering_project_spark.plans import workload
+
+SF = "/root/testdata/sf0.01"
+
+# query -> what the plan should demonstrate
+SHOWCASE = {
+    "kpis": "two-level aggregate; dim join is broadcast (no fact shuffle for the join)",
+    "top_categories": "broadcast dims + partial aggregation before the exchange + TakeOrdered top-k",
+    "star_fact_sales": "completed-status filter pushed into the parquet scan; column-pruned reads",
+    "pricing_summary": "date predicate in PushedFilters; scan reads only the aggregated columns",
+    "priority_order_counts": "EXISTS as one hash left-semi join with the non-equi conjunct as join residual",
+    "events_near_order": "equi+range join stays a hash join (range is residual, no nested loop)",
+    "lsh_pairs_portable": "LSH banding: shuffle on (band, band_key), partial min-aggregates map-side",
+    "latest_event_per_user": "single window shuffle with deterministic tiebreaks (snapshot compaction)",
+}
+
+
+def trimmed_plan(df, max_lines: int = 40) -> str:
+    spark = df.sparkSession
+    full = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # keep the operator tree (before the per-node detail section), then
+    # append the scan detail lines that prove pushdown/pruning
+    tree = full.split("\n\n")[0]
+    details = []
+    for m in re.finditer(r"^\((\d+)\) Scan parquet.*?(?=\n\n)", full, re.S | re.M):
+        block = m.group(0)
+        keep = [
+            ln
+            for ln in block.splitlines()
+            if any(k in ln for k in ("Scan parquet", "PushedFilters", "ReadSchema"))
+        ]
+        details.append("\n".join(keep))
+    out = tree
+    if details:
+        out += "\n\n" + "\n---\n".join(details)
+    lines = out.splitlines()
+    if len(lines) > max_lines:
+        lines = lines[:max_lines] + [f"... ({len(out.splitlines()) - max_lines} more lines)"]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    parts = [
+        "# PLANS — physical-plan evidence (generated)\n",
+        "Regenerate with `python scripts_gen_plans.py`. Mechanical",
+        "assertions over the same plans: `tests/test_plan_audit.py`",
+        "(no cartesian products, no row-wise Python, broadcast dims,",
+        "pushdown/pruning). Plans below at sf0.01; shapes are scale-",
+        "invariant — the same exchanges appear at 100 TB, only sized",
+        "differently.\n",
+    ]
+    for name, why in SHOWCASE.items():
+        df = workload.QUERIES[name](spark, SF)
+        parts.append(f"## {name}\n")
+        parts.append(f"*Demonstrates: {why}*\n")
+        parts.append("```\n" + trimmed_plan(df) + "\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(parts))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,3 +61,50 @@ def test_fill_rate_is_high_when_docs_are_small(spark, sf_dir):
     packs = packing.pack_sequences(docs, "doc_id", "n_tok", 2048, num_shards=4)
     eff = packing.packing_efficiency(packs, 2048).collect()[0]
     assert eff.fill_rate > 0.8, f"next-fit fill rate too low: {eff.fill_rate}"
+
+
+def test_pack_then_export_jsonl_shards(spark, sf_dir, tmp_path):
+    """Composition the training-data path actually runs: token-count →
+    pack into budgets → export newline-JSON sharded by pack shard (the
+    interchange hop to a tokenizer job that doesn't read parquet)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineering_project_spark.functions.text import token_count
+    from data_engineering_project_spark.operators.packing import pack_sequences
+    from data_engineering_project_spark.sources import json_lines
+    from data_engineering_project_spark.sources.parquet import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", max_tokens=512, num_shards=4)
+    out = str(tmp_path / "packs")
+    json_lines.write_jsonl(packed, out, partition_by=["shard"])
+
+    schema = StructType(
+        [
+            StructField("pack_id", LongType()),
+            StructField("doc_ids", ArrayType(LongType())),
+            StructField("n_docs", LongType()),
+            StructField("total_tokens", LongType()),
+            StructField("truncated", BooleanType()),
+        ]
+    )
+    back = spark.read.schema(
+        StructType(list(schema.fields)).add("shard", "integer")
+    ).json(out)
+    # every doc packed exactly once, budgets respected on the round trip
+    n_docs_in = docs.count()
+    exploded = back.select(F.explode("doc_ids").alias("doc_id"))
+    assert exploded.count() == n_docs_in
+    assert exploded.distinct().count() == n_docs_in
+    assert back.filter(
+        (F.col("total_tokens") > 512) & (~F.col("truncated"))
+    ).count() == 0

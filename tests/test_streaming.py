@@ -297,3 +297,31 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert expected, "batch attribution join is unexpectedly empty"
     assert got == expected
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, sf_dir, tmp_path):
+    """A replayed copy of the same events file (at-least-once delivery)
+    is fully deduplicated by key within the watermark."""
+    ev = _events(spark, sf_dir).limit(500).cache()
+    n_distinct = ev.select("event_id").distinct().count()
+    src = tmp_path / "src"
+    src.mkdir()
+    # same rows delivered twice as two files
+    ev.coalesce(1).write.parquet(str(src / "batch1"))
+    ev.coalesce(1).write.parquet(str(src / "batch2"))
+
+    stream = stream_ops.read_file_stream(spark, str(src / "*"), ev.schema)
+    deduped = stream_ops.dedup_within_watermark(stream, ["event_id"])
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
