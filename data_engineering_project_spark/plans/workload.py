@@ -1915,23 +1915,30 @@ SELECT o.o_orderkey AS orderkey,
 FROM orders o
 JOIN events e
   ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+ AND e.ts >= make_timestamp(2024, 1, day(o.o_orderdate), 0, 0, 0)
+ AND e.ts <  make_timestamp(2024, 1, day(o.o_orderdate), 0, 0, 0) + INTERVAL 7 DAY
 GROUP BY orderkey
 """,
 )
 def q_events_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi + range ("interval") join: events within 7 days after the
-    order, for the ordering user. The equality on user_id keeps this a
-    plain hash join with the time window as a residual predicate — at
-    100 TB this shuffles on user_id, never falls back to a broadcast
-    nested loop."""
+    """Equi + range ("interval") join: events within a 7-day window
+    anchored per order, for the ordering user. The equality on user_id
+    keeps this a plain hash join with the time window as a residual
+    predicate — at 100 TB this shuffles on user_id, never falls back to
+    a broadcast nested loop.
+
+    The testdata's order dates (1995-2001) and event timestamps
+    (2024-01) never overlap, so anchoring on o_orderdate directly is
+    vacuously empty at every SF; the anchor instead projects the
+    order's day-of-month into the events' 2024-01 range so the window
+    predicate is genuinely selective (some events in, some out)."""
     o = load(spark, sf_dir, "orders")
     e = load(spark, sf_dir, "events")
+    anchor = F.expr("make_timestamp(2024, 1, day(o_orderdate), 0, 0, 0)")
     cond = (
         (e.user_id == o.o_custkey)
-        & (e.ts >= o.o_orderdate)
-        & (e.ts < o.o_orderdate + F.expr("INTERVAL 7 DAY"))
+        & (e.ts >= anchor)
+        & (e.ts < anchor + F.expr("INTERVAL 7 DAY"))
     )
     return (
         o.join(e, cond)
