@@ -65,6 +65,7 @@ EXTENSION_QUERIES = [
     "events_reach_approx",
     "pack_documents",
     "ngram_jaccard_portable",
+    "winnow_pairs",
     "priority_order_counts",
     "customers_above_nation_avg",
     "events_near_order",

@@ -1853,6 +1853,63 @@ def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(verified)
 
 
+_WINNOW_FP_CTE = """
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                        i -> CAST(('0x' || substring(md5(substring(t, i, 8)), 1, 15)) AS BIGINT)) AS h
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                          j -> list_min(h[j:j+3])))) AS fingerprints
+  FROM h
+)
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+WITH {_WINNOW_FP_CTE}
+SELECT doc_id, fingerprints, len(fingerprints) AS n_fp FROM fp
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, window-min selection) document
+    fingerprints — value-checked bit-for-bit against DuckDB
+    list_transform/list_min twins (same md5-portable hash family)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    return fp.select(
+        "doc_id", "fingerprints", F.size("fingerprints").cast("long").alias("n_fp")
+    )
+
+
+@register(
+    "winnow_pairs",
+    f"""
+WITH {_WINNOW_FP_CTE},
+ex0 AS (SELECT doc_id, unnest(fingerprints) AS fp FROM fp),
+rare AS (SELECT fp FROM ex0 GROUP BY fp HAVING COUNT(*) <= 20),
+ex AS (SELECT ex0.doc_id, ex0.fp FROM ex0 JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+""",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (≥5
+    shared window minima, boilerplate fingerprints df-capped at 20) —
+    a third, independent near-dup path next to MinHash-LSH and SimHash,
+    fully oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, "text", "doc_id", min_shared=5, max_df=20)
+
+
 @register(
     "priority_order_counts",
     """

@@ -278,3 +278,39 @@ def test_dup_clusters_on_lsh_output(spark, sf_dir):
     for i in range(3):
         if i + 1_000_000 in clusters:
             assert clusters[i + 1_000_000] == clusters.get(i, i)
+
+
+def test_winnow_planted_near_dupes_share_fingerprints(spark, sf_dir):
+    """A copy with a small edit shares most winnowing fingerprints with
+    its source; the pair surfaces above min_shared while unrelated docs
+    (mostly) don't pair at that threshold."""
+    docs = _docs(spark, sf_dir)
+    near = (
+        docs.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail")))
+    )
+    corpus = docs.unionByName(near)
+    pairs = dedup.winnow_overlap_pairs(
+        corpus, "text", "doc_id", min_shared=5, max_df=20
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 1_000_000) for i in range(5)}
+    hits = {p for p in planted if p in found}
+    assert len(hits) >= 4, f"found only {hits}"
+
+
+def test_winnow_fingerprints_robust_to_position_shift(spark):
+    """Winnowing guarantee: content shifted by a prefix still shares
+    nearly all fingerprints (rolling k-grams realign, unlike a whole-doc
+    hash)."""
+    body = "the quick brown fox jumps over the lazy dog " * 10
+    df = spark.createDataFrame(
+        [(1, body), (2, "PREFIX>> " + body)], ["doc_id", "text"]
+    )
+    fp = {
+        r.doc_id: set(r.fingerprints)
+        for r in dedup.winnow_fingerprints(df, "text", "doc_id").collect()
+    }
+    shared = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
+    assert shared > 0.8, f"jaccard of fingerprint sets only {shared}"
