@@ -71,6 +71,9 @@ EXTENSION_QUERIES = [
     "events_near_order",
     "large_orders",
     "revenue_7d_moving",
+    "nation_trade_volume",
+    "nation_market_share",
+    "order_value_deciles",
 ]
 
 

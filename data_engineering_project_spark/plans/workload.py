@@ -2115,6 +2115,168 @@ def q_revenue_7d_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nation_trade_volume",
+    """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       EXTRACT(year FROM l.l_shipdate) AS ship_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38, 6))), 2)
+            AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-nation trade volume. Two independent
+    dimension chains meet on the fact: supplier→nation broadcasts onto
+    lineitem (no fact shuffle), customer→nation broadcasts onto orders,
+    and the single real shuffle is the fact⋈orders equi-join on
+    orderkey. At 100 TB that's one exchange for a five-table query;
+    the inequality on nation names is a cheap post-join residual."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nat = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o_side = orders.join(
+        F.broadcast(cust_nat), orders.o_custkey == cust_nat.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(o_side, li.l_orderkey == o_side.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(revenue.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+WITH rev AS (
+    SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+           n.n_name AS supp_nation,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38, 6)) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+)
+SELECT order_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END), 2)
+            AS DOUBLE) AS brazil_volume,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS market_share
+FROM rev
+GROUP BY order_year
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of yearly supplier revenue,
+    via conditional aggregation (numerator and denominator in a single
+    pass, no second scan or self-join). Decimal accumulators keep both
+    sums order-independent; the ratio divides as double and rounds to
+    6dp on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    joined = (
+        li.join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "supp_nation",
+            revenue.alias("volume"),
+        )
+    )
+    is_brazil = F.col("supp_nation") == "BRAZIL"
+    num = F.sum(F.when(is_brazil, F.col("volume")).otherwise(F.lit(0).cast("decimal(38,6)")))
+    den = F.sum("volume")
+    return joined.groupBy("order_year").agg(
+        F.round(num, 2).cast("double").alias("brazil_volume"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("market_share"),
+    )
+
+
+@register(
+    "order_value_deciles",
+    """
+WITH ranked AS (
+    SELECT o_totalprice,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM ranked
+GROUP BY decile
+""",
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bands over order value — completes the window-
+    function family (rank, lag, cumulative, sliding frame, ntile). The
+    tie-break on o_orderkey makes bucket boundaries deterministic, so
+    min/max per decile are cross-engine exact. A single global-order
+    window is the one operator that genuinely serializes; at 100 TB the
+    equivalent banding is done by quantile cutpoints (delivery_percentiles)
+    or range partitioning, not a global NTILE — documented trade-off."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

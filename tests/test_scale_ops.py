@@ -135,3 +135,45 @@ def test_dim_joins_are_broadcast(spark, sf_dir):
     df = workload.QUERIES["top_categories"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_clustered: each output file owns a narrow, (near-)disjoint
+    range of the cluster column — the property that makes parquet
+    row-group min/max statistics prune point/range scans at 100 TB. A
+    plain shuffled write gives every file the full value range."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_project_spark.sources.layout import write_clustered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "clustered")
+    write_clustered(orders, out, cluster_by=["o_totalprice"], num_files=8)
+
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        meta = pq.ParquetFile(str(f)).metadata
+        idx = meta.schema.names.index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # consecutive file ranges must not overlap (range exchange bounds
+    # are exclusive, so strict clustering means prev.max <= next.min)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # correctness: the clustered copy is the same relation
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    lo, hi = 1000.0, 5000.0
+    assert (
+        back.filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)).count()
+        == orders.filter(
+            (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+        ).count()
+    )
