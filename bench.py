@@ -74,6 +74,10 @@ EXTENSION_QUERIES = [
     "nation_trade_volume",
     "nation_market_share",
     "order_value_deciles",
+    "forecast_revenue_change",
+    "customer_order_histogram",
+    "disjunctive_brand_revenue",
+    "idle_rich_customers",
 ]
 
 

@@ -27,6 +27,9 @@ SHOWCASE = {
     "events_near_order": "equi+range join stays a hash join (range is residual, no nested loop)",
     "lsh_pairs_portable": "LSH banding: shuffle on (band, band_key), partial min-aggregates map-side",
     "latest_event_per_user": "single window shuffle with deterministic tiebreaks (snapshot compaction)",
+    "forecast_revenue_change": "TPC-H Q6: every range predicate in PushedFilters, 4-column ReadSchema, partial agg before one single-row exchange",
+    "nation_trade_volume": "TPC-H Q7: five tables, two broadcast dim chains, exactly ONE fact shuffle (orderkey)",
+    "disjunctive_brand_revenue": "TPC-H Q19: single-side implications of the OR-of-ANDs derived and pushed into both scans",
 }
 
 
