@@ -78,6 +78,11 @@ EXTENSION_QUERIES = [
     "customer_order_histogram",
     "disjunctive_brand_revenue",
     "idle_rich_customers",
+    "small_lot_lost_revenue",
+    "significant_part_revenue",
+    "top_quarter_supplier",
+    "part_supplier_variety",
+    "sole_late_supplier",
 ]
 
 

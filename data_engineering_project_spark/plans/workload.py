@@ -1979,26 +1979,40 @@ GROUP BY orderkey
 )
 def q_events_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range ("interval") join: events within a 7-day window
-    anchored per order, for the ordering user. The equality on user_id
-    keeps this a plain hash join with the time window as a residual
-    predicate — at 100 TB this shuffles on user_id, never falls back to
-    a broadcast nested loop.
+    anchored per order, for the ordering user.
+
+    Day-bucketed interval join: the 7-day half-open window
+    [anchor 00:00, anchor+7d 00:00) covers EXACTLY the 7 calendar days
+    anchor..anchor+6, so exploding each order into its 7 day keys and
+    equi-joining on (user_id, event_day) is semantically identical to
+    the range predicate — no residual at all. Compared to joining on
+    user_id alone with the window as a residual, this shrinks the join
+    output from |orders/user|x|events/user| per user to only the truly
+    matching pairs, and the composite key spreads hot users across 7x
+    more shuffle buckets — the standard skew/blowup-proof interval-join
+    plan at 100 TB. The 7x fan-out on the orders side is cheap (fixed
+    small constant, map-side, no shuffle amplification).
 
     The testdata's order dates (1995-2001) and event timestamps
     (2024-01) never overlap, so anchoring on o_orderdate directly is
     vacuously empty at every SF; the anchor instead projects the
     order's day-of-month into the events' 2024-01 range so the window
     predicate is genuinely selective (some events in, some out)."""
-    o = load(spark, sf_dir, "orders")
-    e = load(spark, sf_dir, "events")
-    anchor = F.expr("make_timestamp(2024, 1, day(o_orderdate), 0, 0, 0)")
-    cond = (
-        (e.user_id == o.o_custkey)
-        & (e.ts >= anchor)
-        & (e.ts < anchor + F.expr("INTERVAL 7 DAY"))
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.to_date("ts").alias("event_day")
+    )
+    o = o.withColumn(
+        "event_day",
+        F.explode(
+            F.expr(
+                "sequence(make_date(2024, 1, day(o_orderdate)), "
+                "date_add(make_date(2024, 1, day(o_orderdate)), 6))"
+            )
+        ),
     )
     return (
-        o.join(e, cond)
+        o.join(e, (o.o_custkey == e.user_id) & (o.event_day == e.event_day))
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(
             F.count("*").alias("n_events"),
@@ -2407,21 +2421,30 @@ SELECT n.n_name AS nation,
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
 WHERE c.c_acctbal > avg_bal.a
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY nation
 """,
 )
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape — above-average-balance customers with NO
-    orders, grouped by nation (the testdata customer table has no
-    phone column, so the country code comes from the nation dim).
-    Composes a global scalar subquery (computed once, broadcast as a
-    single-row frame) with an anti-join against the orders keys. The
-    anti-join probes a build side of DISTINCT custkeys — at 100 TB the
-    distinct collapses the orders side before the exchange."""
+    """TPC-H Q22 shape — above-average-balance customers with no
+    RECENT orders (lapsed since 2000-07-01; every testdata custkey has
+    some order, so the date anchor keeps the anti-join selective but
+    non-empty — 135 rows at sf0.01). Composes a global scalar subquery
+    (computed once, broadcast as a single-row frame) with an anti-join
+    against the recent-orders keys. The date predicate is pushed to the
+    orders scan and the DISTINCT collapses it to unique custkeys before
+    the exchange — at 100 TB the anti-join build side is bounded by
+    |active customers|, not |orders|."""
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    orders = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("__a")
     )
@@ -2436,6 +2459,264 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")), 2)
         .cast("double")
         .alias("total_bal"),
+    )
+
+
+@register(
+    "small_lot_lost_revenue",
+    """
+SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 6))) AS DOUBLE) / 7.0, 2)
+            AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+""",
+)
+def q_small_lot_lost_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar AVG subquery per part,
+    decorrelated by hand into the plan Catalyst would pick anyway: the
+    brand filter broadcast-semi-joins lineitem down to the brand's
+    lines FIRST, the per-part average aggregates only that sliver, and
+    the tiny avg frame broadcasts back onto the same sliver. Two scans
+    of the (already filtered) lineitem, zero big shuffles. Cross-engine
+    exactness: l_quantity is integral, so AVG = exact-integer-sum /
+    count is bit-identical regardless of summation order.
+
+    Reference analog: dashboard KPI aggregates (dashboard/queries.py)
+    — this is the correlated-aggregate generalization."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    bparts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(F.broadcast(bparts), li.l_partkey == bparts.p_partkey).drop(
+        "p_partkey"
+    )
+    avg_q = li_b.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__aq"))
+    return (
+        li_b.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("__aq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "significant_part_revenue",
+    """
+WITH pr AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 6))) AS r
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       CAST(ROUND(r, 2) AS DOUBLE) AS revenue
+FROM pr
+WHERE CAST(r AS DOUBLE) > (SELECT CAST(SUM(r) AS DOUBLE) FROM pr) * 0.0008
+""",
+)
+def q_significant_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-group aggregate HAVING against a global
+    scalar of the SAME aggregate. The per-part frame is computed once
+    and reused by both sides (one shuffle on l_partkey); the global
+    total reduces it to a single broadcast row. Threshold compare in
+    DOUBLE on both engines: the decimal sums are exact, so the one
+    double product is bit-identical cross-engine. At 100 TB the total
+    is a second pass over the small aggregated frame, not the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+        ).alias("r")
+    )
+    pr = pr.localCheckpoint(eager=False)
+    total = pr.agg(F.sum("r").cast("double").alias("__t"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("r").cast("double") > F.col("__t") * 0.0008)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("r", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "top_quarter_supplier",
+    """
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 6))) AS r
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey,
+       s.s_name AS supplier,
+       CAST(ROUND(rev.r, 2) AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.r = (SELECT MAX(r) FROM rev)
+""",
+)
+def q_top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the "view" (quarterly revenue per supplier)
+    is referenced twice: once for the rows, once for its MAX. Ties are
+    kept (equality on the EXACT decimal revenue, not a rounded double,
+    so the cross-engine tie set is identical). The view is a single
+    shuffle over the date-pruned sliver of lineitem; the MAX reduces
+    the tiny aggregated frame to one broadcast row; the supplier dim
+    broadcasts onto the (usually single-row) winner."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("r")
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = rev.agg(F.max("r").alias("__m"))
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("r") == F.col("__m"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.round("r", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "part_supplier_variety",
+    """
+SELECT p.p_brand AS brand,
+       p.p_type AS type,
+       p.p_size AS size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 28, 35)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY brand, type, size
+""",
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — negated predicates (<> / NOT LIKE / IN-list)
+    plus a NOT IN subquery, then COUNT(DISTINCT) per 3-column group.
+    The excluded-supplier set is tiny → broadcast LEFT ANTI join (the
+    correct NOT IN plan when the subquery side is null-free). The
+    distinct-count shuffles once on the group key after the part
+    filter has broadcast-pruned lineitem."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    bad = sup.filter(F.col("s_name").like("%7")).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "sole_late_supplier",
+    """
+SELECT s.s_name AS supplier, COUNT(*) AS n_waits
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND date_diff('day', o.o_orderdate, l1.l_shipdate) > 180
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND date_diff('day', o.o_orderdate, l3.l_shipdate) > 180)
+GROUP BY supplier
+""",
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS pair of correlated
+    self-joins on the fact ("multi-supplier order where exactly THIS
+    supplier shipped late", late = >180 days after the order date; the
+    testdata has no commit/receipt dates, so order→ship lag stands in).
+
+    Rather than two shuffled self-joins of lineitem (the naive
+    decorrelation — three fact shuffles), this aggregates the fact ONCE
+    per (orderkey, suppkey) with a late-line count, then derives both
+    EXISTS conditions from a per-order rollup of that small frame:
+    #distinct suppliers ≥ 2 (the EXISTS) and #late suppliers = 1 (the
+    NOT EXISTS). One fact shuffle total; everything after operates on
+    |order × supplier| ≪ |lineitem|. n_waits counts late LINES, same
+    grain as the SQL's l1."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late", (F.datediff("l_shipdate", "o_orderdate") > 180).cast("int")
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("__late").alias("__late_lines")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supps"),
+        F.sum((F.col("__late_lines") > 0).cast("int")).alias("__n_late"),
+    )
+    culprit = (
+        per_os.filter(F.col("__late_lines") > 0)
+        .join(
+            per_o.filter((F.col("__n_supps") >= 2) & (F.col("__n_late") == 1)),
+            "l_orderkey",
+        )
+        .select("l_suppkey", "__late_lines")
+    )
+    return (
+        culprit.join(F.broadcast(sup), culprit.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.sum("__late_lines").cast("bigint").alias("n_waits"))
     )
 
 

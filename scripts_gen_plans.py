@@ -24,7 +24,9 @@ SHOWCASE = {
     "star_fact_sales": "completed-status filter pushed into the parquet scan; column-pruned reads",
     "pricing_summary": "date predicate in PushedFilters; scan reads only the aggregated columns",
     "priority_order_counts": "EXISTS as one hash left-semi join with the non-equi conjunct as join residual",
-    "events_near_order": "equi+range join stays a hash join (range is residual, no nested loop)",
+    "events_near_order": "interval join day-bucketed into a pure equi-join on (user, day) — no residual, no nested loop",
+    "sole_late_supplier": "TPC-H Q21: EXISTS/NOT-EXISTS pair collapsed to ONE fact shuffle via per-(order,supplier) aggregation",
+    "small_lot_lost_revenue": "TPC-H Q17: correlated AVG decorrelated — brand broadcast-prunes the fact before both aggregate passes",
     "lsh_pairs_portable": "LSH banding: shuffle on (band, band_key), partial min-aggregates map-side",
     "latest_event_per_user": "single window shuffle with deterministic tiebreaks (snapshot compaction)",
     "forecast_revenue_change": "TPC-H Q6: every range predicate in PushedFilters, 4-column ReadSchema, partial agg before one single-row exchange",
