@@ -83,6 +83,11 @@ EXTENSION_QUERIES = [
     "top_quarter_supplier",
     "part_supplier_variety",
     "sole_late_supplier",
+    "nation_year_profit",
+    "returned_item_losers",
+    "late_shipment_priority",
+    "promo_revenue_share",
+    "surging_suppliers",
 ]
 
 

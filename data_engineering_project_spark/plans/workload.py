@@ -2720,6 +2720,324 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nation_year_profit",
+    """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.5 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(38, 6))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+)
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by (supplier nation, order year) for one
+    product family. The testdata has no partsupp/supplycost, so cost is
+    modeled as ``0.5 * p_retailprice * quantity`` — deterministic and
+    identical in both engines.
+
+    Scale plan: part (name-filtered), supplier, and nation all
+    broadcast; the only big shuffle is lineitem⋈orders on orderkey.
+    The part filter broadcast-prunes lineitem FIRST, so the orderkey
+    shuffle moves only the widget lines (~1/6 of the fact), not the
+    whole table — at 100 TB that ordering is the difference between
+    shuffling 17 TB and 100 TB.
+
+    Reference analog: the revenue-by-category dashboard query
+    (dashboard/queries.py:41-52) generalized to two grouping axes."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pruned = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(38,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit"),
+        )
+    )
+
+
+@register(
+    "returned_item_losers",
+    """
+SELECT c.c_custkey AS custkey,
+       c.c_name AS name,
+       n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38, 6))), 2) AS DOUBLE) AS lost_revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY custkey, name, nation
+ORDER BY lost_revenue DESC, custkey
+LIMIT 20
+""",
+)
+def q_returned_item_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top customers by revenue lost to returned
+    items in a half-year window. The SQL groups by the customer
+    attributes; custkey determines name and nation, so the Spark plan
+    aggregates by bare custkey FIRST and only then joins the customer
+    and nation dims — the expensive shuffle carries an 8-byte key
+    instead of (key, name, nation) strings, and the dim join input is
+    ≤|customers| rows instead of |return lines|. Both date bounds and
+    the returnflag filter are pushed to the scans; the final top-20 is
+    a TakeOrdered with custkey tiebreak for cross-engine determinism."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("lost_revenue")
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "lost_revenue",
+        )
+        .orderBy(F.desc("lost_revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+SELECT l.l_linestatus AS linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_late,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_priority_late
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY linestatus
+""",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority mix of late shipments (the testdata
+    has no shipmode/receiptdate, so "late" is shipped ≥90 days after
+    the order date — a cross-table predicate that can only evaluate as
+    a post-join residual, exactly like Q12's receipt/commit clause).
+    One equi-shuffle on orderkey, conditional counts collapse into a
+    2-row result; the CASE pair is a single pass, no second scan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_late"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_late"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38, 6))
+                     ELSE CAST(0 AS DECIMAL(38, 6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(38, 6))) AS DOUBLE), 4)
+            AS DOUBLE) AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue as a share of one month's total.
+    Ratio of two conditional sums in a single pass: the month range is
+    pushed into the lineitem scan, part broadcasts, and the aggregate
+    emits one row — no second scan for the denominator. Decimal
+    accumulation keeps both engines' sums exact; the division happens
+    once, on the driver-sized single row."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "surging_suppliers",
+    """
+WITH q99 AS (
+    SELECT l.l_suppkey, SUM(l.l_quantity) AS qty99
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%gear%'
+      AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate <  TIMESTAMP '2000-01-01'
+    GROUP BY l.l_suppkey
+), q98 AS (
+    SELECT l.l_suppkey, SUM(l.l_quantity) AS qty98
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%gear%'
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_name AS supplier,
+       n.n_name AS nation,
+       CAST(q99.qty99 AS DOUBLE) AS qty_1999,
+       CAST(COALESCE(q98.qty98, 0) AS DOUBLE) AS qty_1998
+FROM q99
+LEFT JOIN q98 ON q98.l_suppkey = q99.l_suppkey
+JOIN supplier s ON s.s_suppkey = q99.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE q99.qty99 > 1.5 * COALESCE(q98.qty98, 0)
+""",
+)
+def q_surging_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers whose shipped 'gear' volume surged
+    >1.5× year-over-year (the testdata has no partsupp/availqty, so the
+    correlated threshold compares the supplier's own prior-year
+    aggregate instead of stock on hand — same nested-aggregate-
+    per-entity structure).
+
+    The oracle writes it as two CTE scans + LEFT JOIN; the Spark plan
+    folds both years into ONE scan with a pushed-down 2-year range and
+    per-year conditional sums — half the fact I/O, one shuffle on
+    suppkey instead of a shuffle per year plus a join between them.
+    ``SUM(CASE WHEN year…)`` is null (not 0) for a supplier with no
+    1999 rows, reproducing the CTE join semantics exactly: only
+    suppliers present in 1999 survive the WHERE. Quantities are
+    integral doubles, so the sums and the 1.5× boundary are exact in
+    both engines."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity", F.year("l_shipdate").alias("__yr"))
+    )
+    gear = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    per_sup = (
+        li.join(F.broadcast(gear), li.l_partkey == gear.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("__yr") == 1999, F.col("l_quantity"))).alias("qty_1999"),
+            F.coalesce(
+                F.sum(F.when(F.col("__yr") == 1998, F.col("l_quantity"))), F.lit(0.0)
+            ).alias("qty_1998"),
+        )
+        .filter(F.col("qty_1999") > 1.5 * F.col("qty_1998"))
+    )
+    return (
+        per_sup.join(F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "qty_1999",
+            "qty_1998",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
