@@ -28,9 +28,12 @@ def with_session_ids(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev_ts = F.lag(ts_col).over(w)
+    # TIMESTAMP_NTZ has no direct long cast; hop through TIMESTAMP
+    # (no-op for LTZ, session-UTC epoch for NTZ — callers pin UTC).
+    as_epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.col(ts_col).cast("long") - prev_ts.cast("long")) > gap_seconds),
+        | ((as_epoch(F.col(ts_col)) - as_epoch(prev_ts)) > gap_seconds),
         1,
     ).otherwise(0)
     return events.withColumn("is_new_session", new_session).withColumn(
