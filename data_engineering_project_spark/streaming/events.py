@@ -36,6 +36,21 @@ def read_file_stream(
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
+def _as_instant(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require event time to be TIMESTAMP (an instant);
+    parquet event feeds often carry TIMESTAMP_NTZ (wall clock, no
+    zone) and Spark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+
+    The cast interprets the NTZ wall clock in the session time zone.
+    The engine pins ``spark.sql.session.timeZone=UTC`` (session.py,
+    plans/workload.py), making this deterministic; callers embedding
+    these operators in a foreign session must pin a fixed-offset zone
+    themselves or pre-cast their event-time column."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -50,7 +65,8 @@ def windowed_counts(
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_instant(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), F.col(key_col))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(
@@ -74,7 +90,8 @@ def session_aggregates(
     streaming-native twin of operators/sessionize.py (state bounded by
     the watermark; sessions close when the gap elapses)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_instant(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(user_col))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -103,8 +120,10 @@ def dedup_within_watermark(
     assumed already-settled (the batch anti-join at the sink remains
     the belt-and-suspenders layer, as in the reference's changed-file
     redelivery path)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols or ["event_id"]
+    return (
+        _as_instant(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols or ["event_id"])
     )
 
 
@@ -127,17 +146,25 @@ def attribution_join(
     the difference between a demo and something that survives a week of
     100 TB/day event traffic.
     """
-    v = views.select(
-        F.col(user_col),
-        F.col(ts_col).alias("view_ts"),
-        F.col("event_id").alias("view_event_id"),
-    ).withWatermark("view_ts", watermark)
-    p = purchases.select(
-        F.col(user_col),
-        F.col(ts_col).alias("purchase_ts"),
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
+    v = (
+        _as_instant(views, ts_col)
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        _as_instant(purchases, ts_col)
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
     return p.join(
         v,
         (p[user_col] == v[user_col])

@@ -32,6 +32,9 @@ SHOWCASE = {
     "forecast_revenue_change": "TPC-H Q6: every range predicate in PushedFilters, 4-column ReadSchema, partial agg before one single-row exchange",
     "nation_trade_volume": "TPC-H Q7: five tables, two broadcast dim chains, exactly ONE fact shuffle (orderkey)",
     "disjunctive_brand_revenue": "TPC-H Q19: single-side implications of the OR-of-ANDs derived and pushed into both scans",
+    "cheapest_supplier_per_part": "TPC-H Q2: correlated MIN decorrelated to a window over the region-filtered frame; all three dims broadcast",
+    "events_json": "from_json single parse: ONE JsonToStructs feeding both aggregate uses (vs one parse per get_json_object path)",
+    "month_fingerprints": "commutative sum-of-hash fingerprint: 4-scalar partial aggs, no per-group key materialization",
 }
 
 

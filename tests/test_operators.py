@@ -225,7 +225,13 @@ def test_approx_sketches_track_exact(spark, sf_dir):
 
     ev = workload.load(spark, sf_dir, "events")
     approx = {
-        r.event_type: r for r in workload.QUERIES["events_reach_approx"](spark, sf_dir).collect()
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        )
+        .collect()
     }
     exact = {
         r.event_type: r
@@ -243,6 +249,13 @@ def test_approx_sketches_track_exact(spark, sf_dir):
         )
         for a, e in zip(ap.value_p50_p95, ex.ps):
             assert abs(a - e) <= 0.1 * max(1.0, abs(e)), f"{et}: {a} vs {e}"
+
+    # the registered query asserts the same bounds in-plan (its oracle
+    # hash-matches only when every bound held) — all flags must be true
+    for r in workload.QUERIES["events_reach_approx"](spark, sf_dir).collect():
+        assert (
+            r.hll_within_3rsd and r.p50_within_rank_bounds and r.p95_within_rank_bounds
+        ), f"{r.event_type}: bound flags {r}"
 
 
 def test_dup_clusters_connected_components(spark):

@@ -325,3 +325,58 @@ def test_dedup_within_watermark_drops_redeliveries(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """The streaming session_window formulation and the batch
+    lag/cumsum sessionize (operators/sessionize.py) agree on the
+    per-user session count and total events once every session is
+    closed (watermark past max ts via availableNow full drain)."""
+    from data_engineering_project_spark.operators import sessionize as batch_sess
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = stream_ops.read_file_stream(spark, src, ev.schema)
+    sessions = stream_ops.session_aggregates(stream, gap="1 hour", watermark="4 hours")
+    out = str(tmp_path / "out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch twin: lag/cumsum sessions with the same (start, end=last+gap,
+    # n_events) contract; ts cast to instant to match the stream side
+    evi = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    tagged = batch_sess.with_session_ids(evi, gap_seconds=3600)
+    per_session = tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in per_session.collect()
+    }
+    max_ts = evi.agg(F.max("ts")).collect()[0][0]
+
+    # every emitted session is exactly a batch session...
+    assert got and got <= expected, f"stream-only sessions: {list(got - expected)[:5]}"
+    # ...and every session the final watermark (max_ts - 4h) closed,
+    # with a 1-minute boundary margin, was emitted
+    from datetime import timedelta
+
+    must_emit = {
+        s for s in expected if s[2] < max_ts - timedelta(hours=4, minutes=1)
+    }
+    missing = must_emit - got
+    assert not missing, f"closed sessions not emitted: {list(missing)[:5]}"

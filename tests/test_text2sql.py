@@ -91,3 +91,44 @@ def test_bottom_n_orders_ascending(spark, gold_views):
     # bottom-N without a dimension is rejected like top-N
     with pytest.raises(text2sql.UntranslatableQuestion):
         text2sql.translate("bottom 5 revenue")
+
+
+def test_llm_client_hook_valid_generation_executes(spark, gold_views):
+    """generate_fn: the injectable LLM client (reference ai_utils.py:44-47).
+    A well-behaved stub's output (markdown fences and all) flows through
+    sanitize→guard→execute and returns real results."""
+    prompts_seen = []
+
+    def stub_llm(prompt: str) -> str:
+        prompts_seen.append(prompt)
+        return (
+            "Here is your query:\n```sql\n"
+            "SELECT ROUND(SUM(f.price), 2) AS total_revenue FROM fact_sales f;\n"
+            "```"
+        )
+
+    df = text2sql.answer(spark, "what is the total revenue?", generate_fn=stub_llm)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].total_revenue > 0
+    # the hook received the full generation prompt with the question inlined
+    assert len(prompts_seen) == 1
+    assert "what is the total revenue?" in prompts_seen[0]
+    assert "fact_sales" in prompts_seen[0]
+
+
+def test_llm_client_hook_hostile_generation_rejected(spark, gold_views):
+    """A hostile/hallucinating generator cannot reach the session: DML,
+    multi-statement, and prose-only generations all raise UnsafeSQLError."""
+    from data_engineering_project_spark.serving.sql import UnsafeSQLError
+
+    hostile = [
+        "DROP TABLE fact_sales",
+        "SELECT 1; DROP TABLE fact_sales",
+        "WITH x AS (SELECT 1) INSERT INTO fact_sales SELECT * FROM x",
+        "I'm sorry, I can't help with that.",
+    ]
+    for generation in hostile:
+        with pytest.raises(UnsafeSQLError):
+            text2sql.answer(
+                spark, "total revenue", generate_fn=lambda _p, g=generation: g
+            )
