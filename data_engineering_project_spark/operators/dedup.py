@@ -552,3 +552,61 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str = "split",
+    test_split: str = "test",
+    train_split: str = "train",
+    df_cap: int = 20,
+    min_shared: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Train/test contamination scan: test-split documents sharing at
+    least ``min_shared`` distinct word-``shingle_n``-grams with a
+    train-split document (the decontamination step an LLM training
+    pipeline runs before evaluating on held-out data — beyond-reference
+    capability).
+
+    Scale design: one NGram pass builds distinct (doc, shingle) rows
+    carrying the split tag; shingles with document frequency above
+    ``df_cap`` are dropped BEFORE the cross-split join (boilerplate
+    n-grams explode candidate pairs without evidentiary value — the
+    same cap that bounds winnowing's pair generation), so the join
+    degree per shingle is at most df_cap² and never quadratic in the
+    corpus. The df filter and the test×train join share the shingle
+    shuffle key; per-pair shared counts partial-aggregate map-side.
+
+    Returns (test_doc, train_doc, n_shared), n_shared >= min_shared.
+    """
+    tok_df = df.select(
+        F.col(id_col), F.col(split_col), tokens(text_col).alias("__toks")
+    )
+    ng = NGram(n=shingle_n, inputCol="__toks", outputCol="__ng")
+    ex = ng.transform(tok_df).select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(F.array_distinct("__ng")).alias("shingle"),
+    )
+    rare_shingles = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("shingle")
+    )
+    rare = ex.join(rare_shingles, "shingle")
+    te = rare.filter(F.col(split_col) == test_split).select(
+        F.col(id_col).alias("test_doc"), "shingle"
+    )
+    tr = rare.filter(F.col(split_col) == train_split).select(
+        F.col(id_col).alias("train_doc"), "shingle"
+    )
+    return (
+        te.join(tr, "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

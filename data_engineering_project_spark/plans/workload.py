@@ -1683,12 +1683,22 @@ def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
-            F.expr("percentile(value, 0.49)").alias("p50_lo"),
-            F.expr("percentile(value, 0.51)").alias("p50_hi"),
-            F.expr("percentile(value, 0.94)").alias("p95_lo"),
-            F.expr("percentile(value, 0.96)").alias("p95_hi"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_ps"),
+            # ONE exact-percentile buffer for all four envelope bounds —
+            # four scalar percentile() aggs would each materialize and
+            # sort the group's values separately
+            F.expr(
+                "percentile(value, array(0.49, 0.51, 0.94, 0.96))"
+            ).alias("bounds"),
+        )
+        .select(
+            "*",
+            F.col("approx_ps")[0].alias("approx_p50"),
+            F.col("approx_ps")[1].alias("approx_p95"),
+            F.col("bounds")[0].alias("p50_lo"),
+            F.col("bounds")[1].alias("p50_hi"),
+            F.col("bounds")[2].alias("p95_lo"),
+            F.col("bounds")[3].alias("p95_hi"),
         )
     )
     return agg.select(
@@ -1917,6 +1927,41 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-matched (the xxhash64 production variant above stays
     rows-only)."""
     return dedup.simhash_portable(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "split_contamination",
+    f"""
+WITH {_SHINGLE_CTES},
+tagged AS (
+    SELECT doc_id, sh AS shingle,
+           {sampling.split_case_sql('doc_id', _SPLIT_WEIGHTS)} AS split
+    FROM sh
+),
+freq AS (SELECT shingle FROM tagged GROUP BY shingle HAVING COUNT(*) <= 20),
+rare AS (SELECT t.doc_id, t.shingle, t.split FROM tagged t JOIN freq USING (shingle)),
+pairs AS (
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, COUNT(*) AS n_shared
+    FROM rare te JOIN rare tr USING (shingle)
+    WHERE te.split = 'test' AND tr.split = 'train'
+    GROUP BY te.doc_id, tr.doc_id
+)
+SELECT test_doc, train_doc, n_shared FROM pairs WHERE n_shared >= 3
+""",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan, value-checked end to end: the
+    80/10/10 hash split (same CASE-ladder as train_split_summary), the
+    df-capped shingle frame, and the cross-split shared-shingle counts
+    are all reproduced exactly in DuckDB — so the candidate pair SET
+    itself hash-matches, the strongest evidence the decontamination
+    step finds precisely the leaked documents it claims."""
+    docs = sampling.hash_split(
+        load(spark, sf_dir, "documents"), "doc_id", _SPLIT_WEIGHTS
+    )
+    return dedup.cross_split_contamination(
+        docs, "text", "doc_id", split_col="split", df_cap=20, min_shared=3
+    )
 
 
 @register(

@@ -327,3 +327,20 @@ def test_winnow_fingerprints_robust_to_position_shift(spark):
     }
     shared = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
     assert shared > 0.8, f"jaccard of fingerprint sets only {shared}"
+
+
+def test_cross_split_contamination_planted(spark):
+    """A test-split doc sharing >=3 shingles with a train doc is
+    flagged with the right pair; disjoint docs are not."""
+    from data_engineering_project_spark.operators import dedup as dd
+
+    rows = [
+        (1, "train", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "test", "alpha beta gamma delta epsilon zeta nine ten"),
+        (3, "test", "completely different words sharing nothing with anyone"),
+        (4, "train", "another unrelated training document entirely made up"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    out = dd.cross_split_contamination(df, "text", "doc_id", min_shared=3)
+    pairs = {(r.test_doc, r.train_doc): r.n_shared for r in out.collect()}
+    assert pairs == {(2, 1): 4}
