@@ -1676,12 +1676,19 @@ def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     every bound — a hash match means every bound verifiably held. The
     exact twins here exist only for the check; the production
     projection is sketch-only."""
-    agg = (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type")
+    ev = load(spark, sf_dir, "events")
+    # DISTINCT aggregates get planned through an Expand rewrite; mixing
+    # that with imperative-buffer aggregates (HLL sketch, percentiles)
+    # in ONE groupBy forces the whole thing onto a sort-aggregate over
+    # expanded rows — measured 7.9s vs 0.9s at sf0.1. Two aggregations
+    # joined on the (tiny) group key keep each in its fast plan.
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    sketches = (
+        ev.groupBy("event_type")
         .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_ps"),
             # ONE exact-percentile buffer for all four envelope bounds —
@@ -1692,7 +1699,8 @@ def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounds"),
         )
         .select(
-            "*",
+            "event_type",
+            F.col("approx_users"),
             F.col("approx_ps")[0].alias("approx_p50"),
             F.col("approx_ps")[1].alias("approx_p95"),
             F.col("bounds")[0].alias("p50_lo"),
@@ -1701,6 +1709,7 @@ def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bounds")[3].alias("p95_hi"),
         )
     )
+    agg = exact.join(sketches, "event_type")
     return agg.select(
         "event_type",
         "n_events",
