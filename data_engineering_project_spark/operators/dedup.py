@@ -385,6 +385,33 @@ def lsh_candidates_portable(
     DuckDB SQL (string_agg band keys). 8 rows per band keeps the
     band-collision probability at jaccard^8, so same-bucket groups stay
     tiny and the self-join never goes quadratic."""
+    banded = lsh_band_rows_portable(
+        df, text_col, id_col, num_hashes, bands, shingle_n, shingles
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_band_rows_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, band_key) rows — the persistable LSH INDEX unit.
+
+    Store these (e.g. a parquet table bucketed by (band, band_key))
+    and incremental batches only compute signatures for THEIR docs;
+    see :func:`lsh_candidates_incremental`."""
     rows_per_band = num_hashes // bands
     wide = _portable_minhash_wide(df, text_col, id_col, num_hashes, shingle_n, shingles)
     band_keys = [
@@ -397,15 +424,35 @@ def lsh_candidates_portable(
         )
         for b in range(bands)
     ]
-    banded = wide.select(
+    return wide.select(
         F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+
+
+def lsh_candidates_incremental(
+    new_rows: DataFrame, index_rows: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates for a NEW batch against an existing corpus
+    via its stored band index — the daily-increment path.
+
+    Cost is O(|Δ|) signature compute plus one bucket join of the new
+    band rows against the (pre-bucketed) index; the old documents'
+    text is never touched. A full self-join rebuild re-reads and
+    re-hashes the entire corpus every run — at 100 TB the difference
+    between a nightly increment and an impossible job. Emits both
+    new×old and new×new pairs (normalized id_a < id_b), exactly the
+    pairs a full rebuild would emit that involve at least one new doc.
+    """
+    all_rows = index_rows.unionByName(new_rows)
+    left = new_rows.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = all_rows.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
         left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
 

@@ -1974,6 +1974,41 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_index",
+    f"""
+WITH {_minhash_wide_ctes(32)},
+{_bands_cte(32, 4)},
+tagged AS (
+    SELECT doc_id, band, band_key,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' AS is_new
+    FROM bands
+)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id)    AS id_a,
+                GREATEST(a.doc_id, b.doc_id) AS id_b
+FROM tagged a
+JOIN tagged b USING (band, band_key)
+WHERE a.doc_id != b.doc_id AND a.is_new
+""",
+)
+def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a stored LSH index: the
+    corpus is split 25/75 by key hash into a 'new batch' and an
+    'existing corpus'; only the new batch's text is hashed, and its
+    band rows join the existing index (operators/dedup.
+    lsh_candidates_incremental). The oracle recomputes full-corpus
+    banding in DuckDB and keeps pairs touching a new doc — a hash match
+    proves the increment finds EXACTLY what a full rebuild would, while
+    reading only the delta. tests/test_operators.py asserts the same
+    equivalence against the in-repo full rebuild."""
+    docs = load(spark, sf_dir, "documents")
+    is_new = sampling.hash_bucket("doc_id") < F.lit("40")
+    new_docs, old_docs = docs.filter(is_new), docs.filter(~is_new)
+    index = dedup.lsh_band_rows_portable(old_docs, "text", "doc_id", 32, 4)
+    new_rows = dedup.lsh_band_rows_portable(new_docs, "text", "doc_id", 32, 4)
+    return dedup.lsh_candidates_incremental(new_rows, index)
+
+
+@register(
     "pack_documents",
     """
 SELECT COUNT(*) AS n_docs,

@@ -344,3 +344,28 @@ def test_cross_split_contamination_planted(spark):
     out = dd.cross_split_contamination(df, "text", "doc_id", min_shared=3)
     pairs = {(r.test_doc, r.train_doc): r.n_shared for r in out.collect()}
     assert pairs == {(2, 1): 4}
+
+
+def test_incremental_lsh_equals_full_rebuild(spark, sf_dir):
+    """The increment path (new band rows vs stored index) finds exactly
+    the full rebuild's candidate pairs that involve a new doc."""
+    from data_engineering_project_spark.operators import sampling
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    is_new = sampling.hash_bucket("doc_id") < F.lit("40")
+    new_docs, old_docs = docs.filter(is_new), docs.filter(~is_new)
+    new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+    assert new_ids and old_docs.count() > 0
+
+    index = dedup.lsh_band_rows_portable(old_docs, "text", "doc_id", 32, 4)
+    new_rows = dedup.lsh_band_rows_portable(new_docs, "text", "doc_id", 32, 4)
+    incr = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidates_incremental(new_rows, index).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidates_portable(docs, "text", "doc_id", 32, 4).collect()
+    }
+    full_touching_new = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert incr == full_touching_new

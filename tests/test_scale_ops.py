@@ -177,3 +177,51 @@ def test_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
             (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
         ).count()
     )
+
+
+def test_zordered_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    """write_zordered: per-file ranges are narrow on BOTH cluster
+    columns (lexicographic clustering leaves the second column with
+    full-range files, so any predicate on it reads everything)."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_project_spark.sources.layout import write_zordered
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    out = tmp_path / "zordered"
+    write_zordered(ev, str(out), cluster_by=["user_id", "value"], num_files=16)
+
+    def spans(col):
+        per_file, glo_min, glo_max = [], None, None
+        for f in sorted(out.glob("*.parquet")):
+            meta = pq.ParquetFile(str(f)).metadata
+            idx = meta.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            per_file.append((min(mins), max(maxs)))
+            glo_min = min(mins) if glo_min is None else min(glo_min, min(mins))
+            glo_max = max(maxs) if glo_max is None else max(glo_max, max(maxs))
+        total = (glo_max - glo_min) or 1
+        return [(hi - lo) / total for lo, hi in per_file]
+
+    u_spans, v_spans = spans("user_id"), spans("value")
+    assert len(u_spans) >= 8
+    # with 16 files and 2 interleaved dims each file should cover ~1/4
+    # of each axis; allow generous slack but far below full-range
+    import statistics
+
+    assert statistics.median(u_spans) <= 0.6, u_spans
+    assert statistics.median(v_spans) <= 0.6, v_spans
+
+    # relation unchanged
+    back = spark.read.parquet(str(out))
+    assert back.count() == ev.count()
+    # double SUM is order-sensitive; the rewrite reorders rows
+    import pytest
+
+    assert back.agg(F.sum("value")).collect()[0][0] == pytest.approx(
+        ev.agg(F.sum("value")).collect()[0][0], rel=1e-9
+    )
