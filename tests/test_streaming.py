@@ -380,3 +380,77 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, tmp_path)
     }
     missing = must_emit - got
     assert not missing, f"closed sessions not emitted: {list(missing)[:5]}"
+
+
+def test_streaming_gold_aggregate_maintenance(spark, sf_dir, tmp_path):
+    """End-to-end composition: exactly-once file ingest maintains a
+    materialized per-type aggregate by FOLDING each micro-batch's
+    partial into the stored aggregate (plans/incremental.merge_aggregate)
+    — never rescanning history. After draining both files, the
+    maintained aggregate equals a full recompute, and replaying the
+    unchanged source folds nothing."""
+    from data_engineering_project_spark.plans.incremental import merge_aggregate
+
+    ev = _events(spark, sf_dir)
+    src, gold_dir = str(tmp_path / "src"), str(tmp_path / "gold")
+    part1 = ev.limit(400)
+    part2 = ev.limit(800).subtract(part1)
+    part1.coalesce(1).write.mode("append").parquet(src)
+    part2.coalesce(1).write.mode("append").parquet(src)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.sum("value").alias("total_value"), F.count("*").alias("n")
+        )
+
+    import os
+
+    def fold_batch(batch_df, batch_id):
+        existing = (
+            spark.read.parquet(gold_dir) if os.path.exists(gold_dir) else None
+        )
+        merged = merge_aggregate(
+            existing, agg(batch_df), keys=["event_type"],
+            sums=["total_value"], counts=["n"],
+        ).localCheckpoint(eager=True)  # detach from the path being replaced
+        merged.write.mode("overwrite").parquet(gold_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.event_type: (round(r.total_value, 6), r.n)
+        for r in spark.read.parquet(gold_dir).collect()
+    }
+    expected = {
+        r.event_type: (round(r.total_value, 6), r.n)
+        for r in agg(part1.unionByName(part2)).collect()
+    }
+    assert got == expected
+
+    # replay over an unchanged directory: checkpoint skips everything,
+    # the maintained aggregate is untouched
+    q2 = (
+        spark.readStream.format("parquet").schema(ev.schema).load(src)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        r.event_type: (round(r.total_value, 6), r.n)
+        for r in spark.read.parquet(gold_dir).collect()
+    }
+    assert got2 == expected
