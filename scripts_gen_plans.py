@@ -35,6 +35,8 @@ SHOWCASE = {
     "cheapest_supplier_per_part": "TPC-H Q2: correlated MIN decorrelated to a window over the region-filtered frame; all three dims broadcast",
     "events_json": "from_json single parse: ONE JsonToStructs feeding both aggregate uses (vs one parse per get_json_object path)",
     "month_fingerprints": "commutative sum-of-hash fingerprint: 4-scalar partial aggs, no per-group key materialization",
+    "split_contamination": "df-cap filter and test-x-train join share the shingle shuffle; split tags computed map-side (no attach join)",
+    "dedup_incremental_index": "new batch's band rows bucket-join the stored index — delta-only hashing, no corpus rescan",
 }
 
 
