@@ -1750,6 +1750,56 @@ def q_events_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "reach_rollup_sketch",
+    """
+SELECT strftime(ts, '%Y-%m') AS period,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS rollup_within_5pct
+FROM events
+GROUP BY period, event_type
+""",
+)
+def q_reach_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollups — THE 100 TB pattern for
+    distinct users over pre-aggregated tables: the daily rollup stores
+    an HLL SKETCH column (`hll_sketch_agg`), and any coarser period
+    merges sketches (`hll_union_agg`) instead of rescanning raw events
+    — a monthly distinct count from 30 daily rows per group, register
+    maxima all the way (commutative, partitioning-independent). A plain
+    COUNT(DISTINCT) column in the daily rollup cannot be re-aggregated
+    at all. Driver-checked like events_reach_approx: the oracle
+    supplies exact counts and TRUE bound flags; a hash match proves
+    every merged estimate landed within 5 x the sketch's ~0.8% rsd
+    (lgConfigK=14) of the exact answer."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    monthly = daily.groupBy(
+        F.date_format("day", "yyyy-MM").alias("period"), "event_type"
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n").alias("n_events"),
+    )
+    exact = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("period"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return monthly.join(exact, ["period", "event_type"]).select(
+        "period",
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("rollup_within_5pct"),
+    )
+
+
 @register("minhash_lsh_pairs")
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs over documents —

@@ -369,3 +369,31 @@ def test_incremental_lsh_equals_full_rebuild(spark, sf_dir):
     }
     full_touching_new = {p for p in full if p[0] in new_ids or p[1] in new_ids}
     assert incr == full_touching_new
+
+
+def test_hll_sketch_rollup_partitioning_invariant(spark, sf_dir):
+    """The persisted HLL sketch column merges identically under any
+    partitioning (register maxima are commutative): monthly estimates
+    from 4-partition and 32-partition daily rollups are equal, and the
+    registered query's bound flags all hold."""
+    from data_engineering_project_spark.plans import workload
+
+    ev = read_testdata(spark, sf_dir, "events")
+
+    def monthly(df):
+        daily = df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk")
+        )
+        return {
+            (r.period, r.event_type): r.est
+            for r in daily.groupBy(
+                F.date_format("day", "yyyy-MM").alias("period"), "event_type"
+            )
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()
+        }
+
+    assert monthly(ev.repartition(4)) == monthly(ev.repartition(32))
+
+    for r in workload.QUERIES["reach_rollup_sketch"](spark, sf_dir).collect():
+        assert r.rollup_within_5pct, r
