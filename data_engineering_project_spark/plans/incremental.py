@@ -325,3 +325,82 @@ def run_incremental(
             "items_inserted": n_items,
         }
     return results
+
+
+def scd2_apply(
+    dim: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_ts: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: versioned dimension history.
+
+    The reference replaces dimensions wholesale on change (I3,
+    scripts/bronze_incremental.py:199-219), which loses history — a
+    fact row joined to today's dim reads TODAY's attributes. SCD2 keeps
+    every version: rows carry (valid_from, valid_to, is_current), and a
+    fact joins the version valid at its event time (an as-of join,
+    operators/asof.py).
+
+    One batch application = one join of the update batch against the
+    CURRENT slice on the key:
+      - new keys        → inserted open rows
+      - changed attrs   → current row closed (valid_to = effective_ts),
+                          new open row inserted
+      - unchanged rows  → untouched (re-applying a batch is a no-op)
+    History rows never rewrite, so the plan cost is O(|updates| join
+    |current|), not O(|history|) — the update batch broadcasts when
+    small. ``effective_ts`` is an ISO timestamp string pinned by the
+    caller (never now(): task retries must produce identical output).
+    """
+    upd = updates.select(key, *attrs)
+    from_ts = F.lit(effective_ts).cast("timestamp")
+    if dim is None:
+        return upd.select(
+            key,
+            *attrs,
+            from_ts.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    current = dim.filter(F.col("is_current"))
+    history = dim.filter(~F.col("is_current"))
+
+    cur_k = current.select(
+        F.col(key),
+        F.lit(True).alias("__cur_present"),
+        *[F.col(a).alias(f"__cur_{a}") for a in attrs],
+    )
+    joined = upd.join(cur_k, key, "left")
+    changed_pred = F.lit(False)
+    for a in attrs:
+        changed_pred = changed_pred | ~F.col(a).eqNullSafe(F.col(f"__cur_{a}"))
+    # presence flag, not an attr null-check: a legitimately-NULL
+    # attribute on the current row must not read as "new key"
+    is_new = F.col("__cur_present").isNull()
+    # rows needing a new version: brand-new key, or any attr changed
+    to_open = joined.filter(is_new | changed_pred).select(key, *attrs)
+
+    changed_keys = to_open.select(key)
+    closed = (
+        current.join(changed_keys, key, "left_semi")
+        .withColumn("valid_to", from_ts)
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched_current = current.join(changed_keys, key, "left_anti")
+    opened = to_open.select(
+        key,
+        *attrs,
+        from_ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        history.select(*cols)
+        .unionByName(closed.select(*cols))
+        .unionByName(untouched_current.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

@@ -1751,6 +1751,58 @@ def q_events_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dim_history_scd2",
+    """
+WITH tagged AS (
+    SELECT c_custkey,
+           c_mktsegment,
+           substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '1a' AS changed
+    FROM customer
+)
+SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       TIMESTAMP '2024-02-01 00:00:00' AS valid_to,
+       FALSE AS is_current
+FROM tagged WHERE changed
+UNION ALL
+SELECT c_custkey, 'RESEGMENTED',
+       TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+FROM tagged WHERE changed
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+FROM tagged WHERE NOT changed
+""",
+)
+def q_dim_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension versioning, driver-checked: load the customer
+    dimension at t0, apply a deterministic update batch at t1 (a
+    hash-selected ~10% of customers get segment 'RESEGMENTED'), and
+    emit the full version table. The oracle DERIVES the expected
+    history independently (closed+reopened rows for changed keys, one
+    open row for the rest) — a hash match proves scd2_apply's
+    close/open/untouched routing row for row. History never rewrites:
+    the batch joins only the CURRENT slice (plans/incremental.
+    scd2_apply)."""
+    from data_engineering_project_spark.plans.incremental import scd2_apply
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim0 = scd2_apply(None, cust, "customer_id", ["segment"], "2024-01-01 00:00:00")
+    updates = cust.withColumn(
+        "segment",
+        F.when(
+            sampling.hash_bucket("customer_id") < F.lit("1a"), F.lit("RESEGMENTED")
+        ).otherwise(F.col("segment")),
+    )
+    return scd2_apply(
+        dim0, updates, "customer_id", ["segment"], "2024-02-01 00:00:00"
+    )
+
+
+@register(
     "reach_rollup_sketch",
     """
 SELECT strftime(ts, '%Y-%m') AS period,

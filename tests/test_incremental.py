@@ -236,3 +236,64 @@ def test_merge_aggregate_equals_full_recompute(spark, sf_dir):
     # bootstrap case: no existing aggregate yet
     boot = merge_aggregate(None, agg(new), ["period"], ["revenue"], ["n"])
     assert boot.count() == agg(new).count()
+
+
+def test_scd2_apply_versions_and_idempotence(spark):
+    """SCD2 dimension history: changed attrs close the current version
+    and open a new one, new keys insert, unchanged rows are untouched,
+    and re-applying the same batch is a no-op."""
+    from data_engineering_project_spark.plans.incremental import scd2_apply
+
+    t0, t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(1, "SP", "gold"), (2, "RJ", "silver"), (3, None, "bronze")],
+        "customer_id long, state string, tier string",
+    )
+    dim = scd2_apply(None, initial, "customer_id", ["state", "tier"], t0)
+    assert dim.count() == 3 and dim.filter("is_current").count() == 3
+
+    batch = spark.createDataFrame(
+        [
+            (1, "MG", "gold"),      # state changed -> new version
+            (2, "RJ", "silver"),    # unchanged -> untouched
+            (3, None, "bronze"),    # unchanged incl. NULL attr -> untouched
+            (4, "BA", "gold"),      # new key -> insert
+        ],
+        "customer_id long, state string, tier string",
+    )
+    dim2 = scd2_apply(dim, batch, "customer_id", ["state", "tier"], t1)
+    rows = {
+        (r.customer_id, r.state, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in dim2.collect()
+    }
+    assert (1, "SP", f"{t0}", f"{t1}", False) in rows      # closed old version
+    assert (1, "MG", f"{t1}", "None", True) in rows        # opened new version
+    assert (2, "RJ", f"{t0}", "None", True) in rows        # untouched
+    assert (3, None, f"{t0}", "None", True) in rows        # NULL attr != new key
+    assert (4, "BA", f"{t1}", "None", True) in rows        # inserted
+    assert len(rows) == 5
+
+    # idempotence: same batch, later ts -> nothing changes
+    dim3 = scd2_apply(dim2, batch, "customer_id", ["state", "tier"], t2)
+    rows3 = {
+        (r.customer_id, r.state, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in dim3.collect()
+    }
+    assert rows3 == rows
+
+    # as-of correctness: a January fact sees SP, a February fact sees MG
+    from data_engineering_project_spark import session as _s  # noqa: F401
+    import pyspark.sql.functions as F2
+
+    jan = dim2.filter(
+        (F2.col("customer_id") == 1)
+        & (F2.col("valid_from") <= "2024-01-15")
+        & ((F2.col("valid_to").isNull()) | (F2.col("valid_to") > "2024-01-15"))
+    )
+    feb = dim2.filter(
+        (F2.col("customer_id") == 1)
+        & (F2.col("valid_from") <= "2024-02-15")
+        & ((F2.col("valid_to").isNull()) | (F2.col("valid_to") > "2024-02-15"))
+    )
+    assert [r.state for r in jan.collect()] == ["SP"]
+    assert [r.state for r in feb.collect()] == ["MG"]
