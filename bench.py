@@ -139,6 +139,15 @@ def main() -> None:
         # --- extensions: raw-table operators
         for name in EXTENSION_QUERIES:
             fn = workload.QUERIES[name]
+            # Collect the PREVIOUS queries' garbage before timing this
+            # one: Spark frees broadcast variables and shuffle state
+            # lazily via GC-driven cleanup, so without this a ~95-query
+            # sweep charges accumulated JVM debt to whichever query runs
+            # late (measured: events_near_order 4.4s in-sweep vs 1.1s
+            # with the hint — the plan itself never changed). A real
+            # cluster amortizes this across executors and time; the
+            # single local JVM must be told.
+            spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             _force(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - start, 3)
