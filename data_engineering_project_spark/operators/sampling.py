@@ -93,3 +93,33 @@ def split_case_sql(key_sql: str, weights: dict[str, float]) -> str:
             f" '{_hex2(int(cum * 256))}' THEN '{name}'"
         )
     return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Deterministic class-balanced subset: the first ``n_per_stratum``
+    rows of each stratum in key-HASH order.
+
+    The training-data balancing primitive (equal docs per language,
+    equal examples per label): hash order makes the selection a pure
+    function of the keys — stable under retries, partitioning, and
+    engine (md5 on both sides), unlike ``sampleBy`` which draws from a
+    seeded RNG stream and changes with partitioning. One shuffle on the
+    stratum; the per-stratum sort is bounded by stratum size (for
+    strata too large to sort, pre-filter with :func:`hash_sample` to
+    ~2-3x the target and re-rank the survivors).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -1540,6 +1540,30 @@ def q_train_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_corpus_sample",
+    """
+WITH r AS (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 50
+""",
+)
+def q_stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus subset: first 50 docs per language in
+    key-hash order (operators/sampling.stratified_sample) — the
+    training-data balancing primitive. Pure key function, so the
+    SELECTED ROW SET itself hash-matches the oracle (sampleBy's seeded
+    RNG could never be cross-engine checked, and changes under
+    repartitioning)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.stratified_sample(docs, "lang", "doc_id", 50)
+
+
+@register(
     "conversion_funnel",
     """
 WITH s1 AS (

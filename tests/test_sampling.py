@@ -76,3 +76,27 @@ def test_split_case_sql_mirrors_spark(spark, ids, oracle):
         ).fetchall()
     )
     assert spark_counts == duck
+
+
+def test_stratified_sample_balanced_and_partitioning_invariant(spark, sf_dir):
+    """Every stratum yields exactly min(n, stratum size) rows, and the
+    selected set is identical under different partitionings."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators import sampling
+    from data_engineering_project_spark.sources.parquet import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.stratified_sample(docs, "lang", "doc_id", 20)
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(20, n) for lang, n in sizes.items()}
+
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in sampling.stratified_sample(
+            docs.repartition(17), "lang", "doc_id", 20
+        ).collect()
+    }
+    assert a == b
