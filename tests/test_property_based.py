@@ -98,3 +98,70 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         salt_from=["rid"], salt_buckets=4
     ).collect()}
     assert salted == plain
+
+
+scd2_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),              # key
+        st.sampled_from(["a", "b", "c", None]),             # attr value
+    ),
+    min_size=0,
+    max_size=8,
+).map(lambda rows: list({k: (k, v) for k, v in rows}.values()))  # unique keys
+
+
+@settings(max_examples=8, deadline=None)
+@given(b1=scd2_batch, b2=scd2_batch, b3=scd2_batch)
+def test_scd2_invariants_on_arbitrary_batches(spark, b1, b2, b3):
+    """SCD2 invariants under arbitrary update sequences: at most one
+    current row per key, validity intervals per key are non-overlapping
+    and contiguous from first sight, the current row always reflects
+    the latest batch that mentioned the key, and re-applying the final
+    batch is a no-op."""
+    from data_engineering_project_spark.plans.incremental import scd2_apply
+
+    def df(rows):
+        return (
+            spark.createDataFrame(rows, "k int, attr string")
+            if rows
+            else spark.createDataFrame([], "k int, attr string")
+        )
+
+    ts = ["2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"]
+    dim = None
+    latest: dict[int, str | None] = {}
+    for rows, t in zip((b1, b2, b3), ts):
+        if not rows:
+            continue
+        dim = scd2_apply(dim, df(rows), "k", ["attr"], t)
+        for k, v in rows:
+            latest[k] = v
+    if dim is None:
+        return
+    dim = dim.localCheckpoint(eager=True)
+    collected = dim.collect()
+
+    # at most one current row per key; current attr == latest seen
+    current = [r for r in collected if r.is_current]
+    assert len({r.k for r in current}) == len(current)
+    assert {r.k: r.attr for r in current} == latest
+
+    # per-key intervals: closed rows end where the next begins; no overlap
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in collected:
+        by_key[r.k].append((r.valid_from, r.valid_to))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2, (k, ivs)
+        assert ivs[-1][1] is None  # newest interval open
+
+    # idempotence: re-applying the last non-empty batch later is a no-op
+    last = next((rows for rows in (b3, b2, b1) if rows), None)
+    if last:
+        dim2 = scd2_apply(dim, df(last), "k", ["attr"], "2024-04-01 00:00:00")
+        a = sorted(map(repr, map(tuple, collected)))
+        b = sorted(map(repr, map(tuple, dim2.collect())))
+        assert a == b
