@@ -1827,6 +1827,80 @@ def q_dim_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_with_segment_asof",
+    """
+WITH tagged AS (
+    SELECT c_custkey,
+           c_mktsegment,
+           substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '1a' AS changed
+    FROM customer
+),
+dim AS (
+    SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+           TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+           TIMESTAMP '1998-01-01 00:00:00' AS valid_to
+    FROM tagged WHERE changed
+    UNION ALL
+    SELECT c_custkey, 'RESEGMENTED',
+           TIMESTAMP '1998-01-01 00:00:00', NULL
+    FROM tagged WHERE changed
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '1990-01-01 00:00:00', NULL
+    FROM tagged WHERE NOT changed
+)
+SELECT d.segment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.customer_id
+ AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+ AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+GROUP BY d.segment
+""",
+)
+def q_orders_with_segment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the consumption side of SCD2: each
+    fact reads the dimension version VALID AT ITS EVENT TIME (equality
+    on the key + validity-interval residual), orders before the 1998
+    resegmentation read the original segment, later orders read the new
+    one (the 1995-2001 order dates straddle the version boundary).
+    The customer_id equality keeps Spark on a hash join with the
+    interval as a residual (never a range nested-loop); versions per
+    key are tiny (≤2 here), so the join degree is bounded. The dim is
+    the same scd2_apply output dim_history_scd2 value-checks row for
+    row."""
+    from data_engineering_project_spark.plans.incremental import scd2_apply
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim0 = scd2_apply(None, cust, "customer_id", ["segment"], "1990-01-01 00:00:00")
+    updates = cust.withColumn(
+        "segment",
+        F.when(
+            sampling.hash_bucket("customer_id") < F.lit("1a"), F.lit("RESEGMENTED")
+        ).otherwise(F.col("segment")),
+    )
+    dim = scd2_apply(dim0, updates, "customer_id", ["segment"], "1998-01-01 00:00:00")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ots")
+    )
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.customer_id)
+        & (F.col("ots") >= dim.valid_from)
+        & (dim.valid_to.isNull() | (F.col("ots") < dim.valid_to)),
+    )
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
     "reach_rollup_sketch",
     """
 SELECT strftime(ts, '%Y-%m') AS period,
