@@ -1827,6 +1827,60 @@ def q_dim_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff",
+    """
+WITH old AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '10'
+),
+new AS (
+    SELECT o_orderkey,
+           CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '20'
+                THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'f0'
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS order_id,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+       END AS change_type
+FROM old o
+FULL OUTER JOIN new n USING (o_orderkey)
+WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+   OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/joins.table_diff): two
+    deterministic hash-sliced versions of orders — ~6% of keys only in
+    the old slice ('removed'), ~6% only in the new ('added'), ~6%
+    repriced ('changed') — and the diff emits exactly those keys with
+    their change type. One full outer join on the key, null-safe value
+    compare; identical rows never leave the executors. The oracle is an
+    independent FULL OUTER JOIN + IS DISTINCT FROM derivation."""
+    from data_engineering_project_spark.operators.joins import table_diff
+
+    orders = load(spark, sf_dir, "orders")
+    bucket = sampling.hash_bucket("o_orderkey")
+    old = orders.filter(bucket >= F.lit("10")).select("o_orderkey", "o_totalprice")
+    new = (
+        orders.filter(bucket < F.lit("f0"))
+        .select(
+            "o_orderkey",
+            F.when(
+                bucket < F.lit("20"), F.round(F.col("o_totalprice") * 1.1, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return table_diff(old, new, "o_orderkey", ["o_totalprice"]).select(
+        F.col("o_orderkey").alias("order_id"), "change_type"
+    )
+
+
+@register(
     "orders_with_segment_asof",
     """
 WITH tagged AS (
