@@ -15,7 +15,15 @@ local[$SPARK_GRAFT_CPUS]. Every query is forced end-to-end with the
 noop sink (full computation, no driver collect cost). Output:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...}
+   "queries": {...headline-query sec...}, "sf": ...}
+
+STDOUT CONTRACT: exactly ONE line of JSON. Round 2's full ~95-query
+timing dict inflated the line past the capturing harness's limit
+(BENCH_r02.json: parsed null), so the stdout line now carries only the
+headline queries; the COMPLETE per-query dict (the full regression
+surface) is written to BENCH_DETAIL.json at the repo root each run.
+While queries execute, sys.stdout is pointed at stderr so no library
+print can corrupt the contract line.
 """
 
 from __future__ import annotations
@@ -54,6 +62,30 @@ SERVING_COVERED = {
 # automatically, in registration order.
 EXTENSION_QUERIES = [n for n in workload.QUERIES if n not in SERVING_COVERED]
 
+# The stdout contract line stays compact (see module docstring): total +
+# these headline timings. One representative per family — pipeline
+# build, dashboard serving, TPC-H shape, JSON/sessionize, dedup (both
+# hash families), similarity, sketch rollup, SCD2, packing.
+HEADLINE = [
+    "gold_build",
+    "kpis",
+    "top_categories",
+    "monthly_trend",
+    "delivery_percentiles",
+    "pricing_summary",
+    "events_json",
+    "sessionize",
+    "cosine_topk_fast",
+    "minhash_portable",
+    "minhash_lsh_pairs",
+    "dedup_incremental_index",
+    "split_contamination",
+    "pack_documents",
+    "events_reach_approx",
+    "reach_rollup_sketch",
+    "snapshot_diff",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -63,6 +95,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Guard the one-line stdout contract: while queries run, any stray
+    # print (Spark, libraries, our own code) lands on stderr.
+    contract_out = sys.stdout
+    sys.stdout = sys.stderr
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Local-mode scan parallelism: the sf0.1 tables are single ~30 MB
@@ -155,16 +191,36 @@ def main() -> None:
         shutil.rmtree(gold_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Full per-query regression surface → file; compact line → stdout.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "workload_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
         )
+    sys.stdout = contract_out
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: timings[k] for k in HEADLINE if k in timings},
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+            }
+        ),
+        flush=True,
     )
 
 

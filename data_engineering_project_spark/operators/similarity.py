@@ -111,19 +111,27 @@ def cosine_topk_vectorized(
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = q_normed @ normed.T  # queries × batch
+            sims = np.round(q_normed @ normed.T, 6)  # queries × batch
             for qi, qid in enumerate(q_ids):
                 row = sims[qi]
                 mask = ids != qid
                 cand_idx = np.where(mask)[0]
                 if not len(cand_idx):
                     continue
-                local = cand_idx[np.argsort(-row[cand_idx])[:k]]
+                # Local truncation must use the GLOBAL total order
+                # (rounded cosine desc, neighbor_id asc) — truncating on
+                # raw cosine could drop the id-tiebreak winner of a
+                # rounded tie at the k-th slot, which the final window
+                # rank (and the SQL oracle) would have kept. Top-k of a
+                # union equals top-k of the local top-ks only under one
+                # shared total order. lexsort: last key is primary.
+                order = np.lexsort((ids[cand_idx], -row[cand_idx]))[:k]
+                local = cand_idx[order]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
                         "neighbor_id": ids[local],
-                        "cosine": np.round(row[local], 6),
+                        "cosine": row[local],
                     }
                 )
 

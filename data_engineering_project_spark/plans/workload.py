@@ -1768,8 +1768,17 @@ def q_events_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+            # ONE percentile buffer for both ranks, projected to scalar
+            # columns (the driver's canonicalizer cannot hash ARRAY cells)
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ps"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_ps")[0].alias("value_p50"),
+            F.col("_ps")[1].alias("value_p95"),
+            "n_events",
         )
     )
 
@@ -2437,18 +2446,21 @@ fp AS (
     "winnow_fingerprints",
     f"""
 WITH {_WINNOW_FP_CTE}
-SELECT doc_id, fingerprints, len(fingerprints) AS n_fp FROM fp
+SELECT doc_id, unnest(fingerprints) AS fp FROM fp
 """,
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash, window-min selection) document
     fingerprints — value-checked bit-for-bit against DuckDB
-    list_transform/list_min twins (same md5-portable hash family)."""
+    list_transform/list_min twins (same md5-portable hash family).
+    Exploded to one (doc_id, fp) row per selected fingerprint: the
+    driver's canonicalizer cannot hash ARRAY cells, and the exploded
+    relation is the join-ready shape downstream pair-generation uses
+    anyway (the array form stays available via
+    operators.dedup.winnow_fingerprints)."""
     docs = load(spark, sf_dir, "documents")
     fp = dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
-    return fp.select(
-        "doc_id", "fingerprints", F.size("fingerprints").cast("long").alias("n_fp")
-    )
+    return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
 @register(
@@ -3431,10 +3443,10 @@ def q_returned_item_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_priority",
     """
 SELECT l.l_linestatus AS linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_late,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_priority_late
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_late,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_late
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
@@ -3711,9 +3723,52 @@ _DRIVER_PROVEN_R01 = (
     "train_split_summary",
 )
 
+# Green driver rows earned in round 2 (CORRECTNESS_r02.json, all three
+# checks).  kpis re-proved with a second row (it led the rotated tail).
+_DRIVER_PROVEN_R02 = (
+    "events_json_per_path", "month_fingerprints_sorted",
+    "stratified_corpus_sample", "conversion_funnel", "cohort_retention",
+    "media_featurize", "events_reach_approx", "dim_history_scd2",
+    "snapshot_diff", "orders_with_segment_asof", "reach_rollup_sketch",
+    "minhash_portable", "lsh_pairs_portable", "simhash_portable",
+    "split_contamination", "dedup_incremental_index", "pack_documents",
+    "ngram_jaccard_portable", "dedup_clusters_portable", "winnow_pairs",
+    "priority_order_counts", "customers_above_nation_avg",
+    "events_near_order", "large_orders", "brand_type_grouping_sets",
+    "revenue_7d_moving", "nation_trade_volume", "nation_market_share",
+    "order_value_deciles", "forecast_revenue_change",
+    "customer_order_histogram", "disjunctive_brand_revenue",
+    "idle_rich_customers", "small_lot_lost_revenue",
+    "significant_part_revenue", "top_quarter_supplier",
+    "part_supplier_variety", "sole_late_supplier", "nation_year_profit",
+    "returned_item_losers", "promo_revenue_share", "surging_suppliers",
+    "cheapest_supplier_per_part", "kpis",
+)
+
+# A proven badge only attests the body that earned it: these bodies (or
+# their oracles) were rewritten AFTER their green row was recorded
+# (round-2 perf work: from_json single-parse events_json, commutative
+# sum(xxhash64) month_fingerprints, auto-routing cosine_topk), so they
+# are forced back into the checked window for a fresh row.
+_REVERIFY = frozenset({"month_fingerprints", "events_json", "cosine_topk"})
+
+# Production-hash (xxhash64) near-dup twins: benchmarked (bench.py sweeps
+# the full QUERIES registry) and unit-tested with planted duplicates, but
+# excluded from the driver-facing queries() — xxhash64 has no DuckDB
+# expression so these can never carry an oracle, and the IDENTICAL
+# pipeline with the md5-portable hash family is driver-value-checked end
+# to end (minhash_portable / lsh_pairs_portable / dedup_clusters_portable
+# / simhash_portable).
+_LIBRARY_ONLY = frozenset(
+    {"minhash_lsh_pairs", "dedup_clusters", "simhash_signatures"}
+)
+
 
 def _rotated(names: list[str]) -> list[str]:
-    proven = set(_DRIVER_PROVEN_R01)
+    proven = (
+        set(_DRIVER_PROVEN_R01) | set(_DRIVER_PROVEN_R02)
+    ) - _REVERIFY
+    names = [n for n in names if n not in _LIBRARY_ONLY]
     return [n for n in names if n not in proven] + [
         n for n in names if n in proven
     ]

@@ -45,6 +45,10 @@ _DEFAULTS = {
         "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"
     ),
     "spark.ui.enabled": "false",
+    # No console progress bar: its \r-terminated repaints interleave
+    # with stdout when a harness merges streams, breaking one-line
+    # machine-readable output contracts (bench.py).
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
