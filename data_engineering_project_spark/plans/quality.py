@@ -169,3 +169,31 @@ def silver_items_checks() -> list[Check]:
         ge("price", 0),
         ge("freight_value", 0),
     ]
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile — null count and exact distinct count — as a
+    tall (column_name, null_count, distinct_count) relation.
+
+    All null counters come from ONE aggregate pass (conditional counts,
+    like the DQ gates above); the exact distinct counts are per-column
+    aggregates Spark plans as a single multi-distinct via Expand. At
+    lake scale swap ``countDistinct`` for ``approx_count_distinct`` —
+    the profile is a triage artifact, not an oracle-checked result —
+    but the exact form is what a cross-engine check can verify."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, null_count, distinct_count)"
+        )
+    )

@@ -34,9 +34,11 @@ from data_engineering_project_spark.operators import (
     dedup,
     funnel,
     packing,
+    reach,
     sampling,
     sessionize,
     similarity,
+    terms,
 )
 from data_engineering_project_spark.operators.asof import asof_join
 from data_engineering_project_spark.operators.joins import anti_join, semi_join
@@ -3696,6 +3698,491 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supplier"),
             F.round("unit_cost", 4).alias("unit_cost"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term-level corpus statistics, profiling, and analytics additions (round 3) —
+# operators/terms.py, operators/reach.py, plans/quality.profile_columns.
+# ---------------------------------------------------------------------------
+
+_TERMS_EX_CTE = """
+ex AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+exd AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+    FROM documents
+)
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH {_TERMS_EX_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM exd GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(n.n_docs / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rnk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per document by TF-IDF
+    (operators/terms.py) — ranked on the ROUNDED score with a term
+    tiebreak so the total order is cross-engine identical."""
+    docs = load(spark, sf_dir, "documents")
+    return terms.tfidf_topk(docs, "text", "doc_id", k=3)
+
+
+@register(
+    "stopword_candidates",
+    f"""
+WITH {_TERMS_EX_CTE},
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM exd GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df,
+       ROUND(df / CAST(n.n_docs AS DOUBLE), 4) AS doc_ratio
+FROM dfreq CROSS JOIN n
+WHERE df * 5 > n.n_docs * 2
+""",
+)
+def q_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive stopword mining: terms in >40% of documents.
+    The threshold compare is exact integer math (df*5 > N*2) — no
+    float-boundary flips between engines."""
+    docs = load(spark, sf_dir, "documents")
+    return terms.stopword_candidates(docs, "text", "doc_id", min_doc_ratio=0.4)
+
+
+@register(
+    "word_bigram_top50",
+    """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 50
+""",
+)
+def q_word_bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram profile, top 50: the pair construction is a
+    per-row zip of the token array with its own tail (pure Catalyst —
+    no positional self-join), then one term-keyed aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        terms.word_bigram_counts(docs, "text")
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@register(
+    "vocab_overlap_jaccard",
+    """
+WITH vocab AS (
+    SELECT DISTINCT grp, term FROM (
+        SELECT source AS grp,
+               unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    )
+),
+sizes AS (SELECT grp, COUNT(*) AS n_terms FROM vocab GROUP BY 1),
+inter AS (
+    SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM vocab a JOIN vocab b ON a.term = b.term AND a.grp < b.grp
+    GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, n_common,
+       ROUND(n_common / CAST(sa.n_terms + sb.n_terms - n_common AS DOUBLE),
+             6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.grp = inter.grp_a
+JOIN sizes sb ON sb.grp = inter.grp_b
+""",
+)
+def q_vocab_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between sources: pairwise Jaccard of distinct
+    term sets via a term-keyed equi-self-join (linear in shared
+    vocabulary, never |A|x|B|)."""
+    docs = load(spark, sf_dir, "documents")
+    return terms.vocab_jaccard(docs, "text", "source")
+
+
+@register(
+    "rfm_segments",
+    """
+WITH per_cust AS (
+    SELECT o_custkey AS custkey,
+           date_diff('day', MAX(o_orderdate),
+                     (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+           COUNT(*) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT custkey, monetary,
+           NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m_quartile
+    FROM per_cust
+)
+SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+       CAST(f_quartile AS BIGINT) AS f_quartile,
+       CAST(m_quartile AS BIGINT) AS m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic CRM cube. NTILE orders carry a custkey tiebreak so bucket
+    assignment is deterministic cross-engine; monetary accumulates in
+    DECIMAL so the quartile sort and the segment sums are exact.
+
+    Scale note: the three NTILEs are global-order windows over the
+    ALREADY-AGGREGATED per-customer relation (one row per customer) —
+    the same serialization trade documented at order_value_deciles; at
+    lake scale replace NTILE with approx-percentile cutpoints and a
+    broadcast bucket join."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
+    )
+    w_all = Window.partitionBy()
+    per_cust = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_order").over(w_all), F.col("last_order")),
+    )
+    scored = per_cust.select(
+        "custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .cast("long")
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("total_monetary"),
+    )
+
+
+@register(
+    "revenue_zscore_outliers",
+    """
+WITH daily AS (
+    SELECT n_name AS nation, o_orderdate AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT nation, day, revenue,
+           AVG(revenue) OVER (PARTITION BY nation) AS mu,
+           STDDEV_SAMP(revenue) OVER (PARTITION BY nation) AS sigma
+    FROM daily
+)
+SELECT nation, day, ROUND(revenue, 2) AS revenue,
+       ROUND((revenue - mu) / sigma, 4) AS zscore
+FROM stats
+WHERE ABS(ROUND((revenue - mu) / sigma, 4)) > 2.0
+""",
+)
+def q_revenue_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: nation-days whose revenue is more
+    than 2 sample standard deviations from that nation's mean. Daily
+    revenue accumulates in DECIMAL (exact) before the float z-score;
+    the outlier filter applies to the ROUNDED z on both engines so the
+    decision boundary is identical. Windows are nation-partitioned —
+    no global order anywhere."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation")
+    stats = daily.select(
+        "nation",
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("revenue") - F.col("mu")) / F.col("sigma"), 4)
+    return stats.filter(F.abs(z) > 2.0).select(
+        "nation", "day", F.round("revenue", 2).alias("revenue"), z.alias("zscore")
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_totalprice",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name,"
+    f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS null_count,"
+    f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_count FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+@register("orders_column_profile", _PROFILE_ORACLE)
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (plans/quality.profile_columns): null + exact
+    distinct counts for every orders column in one aggregate pass,
+    unpivoted to a tall relation via stack()."""
+    from data_engineering_project_spark.plans import quality
+
+    orders = load(spark, sf_dir, "orders")
+    return quality.profile_columns(orders, list(_PROFILE_COLS))
+
+
+@register(
+    "part_price_histogram",
+    """
+SELECT CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38, 6))), 2) AS DOUBLE)
+           AS total_price
+FROM part GROUP BY 1
+""",
+)
+def q_part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width=100) over part retail price — the
+    binning is arithmetic on the scan (no shuffle before the bucketed
+    aggregate), so the histogram costs one pass + one tiny shuffle."""
+    part = load(spark, sf_dir, "part")
+    return part.groupBy(
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum(F.col("p_retailprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "events_hourly_rate",
+    """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE)
+           AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_hourly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed event rates: hourly count + exact value sum per
+    event type. date_trunc is a scan-side expression; the aggregate
+    shuffles (hour, type) keys only."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "user_activity_gaps",
+    """
+WITH g AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+)
+SELECT user_id,
+       MAX(date_diff('microsecond', prev_ts, ts)) AS max_gap_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY 1
+HAVING MAX(date_diff('microsecond', prev_ts, ts)) IS NOT NULL
+ORDER BY max_gap_us DESC, user_id ASC
+LIMIT 20
+""",
+)
+def q_user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest inactivity gap per user (lag over a user-partitioned
+    window, exact microsecond diff — no truncation ambiguity), top 20.
+    Single-event users have no gap and are excluded on both sides."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # parquet NTZ timestamps reinterpret exactly as UTC instants (the
+    # session TZ is pinned UTC) — unix_micros needs the instant type
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn(
+        "gap_us",
+        ts_us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w)),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.max("gap_us").alias("max_gap_us"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("max_gap_us").isNotNull())
+        .orderBy(F.desc("max_gap_us"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "nation_revenue_pareto",
+    """
+WITH per_cust AS (
+    SELECT n_name AS nation, c_custkey AS custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT nation, custkey, revenue,
+           SUM(revenue) OVER (PARTITION BY nation
+                              ORDER BY revenue DESC, custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+           SUM(revenue) OVER (PARTITION BY nation) AS total
+    FROM per_cust
+)
+SELECT nation,
+       CAST(COUNT(CASE WHEN (cum - revenue) * 5 < total * 4 THEN 1 END)
+            AS BIGINT) AS n_customers_80pct,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(MAX(total), 2) AS DOUBLE) AS total_revenue
+FROM ranked GROUP BY 1
+""",
+)
+def q_nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top customers cover 80% of each
+    nation's revenue. The crossing test is exact decimal integer math
+    ((cum_before)*5 < total*4 — no 0.8 float literal), and the running
+    sum is a nation-partitioned window, so nothing is globally
+    ordered."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_custkey").alias("custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("nation")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("nation")
+    ranked = per_cust.select(
+        "nation",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(w_tot).alias("total"),
+    )
+    crossed = (F.col("cum") - F.col("revenue")) * 5 < F.col("total") * 4
+    return ranked.groupBy("nation").agg(
+        F.count(F.when(crossed, 1)).alias("n_customers_80pct"),
+        F.count("*").alias("n_customers"),
+        F.round(F.max("total"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "rolling_7d_reach",
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+contrib AS (
+    SELECT CAST(day + INTERVAL (x) DAY AS DATE) AS report_day, user_id
+    FROM du CROSS JOIN range(7) t(x)
+),
+observed AS (SELECT DISTINCT day FROM du)
+SELECT report_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
+FROM contrib JOIN observed ON contrib.report_day = observed.day
+GROUP BY 1
+""",
+)
+def q_rolling_7d_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per active day
+    (operators/reach.py): bounded-explode contribution rows + one
+    equi-shuffle — the scale-safe alternative to a range join or a
+    collect_set window. The HLL-sketch variant for lake scale is
+    reach_rollup_sketch."""
+    ev = load(spark, sf_dir, "events")
+    return reach.rolling_reach(ev, "ts", "user_id", window_days=7)
+
+
+@register(
+    "doc_length_percentiles",
+    """
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+""",
+)
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document length distribution (exact continuous
+    percentiles — Spark `percentile` == DuckDB `quantile_cont`
+    interpolation, same convention as delivery_percentiles)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.count("*").alias("n_docs"),
     )
 
 
