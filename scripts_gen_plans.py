@@ -37,6 +37,10 @@ SHOWCASE = {
     "month_fingerprints": "commutative sum-of-hash fingerprint: 4-scalar partial aggs, no per-group key materialization",
     "split_contamination": "df-cap filter and test-x-train join share the shingle shuffle; split tags computed map-side (no attach join)",
     "dedup_incremental_index": "new batch's band rows bucket-join the stored index — delta-only hashing, no corpus rescan",
+    "tfidf_top_terms": "explode -> term-keyed equi-shuffles with map-side partial counts; per-doc rank window, no global order",
+    "rolling_7d_reach": "bounded 7x explode replaces the range join — every stage after the fan-out is a plain hash aggregate",
+    "nation_revenue_pareto": "nation-partitioned running sum (no global-order window); dims broadcast before the per-customer aggregate",
+    "vocab_overlap_jaccard": "vocabulary self-join is term-keyed equi (linear in shared vocab), group-size table broadcast",
 }
 
 
