@@ -4186,6 +4186,292 @@ def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_type_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM pairs
+""",
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: lag pairs → (prev, next) counts → row-normalized
+    probabilities. Two narrow shuffles (user window, then the tiny
+    pair-keyed aggregate); the normalizing window runs over the
+    5×5-ish transition matrix, not the raw events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("p"),
+    )
+
+
+@register(
+    "copurchase_pairs",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 25
+""",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top 25. The self-join is keyed on the orderkey, so pair
+    blow-up is bounded by per-order basket size squared (TPC-H ≤7
+    items → ≤21 pairs/order), never corpus-quadratic; at lake scale a
+    giant basket would be df-capped first (same guard the LSH pair
+    generators use)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
+
+
+@register(
+    "user_event_entropy",
+    """
+WITH dist AS (
+    SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT user_id, n,
+           SUM(n) OVER (PARTITION BY user_id) AS total
+    FROM dist
+)
+SELECT user_id,
+       ROUND(SUM(-(n / CAST(total AS DOUBLE))
+                 * LN(n / CAST(total AS DOUBLE)) / LN(2)), 6) AS entropy_bits,
+       CAST(MAX(total) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+ORDER BY entropy_bits DESC, user_id ASC
+LIMIT 20
+""",
+)
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution —
+    behavioral-diversity scoring. The entropy sum runs over ≤5 terms
+    per user (the type distribution, not the raw events), and the
+    top-20 cut orders on the ROUNDED entropy with a user tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    dist = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w_user = Window.partitionBy("user_id")
+    with_tot = dist.withColumn("total", F.sum("n").over(w_user))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        with_tot.groupBy("user_id")
+        .agg(
+            F.round(F.sum(-p * F.log(p) / F.log(F.lit(2.0))), 6).alias(
+                "entropy_bits"
+            ),
+            F.max("total").alias("n_events"),
+        )
+        .orderBy(F.desc("entropy_bits"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "part_abc_classes",
+    """
+WITH rev AS (
+    SELECT l_partkey AS partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(38, 6))) AS revenue
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT partkey, revenue,
+           SUM(revenue) OVER (ORDER BY revenue DESC, partkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+           SUM(revenue) OVER () AS total
+    FROM rev
+)
+SELECT CASE WHEN (cum - revenue) * 5 < total * 4 THEN 'A'
+            WHEN (cum - revenue) * 20 < total * 19 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(revenue), 2) AS DOUBLE) AS class_revenue
+FROM ranked GROUP BY 1
+""",
+)
+def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts covering the first 80% of
+    revenue are A, the next 15% B, the tail C. Class boundaries are
+    exact decimal integer compares (cum*5 < total*4, cum*20 <
+    total*19). Scale note: like order_value_deciles, the ranking is
+    ONE global-order window over the per-part aggregate (not raw
+    lineitems); at lake scale replace with two approx-percentile
+    revenue cutpoints and a map-side CASE."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    before = F.col("cum") - F.col("revenue")
+    cls = (
+        F.when(before * 5 < F.col("total") * 4, "A")
+        .when(before * 20 < F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+    )
+
+
+@register(
+    "weekly_stickiness",
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+c7 AS (
+    SELECT CAST(day + INTERVAL (x) DAY AS DATE) AS report_day, user_id
+    FROM du CROSS JOIN range(7) t(x)
+),
+c28 AS (
+    SELECT CAST(day + INTERVAL (x) DAY AS DATE) AS report_day, user_id
+    FROM du CROSS JOIN range(28) t(x)
+),
+obs AS (SELECT DISTINCT day FROM du),
+w AS (
+    SELECT report_day AS day, COUNT(DISTINCT user_id) AS wau
+    FROM c7 JOIN obs ON c7.report_day = obs.day GROUP BY 1
+),
+m AS (
+    SELECT report_day AS day, COUNT(DISTINCT user_id) AS mau
+    FROM c28 JOIN obs ON c28.report_day = obs.day GROUP BY 1
+)
+SELECT w.day, CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
+       ROUND(wau / CAST(mau AS DOUBLE), 4) AS stickiness
+FROM w JOIN m ON w.day = m.day
+""",
+)
+def q_weekly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness (WAU/MAU per day): two
+    bounded-explode rolling reaches (operators/reach.py) joined on the
+    report day — the 28-day window costs a 28× fan-out of distinct
+    (day, user) pairs, still linear and equi-shuffled, never a range
+    join over raw events."""
+    ev = load(spark, sf_dir, "events")
+    wau = reach.rolling_reach(ev, "ts", "user_id", window_days=7).select(
+        "day", F.col("reach").alias("wau")
+    )
+    mau = reach.rolling_reach(ev, "ts", "user_id", window_days=28).select(
+        "day", F.col("reach").alias("mau")
+    )
+    return wau.join(mau, "day").select(
+        "day",
+        "wau",
+        "mau",
+        F.round(F.col("wau") / F.col("mau").cast("double"), 4).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "session_purchase_rate",
+    """
+WITH lagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+s AS (
+    SELECT user_id, event_type,
+           SUM(CASE WHEN prev IS NULL
+                      OR date_diff('second', prev, ts) > 3600
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM lagged
+),
+per_session AS (
+    SELECT user_id, session_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+    FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(has_purchase) AS BIGINT) AS purchase_sessions,
+       ROUND(SUM(has_purchase) / CAST(COUNT(*) AS DOUBLE), 4) AS purchase_rate
+FROM per_session GROUP BY 1
+""",
+)
+def q_session_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: share of each user's sessions that
+    contain a purchase — sessionization (operators/sessionize.py, the
+    lag → flag → running-sum pattern, gap 1h) composed with a
+    per-session MAX and a per-user rollup. All windows and aggregates
+    are user-partitioned."""
+    ev = load(spark, sf_dir, "events")
+    with_ids = sessionize.with_session_ids(
+        ev, "user_id", "ts", "event_id", gap_seconds=3600
+    )
+    per_session = with_ids.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_purchase").alias("purchase_sessions"),
+        F.round(
+            F.sum("has_purchase") / F.count("*").cast("double"), 4
+        ).alias("purchase_rate"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
