@@ -4472,6 +4472,297 @@ def q_session_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic hyperplane-LSH ANN with a value oracle ------------------
+# The planes are fixed driver-side constants (seeded numpy), so the bucketed
+# candidate set — normally the "approximate" part of ANN — is fully
+# deterministic and the SAME signature arithmetic can be spelled in DuckDB
+# SQL: an approximate-nearest-neighbor pipeline with an exact oracle.
+
+
+def _lsh_planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    return [[float(v) for v in row] for row in rs.standard_normal((n_planes, dim))]
+
+
+def _lsh_bucket_sql(planes: list[list[float]], vec: str) -> str:
+    cases = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({vec}, CAST({lit} AS DOUBLE[])),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        cases.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + "\n         + ".join(cases) + ")"
+
+
+_LSH_PLANES = _lsh_planes()
+
+_COSINE_SQL = """
+ROUND(
+    list_sum(list_transform(list_zip(q_vec, c_vec),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) AS cosine
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH sigs AS (
+    SELECT vec_id, embedding,
+           {_lsh_bucket_sql(_LSH_PLANES, "embedding")} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+      FROM sigs WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM sigs),
+scored AS (
+    SELECT query_id, neighbor_id, {_COSINE_SQL}
+    FROM c JOIN q USING (bucket)
+    WHERE query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rnk <= 5
+""",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH bucketing
+    (operators/similarity.lsh_bucket_topk): candidates are compared
+    only within matching 6-bit sign-signature buckets — the ANN scale
+    path (bucket equi-join, ~|corpus|/64 pairs per query instead of
+    |corpus|). The fixed seeded planes make the signature — and
+    therefore the candidate set — deterministic, so this
+    approximate-search pipeline carries a full value oracle rather
+    than a recall bound."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucket_topk(
+        emb, queries, _LSH_PLANES, "vec_id", "embedding", k=5
+    )
+
+
+@register(
+    "order_value_decile_cutpoints",
+    """
+WITH cuts AS (
+    SELECT quantile_cont(o_totalprice,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+    FROM orders
+)
+SELECT CAST(1 + len(list_filter(cuts.qs, q -> o_totalprice > q)) AS BIGINT)
+           AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 6))), 2) AS DOUBLE)
+           AS decile_revenue
+FROM orders CROSS JOIN cuts
+GROUP BY 1
+""",
+)
+def q_order_value_decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles WITHOUT a global-order window — the documented scale
+    path for order_value_deciles: one exact-percentile aggregate
+    produces the 9 cutpoints (a single reduce, no row ranking), the
+    cutpoint array broadcasts, and bucket assignment is a map-side
+    filter-count against it. Same decile populations as NTILE up to
+    cutpoint ties, at a fraction of the shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("qs")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            (
+                1 + F.size(F.filter("qs", lambda q: F.col("o_totalprice") > q))
+            )
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("decile_revenue"),
+        )
+    )
+
+
+@register(
+    "similar_part_names",
+    """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+""",
+)
+def q_similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution with blocking: candidate part pairs
+    share (brand, size) — an equi-join that bounds the quadratic
+    edit-distance work to within-block pairs (the same
+    blocking-before-verify shape as MinHash-LSH for documents) — then
+    exact Levenshtein filters to near-identical names."""
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 12)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("edit_distance"),
+        )
+    )
+
+
+@register(
+    "salted_top_users",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE)
+           AS total_value
+FROM events GROUP BY 1
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+""",
+)
+def q_salted_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (operators/skew.salted_agg): the
+    per-user rollup runs over a synthetic (user, salt) key space first,
+    so one hot user fans out across 16 reducers before the cheap final
+    combine — value-identical to the plain GROUP BY oracle, which is
+    the point: skew mitigation must never change results."""
+    from data_engineering_project_spark.operators import skew
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    agg = skew.salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={"n_events": ("count", "event_id"), "total_value": ("sum", "v")},
+        salt_from=["event_id"],
+        salt_buckets=16,
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "customer_revenue_rank",
+    """
+WITH per_cust AS (
+    SELECT n_name AS nation, c_custkey AS custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation, custkey,
+       CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+       ROUND(percent_rank() OVER (PARTITION BY nation
+                                  ORDER BY revenue ASC, custkey ASC),
+             6) AS pct_rank,
+       ROUND(cume_dist() OVER (PARTITION BY nation
+                               ORDER BY revenue ASC, custkey ASC),
+             6) AS cume
+FROM per_cust
+""",
+)
+def q_customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within nation — the remaining ranking
+    window shapes. The order carries a custkey tiebreak so every rank
+    is unique and cross-engine identical; revenue ranks on the exact
+    DECIMAL, not the rounded display value."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_custkey").alias("custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(F.asc("revenue"), F.asc("custkey"))
+    return per_cust.select(
+        "nation",
+        "custkey",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "customer_last3_total",
+    """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS last3_revenue
+FROM orders
+""",
+)
+def q_customer_last3_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-order revenue per customer — the ROWS-frame sliding
+    window (revenue_7d_moving covers the RANGE frame). Exact DECIMAL
+    accumulation inside the frame; customer-partitioned, no global
+    order."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w), 2)
+        .cast("double")
+        .alias("last3_revenue"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
