@@ -1,0 +1,123 @@
+"""Driver-simulation correctness check — dtype-sensitive, like the real gate.
+
+Runs each named workload query in Spark AND its DuckDB oracle at sf0.01,
+converts both to pandas, sorts columns by name and rows by value, then
+compares a hash over the *string-rendered cells including dtype-visible
+formatting* (so a DuckDB HUGEINT->object/float column vs Spark int64 shows
+up, as it does in the driver's hasher).
+
+Usage: python scripts_driver_sim.py [query ...]   (default: first 50 window)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_project_spark.plans import workload
+from data_engineering_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> tuple[str, str]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Date-like normalization: the real driver hashes Spark DateType
+    # (pandas object of datetime.date) equal to DuckDB DATE
+    # (datetime64[us]) — star_dim_time was hash-green in round 1 with
+    # exactly that dtype pair. Mirror that: render midnight timestamps
+    # and date objects as the same ISO date string.
+    import datetime as _dt
+
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            ser = df[c]
+            if (ser.dropna().dt.normalize() == ser.dropna()).all():
+                df[c] = ser.dt.strftime("%Y-%m-%d")
+            else:
+                df[c] = ser.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (_dt.date, _dt.datetime)) or v is None
+        ).all() and df[c].notna().any():
+            df[c] = df[c].map(
+                lambda v: None
+                if v is None
+                else (
+                    v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                    if isinstance(v, _dt.datetime)
+                    and (v.hour or v.minute or v.second or v.microsecond)
+                    else v.strftime("%Y-%m-%d")
+                )
+            )
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    dtypes = ",".join(f"{c}:{df[c].dtype}" for c in df.columns)
+    h = hashlib.sha256()
+    for _, row in df.iterrows():
+        h.update(("|".join(repr(v) for v in row) + "\n").encode())
+    return dtypes, h.hexdigest()
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(workload.queries())[:50]
+    spark = get_spark("driver-sim")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = workload.oracle_sql()
+    qs = workload.queries()
+    bad = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"SPARK ERROR {e}"))
+            print(f"{name:40s} SPARK ERROR: {e}")
+            continue
+        if name not in oracles:
+            print(f"{name:40s} rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"ORACLE ERROR {e}"))
+            print(f"{name:40s} ORACLE ERROR: {e}")
+            continue
+        try:
+            sd, sh = _canon(sdf)
+            od, oh = _canon(odf)
+        except TypeError as e:
+            bad.append((name, f"CANON ERROR {e}"))
+            print(f"{name:40s} CANON ERROR: {e}")
+            continue
+        rows_ok = len(sdf) == len(odf)
+        cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+        hash_ok = sh == oh
+        status = "OK" if (rows_ok and cols_ok and hash_ok) else "MISMATCH"
+        if status != "OK":
+            bad.append((name, f"rows={rows_ok} cols={cols_ok} hash={hash_ok}"))
+            print(f"{name:40s} MISMATCH rows={rows_ok}({len(sdf)}/{len(odf)}) cols={cols_ok} hash={hash_ok}")
+            if not hash_ok and rows_ok and cols_ok:
+                print(f"    spark dtypes: {sd}")
+                print(f"    duck  dtypes: {od}")
+        else:
+            print(f"{name:40s} OK ({len(sdf)} rows)")
+    print(f"\n{len(names) - len(bad)}/{len(names)} pass")
+    for n, why in bad:
+        print(f"  FAIL {n}: {why}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
