@@ -21,7 +21,7 @@ driver-side collects):
 from __future__ import annotations
 
 from pyspark.ml.feature import NGram
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions.text import doc_fingerprint, tokens
@@ -656,4 +656,74 @@ def cross_split_contamination(
         .groupBy("test_doc", "train_doc")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 1,
+    threshold_denom: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact set-similarity self-join with PPJoin-style prefix filtering
+    (Xiao et al., WWW'08 — public algorithm): all pairs with shingle
+    Jaccard >= threshold_num/threshold_denom, WITHOUT the all-pairs
+    compare and WITHOUT the probabilistic miss of MinHash-LSH.
+
+    Pruning: order each document's shingle set by global rarity
+    (document frequency asc, shingle asc) and index only its first
+    ``|S| - ceil(t*|S|) + 1`` shingles — two sets meeting the threshold
+    MUST collide inside these prefixes, so the candidate join touches
+    rare shingles only (the Zipf head that would explode a full
+    inverted-index join never enters the index). Exact-recall
+    complement to LSH banding: same equi-join shape, deterministic
+    candidate set, integer threshold verify (inter*denom >= union*num —
+    no float boundary).
+
+    Scale: one df-count aggregate over (doc, shingle), one rank window
+    per doc (bounded by doc shingle count), an equi-join on rare
+    shingles, then per-pair array intersection on candidates only.
+    """
+    sh = shingle_arrays(df, text_col, id_col, shingle_n)
+    sh = sh.filter(F.size("sh") > 0)
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("__sh"))
+    dfreq = ex.groupBy("__sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__sh"))
+    ranked = (
+        ex.join(dfreq, "__sh")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sh.select(F.col(id_col), F.size("sh").alias("__sz")), id_col)
+    )
+    num, denom = threshold_num, threshold_denom
+    prefix_len = (
+        F.col("__sz")
+        - F.floor((num * F.col("__sz") + denom - 1) / denom)
+        + 1
+    )
+    prefix = ranked.filter(F.col("__rn") <= prefix_len).select(
+        F.col(id_col), "__sh"
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "__sh")
+    b = prefix.select(F.col(id_col).alias("id_b"), "__sh")
+    cands = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(inter * denom >= union * num)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
     )

@@ -123,3 +123,90 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def mixture_fractions(
+    counts: dict[str, int], weights: dict[str, float], target_total: int
+) -> dict[str, float]:
+    """Per-stratum sampling fraction hitting a target domain mixture.
+
+    ``fraction_s = min(1, target_total * weight_s / n_s)`` — a stratum
+    smaller than its quota is taken whole (the standard under-supply
+    rule in mixture construction: you cannot upsample what is not
+    there; epoch-level repetition is a training-loop concern, not a
+    data-engineering one).
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-6:
+        raise ValueError("mixture weights must sum to 1")
+    return {
+        s: min(1.0, target_total * w / counts[s])
+        for s, w in weights.items()
+        if s in counts
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    target_total: int,
+) -> DataFrame:
+    """Deterministic sample approximating a target domain mixture
+    (e.g. 40% en / 15% each de-es-fr-zh), the domain-reweighting
+    primitive of pretraining-corpus construction (DoReMi-style fixed
+    mixtures; public idea).
+
+    Membership is the same md5-bucket predicate as :func:`hash_sample`
+    — map-only per row once the per-stratum thresholds are known. The
+    stratum count table is tiny (|domains| rows): computed in one
+    aggregate and carried back as a literal CASE ladder, so the data
+    path stays a single scan + filter with NO join and NO shuffle.
+    Strata absent from ``weights`` are dropped (weight 0).
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    fracs = mixture_fractions(counts, weights, target_total)
+    bucket = hash_bucket(key_col)
+    pred = F.lit(False)
+    for s, frac in fracs.items():
+        thr = int(frac * 256)
+        keep = (
+            F.lit(True) if thr >= 256 else bucket < F.lit(_hex2(thr))
+        )
+        pred = pred | ((F.col(strata_col) == s) & keep)
+    return df.filter(pred)
+
+
+def mixture_sample_sql(
+    strata_sql: str,
+    key_sql: str,
+    weights: dict[str, float],
+    target_total: int,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` — computes the same
+    per-stratum thresholds from the same counts, in SQL."""
+    cases = " ".join(
+        f"WHEN {strata_sql} = '{s}' THEN {w!r}" for s, w in weights.items()
+    )
+    return f"""
+WITH counts AS (
+    SELECT {strata_sql} AS s, COUNT(*) AS n FROM {table} GROUP BY 1
+),
+fracs AS (
+    SELECT s,
+           LEAST(1.0, {target_total} * (CASE {cases} ELSE 0 END) / n)
+               AS frac
+    FROM counts
+)
+SELECT t.* FROM {table} t
+JOIN fracs ON fracs.s = t.{strata_sql}
+WHERE fracs.frac >= 1.0
+   OR substring(md5(CAST(t.{key_sql} AS VARCHAR)), 1, 2)
+      < printf('%02x', CAST(floor(fracs.frac * 256) AS INT))
+"""

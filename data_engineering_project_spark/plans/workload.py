@@ -31,9 +31,12 @@ from data_engineering_project_spark.functions.text import (
     type_token_ratio,
 )
 from data_engineering_project_spark.operators import (
+    chunking,
     dedup,
     funnel,
     packing,
+    quality_rules,
+    ranking,
     reach,
     sampling,
     sessionize,
@@ -4761,6 +4764,302 @@ def q_customer_last3_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("last3_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 2: retrieval ranking (BM25), RAG chunking (Catalyst +
+# Spark-4 Python UDTF), Gopher-style repetition filters, exact-recall
+# prefix-filter similarity join, domain-mixture sampling, hourly
+# event downsampling, robust (MAD) outliers, media frame sampling.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "scan")
+_BM25_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@register(
+    "bm25_topk20",
+    f"""
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+       WHERE term IN {_BM25_IN} GROUP BY 1, 2),
+exd AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM exd
+          WHERE term IN {_BM25_IN} GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY 1
+)
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rnk
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25_topk20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus (operators/ranking.py) —
+    top-20 documents for a 3-term probe query. The distributed top-k is
+    a TakeOrderedAndProject (per-partition heap + driver merge), not a
+    global sort; the query-term df table broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    return ranking.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=20)
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+    SELECT doc_id, t, CAST(i AS INT) AS start_token, CAST(i // 24 AS INT) AS chunk_idx
+    FROM toks, unnest(range(0, len(t), 24)) AS g(i)
+)
+SELECT doc_id, chunk_idx, start_token,
+       CAST(len(list_slice(t, start_token + 1, start_token + 32)) AS INT)
+           AS n_tokens,
+       array_to_string(list_slice(t, start_token + 1, start_token + 32), ' ')
+           AS chunk
+FROM st
+"""
+
+
+@register("doc_chunks", _CHUNK_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 32-token windows, 8-token overlap
+    (operators/chunking.chunk_documents) — pure Catalyst sequence →
+    posexplode, a projection with NO shuffle; row fan-out is managed by
+    the optimizer, not Python."""
+    docs = load(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, "text", "doc_id", size=32, overlap=8)
+
+
+@register("doc_chunks_udtf", _CHUNK_ORACLE)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunk contract through a Spark 4 Python UDTF lateral
+    join (operators/chunking.chunk_documents_udtf) — proves the
+    SURVEY.md §2.10 table-function surface end-to-end against the same
+    oracle as the Catalyst path. Demonstration path: row-at-a-time
+    Python, kept out of 100 TB hot paths."""
+    docs = load(spark, sf_dir, "documents")
+    return chunking.chunk_documents_udtf(
+        docs, "text", "doc_id", size=32, overlap=8
+    )
+
+
+@register(
+    "doc_repetition_flags",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+         FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS g FROM toks),
+mtf AS (SELECT doc_id, MAX(n) AS max_tf FROM
+        (SELECT doc_id, g, COUNT(*) AS n FROM ex GROUP BY 1, 2) GROUP BY 1),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i + 1])) AS g
+       FROM toks WHERE len(t) >= 2),
+mbg AS (SELECT doc_id, MAX(n) AS max_bg FROM
+        (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INT) AS n_tokens,
+       ROUND(b.n_distinct / b.n_tokens, 4) AS distinct_ratio,
+       ROUND(mtf.max_tf / b.n_tokens, 4) AS top_term_ratio,
+       ROUND(COALESCE(mbg.max_bg, 0) / GREATEST(b.n_tokens - 1, 1), 4)
+           AS top_bigram_ratio,
+       CAST(mtf.max_tf * 5 > b.n_tokens AS INT) AS rep_unigram,
+       CAST(COALESCE(mbg.max_bg, 0) * 50 > GREATEST(b.n_tokens - 1, 1) * 9
+            AS INT) AS rep_bigram,
+       CAST(b.n_distinct * 10 < b.n_tokens * 3 AS INT) AS low_diversity,
+       CAST(NOT (mtf.max_tf * 5 > b.n_tokens)
+            AND NOT (COALESCE(mbg.max_bg, 0) * 50
+                     > GREATEST(b.n_tokens - 1, 1) * 9)
+            AND NOT (b.n_distinct * 10 < b.n_tokens * 3) AS INT) AS keep
+FROM base b JOIN mtf USING (doc_id) LEFT JOIN mbg USING (doc_id)
+""",
+)
+def q_doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity keep-drop filters
+    (operators/quality_rules.py): top-term ratio, top-bigram ratio,
+    distinct-token ratio + exact integer-compare flags. Doc-keyed
+    aggregations only — the Zipf-skewed term axis collapses inside each
+    document before any shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    out = quality_rules.doc_repetition_stats(docs, "text", "doc_id")
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@register(
+    "jaccard_prefix_pairs",
+    f"""
+WITH {_SHINGLE_CTES},
+dfreq AS (SELECT sh AS s, COUNT(*) AS df FROM sh GROUP BY 1),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+ranked AS (
+    SELECT sh.doc_id, sh.sh,
+           ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                              ORDER BY d.df ASC, sh.sh ASC) AS rn
+    FROM sh JOIN dfreq d ON d.s = sh.sh
+),
+prefix AS (
+    SELECT r.doc_id, r.sh FROM ranked r JOIN szs USING (doc_id)
+    WHERE rn <= sz - floor((1 * sz + 2 - 1) / 2) + 1
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+shl AS (SELECT doc_id, list(sh) AS sh_list FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(a.sh_list, b.sh_list)) AS DOUBLE)
+             / (len(a.sh_list) + len(b.sh_list)
+                - len(list_intersect(a.sh_list, b.sh_list))), 4) AS jaccard
+FROM cands
+JOIN shl a ON cands.id_a = a.doc_id
+JOIN shl b ON cands.id_b = b.doc_id
+WHERE len(list_intersect(a.sh_list, b.sh_list)) * 2
+      >= (len(a.sh_list) + len(b.sh_list)
+          - len(list_intersect(a.sh_list, b.sh_list))) * 1
+""",
+)
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall near-dup pairs (shingle Jaccard >= 0.5) via
+    PPJoin-style prefix filtering (operators/dedup.prefix_filter_pairs)
+    — the deterministic complement to MinHash-LSH: rarity-ordered
+    prefixes guarantee every qualifying pair collides, while the
+    equi-join only ever touches rare shingles. Integer threshold
+    verify, no float boundary."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, "text", "doc_id", 1, 2)
+
+
+_MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+@register(
+    "mixture_corpus_sample",
+    "SELECT doc_id, lang, source, n_chars FROM ("
+    + sampling.mixture_sample_sql("lang", "doc_id", _MIXTURE_WEIGHTS, 200)
+    + ")",
+)
+def q_mixture_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighted corpus sample (operators/sampling.
+    mixture_sample): deterministic md5-bucket membership hits a target
+    language mixture (40% en / 15% each de-es-fr-zh, ~200 docs). The
+    per-stratum thresholds come from one tiny count aggregate; the data
+    path is a single scan + map-only predicate — no join, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(docs, "lang", "doc_id", _MIXTURE_WEIGHTS, 200)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "events_hourly_latest",
+    """
+SELECT user_id, date_trunc('hour', ts) AS hour, event_id, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def q_events_hourly_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed downsampling: the LATEST event per (user, hour) — the
+    batch shape of streaming dropDuplicates-within-window compaction.
+    One shuffle on the (user, hour) key; the rank window is bounded by
+    per-key event count."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "hour", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "order_price_mad_outliers",
+    """
+WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+mad AS (SELECT quantile_cont(abs(o_totalprice - med.med), 0.5) AS mad
+        FROM orders CROSS JOIN med),
+flagged AS (
+    SELECT o_orderpriority AS priority,
+           CAST(abs(o_totalprice - med.med)
+                > 3.0 * CAST(1.4826 AS DOUBLE) * mad.mad AS INT) AS is_out
+    FROM orders CROSS JOIN med CROSS JOIN mad
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers
+FROM flagged GROUP BY priority
+""",
+)
+def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation with the
+    3-sigma-equivalent 1.4826 consistency constant (public statistics).
+    The two medians are exact interpolated percentiles collected as
+    control-plane scalars (2 one-row jobs); the flagging pass is then a
+    map-only predicate — the robust-statistics shape that survives the
+    skew that wrecks z-scores."""
+    orders = load(spark, sf_dir, "orders")
+    med = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    mad = orders.agg(
+        F.expr(f"percentile(abs(o_totalprice - {med!r}), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    cut = F.lit(3.0) * F.lit(1.4826) * F.lit(mad)
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.abs(F.col("o_totalprice") - med) > cut).cast("int").alias(
+                "is_out"
+            ),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, strlen(text) AS n_bytes
+           FROM documents),
+f AS (
+    SELECT media_id, CAST(i AS INT) AS frame_idx
+    FROM m, unnest(range(0, LEAST(4, GREATEST(1,
+             CAST(floor(n_bytes / 128.0) AS INT))))) AS g(i)
+)
+SELECT media_id, frame_idx, CAST(frame_idx * 128 AS INT) AS byte_offset
+FROM f
+""",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing
+    (multimodal/binary_ops.sample_frames): each opaque payload explodes
+    into up to 4 byte-offset 'frames' — the fan-out schema a video
+    pipeline feeds to a decode UDF. Pure JVM expressions; Catalyst owns
+    the explode, Python never sees undecoded bytes."""
+    from data_engineering_project_spark.multimodal import binary_ops
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return binary_ops.sample_frames(docs, every_n_bytes=128, max_frames=4)
 
 
 # Queries that already earned a green driver CORRECTNESS row (all three

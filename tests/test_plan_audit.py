@@ -22,6 +22,12 @@ ARROW_KERNELS = {
     "media_featurize",
 }
 
+# The one query whose JOB is a Python table function: doc_chunks_udtf
+# exists to prove the SURVEY.md §2.10 UDTF surface against the same
+# oracle as its Catalyst twin (doc_chunks, which stays JVM-only and IS
+# plan-audited strictly). Every other query must not plan a UDTF.
+DECLARED_UDTF = {"doc_chunks_udtf"}
+
 
 def _formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -33,7 +39,8 @@ def _formatted_plan(spark, df) -> str:
 def test_no_cartesian_or_rowwise_udf(spark, sf_dir, name):
     plan = _formatted_plan(spark, workload.QUERIES[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    if name not in DECLARED_UDTF:
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
     if name not in ARROW_KERNELS:
         assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan and (
             "MapInPandas" not in plan
