@@ -202,3 +202,29 @@ class TestMixtureSample:
         # en quota 80 of 250 available, de quota 20 of 750: both sampled
         assert 60 <= by_lang["en"] <= 100
         assert 10 <= by_lang["de"] <= 32
+
+
+class TestQuantizationAndDecay:
+    def test_quantization_error_bounded(self, spark):
+        # int8 symmetric quantization: reconstruction error <= 0.5/scale
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.125], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        from data_engineering_project_spark.plans.workload import QUERIES
+        # exercise via the registered query path on real testdata below;
+        # here check the math directly
+        from pyspark.sql import functions as F
+        vd = F.transform("embedding", lambda x: x.cast("double"))
+        scale = F.lit(127.0) / F.array_max(F.transform(vd, F.abs))
+        err = F.array_max(
+            F.transform(vd, lambda x: F.abs(x - F.round(x * scale) / scale))
+        )
+        e = df.select(err.alias("e")).collect()[0]["e"]
+        assert e <= 0.5 / 127.0 + 1e-12
+
+    def test_ivf_recall_invariant_holds(self, spark, sf_dir):
+        from data_engineering_project_spark.plans.workload import QUERIES
+        row = QUERIES["ivf_recall_check"](spark, sf_dir).collect()[0]
+        assert row["recall_ge_60pct"] is True
+        assert row["n_queries"] == 10
