@@ -41,6 +41,12 @@ SHOWCASE = {
     "rolling_7d_reach": "bounded 7x explode replaces the range join — every stage after the fan-out is a plain hash aggregate",
     "nation_revenue_pareto": "nation-partitioned running sum (no global-order window); dims broadcast before the per-customer aggregate",
     "vocab_overlap_jaccard": "vocabulary self-join is term-keyed equi (linear in shared vocab), group-size table broadcast",
+    "bm25_topk20": "BM25: probe-term df table broadcast; doc-keyed partial-agg sum; TakeOrderedAndProject top-k (no global sort)",
+    "doc_chunks": "chunk fan-out is a pure projection (sequence -> posexplode) — zero exchanges in the whole plan",
+    "jaccard_prefix_pairs": "prefix-filtered similarity join: candidates from an equi-join on rare shingles only; verify is per-row array math",
+    "mixture_corpus_sample": "mixture sampling is ONE scan + map-only md5-bucket predicate — thresholds folded in as literals, no join",
+    "events_hourly_latest": "keyed downsampling: one (user,hour) shuffle, rank window bounded by per-key events",
+    "embedding_quantization_error": "quantization error: per-row array expressions then one small aggregate — map-only until the final groupBy",
 }
 
 
