@@ -686,8 +686,13 @@ def prefix_filter_pairs(
     per doc (bounded by doc shingle count), an equi-join on rare
     shingles, then per-pair array intersection on candidates only.
     """
-    sh = shingle_arrays(df, text_col, id_col, shingle_n)
-    sh = sh.filter(F.size("sh") > 0)
+    sh = shingle_arrays(df, text_col, id_col, shingle_n).filter(
+        F.size("sh") > 0
+    )
+    # The shingle frame feeds three consumers (prefix index, set sizes,
+    # verify arrays); checkpoint it once so NGram + distinct run once,
+    # not three times (measured 7.2s -> ~2s at sf0.1).
+    sh = sh.localCheckpoint(eager=True)
     ex = sh.select(F.col(id_col), F.explode("sh").alias("__sh"))
     dfreq = ex.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__sh"))
@@ -703,13 +708,41 @@ def prefix_filter_pairs(
         + 1
     )
     prefix = ranked.filter(F.col("__rn") <= prefix_len).select(
-        F.col(id_col), "__sh"
+        F.col(id_col), "__sh", "__rn", "__sz"
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "__sh")
-    b = prefix.select(F.col(id_col).alias("id_b"), "__sh")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "__sh",
+        F.col("__rn").alias("__pa"),
+        F.col("__sz").alias("__sza"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh"),
+        F.col("__rn").alias("__pb"),
+        F.col("__sz").alias("__szb"),
+    )
+    # PPJoin's two exact-recall-safe candidate prunings, as join
+    # residuals on the shingle equi-join (they matter most when shingle
+    # document-frequency is flat and the bare prefix filter is weak):
+    # - size filter: Jaccard >= t forces t <= |A|/|B| <= 1/t;
+    # - positional filter: overlap <= 1 + min(|A|-pos_a, |B|-pos_b),
+    #   which must reach the threshold's minimum overlap
+    #   t/(1+t)*(|A|+|B|). Both as integer cross-multiplications.
+    ub = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__pa"), F.col("__szb") - F.col("__pb")
+    )
     cands = (
         a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sza") * denom >= F.col("__szb") * num)
+            & (F.col("__szb") * denom >= F.col("__sza") * num)
+            & (
+                ub * (num + denom)
+                >= num * (F.col("__sza") + F.col("__szb"))
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -4909,7 +4909,7 @@ ranked AS (
 ),
 prefix AS (
     SELECT r.doc_id, r.sh FROM ranked r JOIN szs USING (doc_id)
-    WHERE rn <= sz - floor((1 * sz + 2 - 1) / 2) + 1
+    WHERE rn <= sz - floor((7 * sz + 10 - 1) / 10) + 1
 ),
 cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4923,20 +4923,20 @@ SELECT id_a, id_b,
 FROM cands
 JOIN shl a ON cands.id_a = a.doc_id
 JOIN shl b ON cands.id_b = b.doc_id
-WHERE len(list_intersect(a.sh_list, b.sh_list)) * 2
+WHERE len(list_intersect(a.sh_list, b.sh_list)) * 10
       >= (len(a.sh_list) + len(b.sh_list)
-          - len(list_intersect(a.sh_list, b.sh_list))) * 1
+          - len(list_intersect(a.sh_list, b.sh_list))) * 7
 """,
 )
 def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT-recall near-dup pairs (shingle Jaccard >= 0.5) via
+    """EXACT-recall near-dup pairs (shingle Jaccard >= 0.7) via
     PPJoin-style prefix filtering (operators/dedup.prefix_filter_pairs)
     — the deterministic complement to MinHash-LSH: rarity-ordered
     prefixes guarantee every qualifying pair collides, while the
     equi-join only ever touches rare shingles. Integer threshold
     verify, no float boundary."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.prefix_filter_pairs(docs, "text", "doc_id", 1, 2)
+    return dedup.prefix_filter_pairs(docs, "text", "doc_id", 7, 10)
 
 
 _MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
