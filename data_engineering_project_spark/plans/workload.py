@@ -3642,7 +3642,7 @@ SELECT p.p_partkey AS partkey,
 FROM eligible e
 JOIN part p     ON e.l_partkey = p.p_partkey
 JOIN supplier s ON e.l_suppkey = s.s_suppkey
-WHERE p.p_size = 15 AND p.p_type LIKE '%BRASS'
+WHERE p.p_size = 15 AND p.p_type LIKE '%DARD'
   AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
                      WHERE e2.l_partkey = e.l_partkey)
 """,
@@ -3658,7 +3658,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey on the already-region-filtered frame — one shuffle,
     reused by the filter, instead of a per-row re-aggregation. The
     three dims (supplier/nation/region) broadcast; the part filter
-    (size=15, %BRASS) broadcasts as a pre-filtered join so only
+    (size=15, %DARD) broadcasts as a pre-filtered join so only
     qualifying parts' cost rows survive BEFORE the window shuffle.
     unit_cost is a single IEEE double division, bit-identical in both
     engines, so the MIN-equality and the 4-dp rounding value-match."""
@@ -3684,7 +3684,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = (
         load(spark, sf_dir, "part")
-        .filter((F.col("p_size") == 15) & F.col("p_type").like("%BRASS"))
+        .filter((F.col("p_size") == 15) & F.col("p_type").like("%DARD"))
         .select("p_partkey", "p_brand")
     )
     eligible = (
@@ -5247,7 +5247,13 @@ _DRIVER_PROVEN_R02 = (
 # (round-2 perf work: from_json single-parse events_json, commutative
 # sum(xxhash64) month_fingerprints, auto-routing cosine_topk), so they
 # are forced back into the checked window for a fresh row.
-_REVERIFY = frozenset({"month_fingerprints", "events_json", "cosine_topk"})
+_REVERIFY = frozenset(
+    {"month_fingerprints", "events_json", "cosine_topk",
+     # round 3: predicate fixed to match the synthetic p_type domain
+     # (the %BRASS literal matched ZERO rows at every SF, so its green
+     # row was a trivial 0=0) — fresh row required for the new body.
+     "cheapest_supplier_per_part"}
+)
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py sweeps
 # the full QUERIES registry) and unit-tested with planted duplicates, but
