@@ -210,3 +210,23 @@ WHERE fracs.frac >= 1.0
    OR substring(md5(CAST(t.{key_sql} AS VARCHAR)), 1, 2)
       < printf('%02x', CAST(floor(fracs.frac * 256) AS INT))
 """
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, prob_col: str
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep each row with
+    probability ``prob_col`` (a [0,1] column, e.g. a quality score) —
+    importance sampling for quality-weighted corpus construction,
+    without rand() (retry-stable, engine-portable).
+
+    Membership: md5 bucket of the key < floor(prob*256) rendered as
+    2-hex — the same map-only predicate as :func:`hash_sample`, but the
+    threshold is a per-row expression instead of a constant. Rows with
+    prob >= 1 are always kept; granularity is 1/256 (prob < 1/256
+    rounds to never-kept)."""
+    thr = F.floor(F.col(prob_col) * 256).cast("int")
+    keep = (F.col(prob_col) >= 1.0) | (
+        hash_bucket(key_col) < F.format_string("%02x", thr)
+    )
+    return df.filter(keep)

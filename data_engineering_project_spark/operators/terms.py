@@ -163,3 +163,51 @@ def vocab_jaccard(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """CCNet-style language-model quality proxy: mean log-probability of
+    each document under a corpus-trained MLE bigram model (public idea:
+    Wenzek et al. 2020 filter corpora by LM perplexity; the bigram MLE
+    is the engine-friendly stand-in for KenLM).
+
+    P(w2|w1) = C(w1 w2) / C(w1-as-predecessor); scored on the training
+    corpus itself every document bigram exists in the model, so no
+    smoothing term is needed. Repetitive/templated documents score HIGH
+    (their bigrams dominate the model), rare/garbled text scores low.
+
+    Scale shape: the model IS two aggregate tables (bigram counts,
+    predecessor counts) — term-keyed shuffles with map-side combine;
+    scoring is two equi-joins (Zipf-head bigrams collapse map-side
+    before the join) and one doc-keyed average. Nothing is collected;
+    the 'model' never leaves the cluster.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    heads = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.arrays_zip(
+        heads.alias("w1"),
+        F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b)).alias(
+            "bigram"
+        ),
+    )
+    bg = (
+        df.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+    )
+    bmodel = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    umodel = bg.groupBy("w1").agg(F.count("*").alias("cu"))
+    scored = (
+        bg.join(bmodel, "bigram")
+        .join(umodel, "w1")
+        .select(
+            F.col(id_col),
+            F.log(F.col("cb").cast("double") / F.col("cu")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logp"),
+    )

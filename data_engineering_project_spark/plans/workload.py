@@ -3638,7 +3638,7 @@ eligible AS (
 SELECT p.p_partkey AS partkey,
        p.p_brand   AS brand,
        s.s_name    AS supplier,
-       ROUND(e.unit_cost, 4) AS unit_cost
+       floor(e.unit_cost * 10000 + 0.5) / 10000 AS unit_cost
 FROM eligible e
 JOIN part p     ON e.l_partkey = p.p_partkey
 JOIN supplier s ON e.l_suppkey = s.s_suppkey
@@ -3699,7 +3699,14 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("partkey"),
             F.col("p_brand").alias("brand"),
             F.col("s_name").alias("supplier"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # explicit floor(x*1e4+0.5)/1e4 instead of ROUND: both
+            # engines then run the IDENTICAL double ops, where ROUND
+            # diverges on halfway doubles (Spark exact-decimal HALF_UP
+            # vs DuckDB scaled-double rounding: 26.241249999...*1e4 ==
+            # 262412.5 exactly, observed at sf0.001).
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias(
+                "unit_cost"
+            ),
         )
     )
 
@@ -5193,6 +5200,243 @@ def q_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_queries"),
         (F.avg("n_hit") / 5.0 >= 0.6).alias("recall_ge_60pct"),
         F.lit(True).alias("probed_subset_exact"),
+    )
+
+
+@register(
+    "doc_lm_score",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+),
+bmodel AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1),
+umodel AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+scored AS (
+    SELECT doc_id, ln(CAST(cb AS DOUBLE) / cu) AS lp
+    FROM bg JOIN bmodel USING (bigram) JOIN umodel USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 4) AS avg_logp
+FROM scored GROUP BY doc_id
+""",
+)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (operators/terms.bigram_lm_scores):
+    mean log-prob of each doc under the corpus MLE bigram model. The
+    'model' is two aggregate tables that never leave the cluster;
+    scoring is two term-keyed equi-joins + one doc-keyed average."""
+    docs = load(spark, sf_dir, "documents")
+    return terms.bigram_lm_scores(docs, "text", "doc_id")
+
+
+@register(
+    "quality_weighted_sample",
+    """
+WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           ROUND((CASE WHEN len(string_split(text, ' '))
+                           BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                  + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))
+                  + CASE WHEN CAST(length(text) AS DOUBLE)
+                              / len(string_split(text, ' ')) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS q
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, q AS quality_score
+FROM scored
+WHERE q >= 1.0
+   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < printf('%02x', CAST(floor(q * 256) AS INT))
+""",
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.
+    weighted_sample): each doc kept with probability = its C4/Gopher
+    quality score — deterministic importance sampling (md5-bucket vs a
+    per-row threshold), map-only, retry-stable, no rand()."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        text_fns.quality_score("text").alias("quality_score"),
+    )
+    return sampling.weighted_sample(docs, "doc_id", "quality_score")
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+WITH hits AS (
+    SELECT doc_id,
+           lang AS declared_lang,
+           {_HITS['en']} AS h_en,
+           {_HITS['es']} AS h_es,
+           {_HITS['fr']} AS h_fr,
+           {_HITS['de']} AS h_de
+    FROM documents
+),
+guessed AS (
+    SELECT declared_lang,
+           CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+                ELSE 'und' END AS guessed_lang
+    FROM hits
+)
+SELECT declared_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM guessed GROUP BY 1, 2
+""",
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval shape: declared vs guessed language confusion
+    matrix over the lang-ID heuristic — the aggregation every model-
+    assisted labeling pipeline runs to calibrate its cheap classifier
+    against ground truth."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        text_fns.with_lang_guess(docs, "text")
+        .groupBy(F.col("lang").alias("declared_lang"), "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_keep_list",
+    f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+shl AS (SELECT doc_id, list(sh) AS sh_list FROM sh GROUP BY doc_id),
+verified AS (
+    SELECT p.id_a, p.id_b
+    FROM pairs p
+    JOIN shl a ON p.id_a = a.doc_id
+    JOIN shl b ON p.id_b = b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.sh_list, b.sh_list)) AS DOUBLE)
+                / (len(a.sh_list) + len(b.sh_list)
+                   - len(list_intersect(a.sh_list, b.sh_list))), 4) > 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+clustered AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+              FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(c.doc_id IS NOT NULL AS INT) AS was_clustered
+FROM documents d LEFT JOIN clustered c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+""",
+)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of near-dup dedup: the keep list — every
+    unclustered document plus one representative (min doc_id) per
+    duplicate cluster. Composes candidate generation → verify →
+    connected components → anti/semi-join selection, all
+    oracle-checked. was_clustered marks survivors that had duplicates
+    removed."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_arrays(docs, "text", "doc_id").localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidates_portable(
+        docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
+    ).localCheckpoint(eager=True)
+    verified = (
+        dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingles=sh)
+        .filter(F.col("jaccard") > 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    clusters = dedup.dup_clusters(verified)
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("was_clustered")
+    )
+    unclustered = (
+        docs.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit(0).alias("was_clustered"))
+    )
+    return unclustered.unionByName(reps)
+
+
+@register(
+    "session_duration_percentiles",
+    """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(ns) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS session_id
+    FROM o
+),
+per AS (
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT)
+           - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s
+    FROM s GROUP BY 1, 2
+)
+SELECT CASE WHEN n_events = 1 THEN 'single'
+            WHEN n_events <= 3 THEN 'short'
+            WHEN n_events <= 7 THEN 'medium'
+            ELSE 'long' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(quantile_cont(dur_s, 0.5), 4) AS p50_dur_s,
+       ROUND(quantile_cont(dur_s, 0.9), 4) AS p90_dur_s
+FROM per GROUP BY 1
+""",
+)
+def q_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution by engagement band — sessionization
+    (lag → gap flag → running sum, one user shuffle) feeding exact
+    interpolated percentiles of integer second durations (bit-identical
+    across engines). The banding CASE is pure integer compares."""
+    events = load(spark, sf_dir, "events")
+    tagged = sessionize.with_session_ids(
+        events, "user_id", "ts", "event_id", gap_seconds=3600
+    )
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    per = (
+        tagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("dur_s"),
+        )
+    )
+    band = (
+        F.when(F.col("n_events") == 1, "single")
+        .when(F.col("n_events") <= 3, "short")
+        .when(F.col("n_events") <= 7, "medium")
+        .otherwise("long")
+    )
+    return (
+        per.select(band.alias("band"), "n_events", "dur_s")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.expr("percentile(dur_s, 0.5)"), 4).alias("p50_dur_s"),
+            F.round(F.expr("percentile(dur_s, 0.9)"), 4).alias("p90_dur_s"),
+        )
     )
 
 

@@ -228,3 +228,43 @@ class TestQuantizationAndDecay:
         row = QUERIES["ivf_recall_check"](spark, sf_dir).collect()[0]
         assert row["recall_ge_60pct"] is True
         assert row["n_queries"] == 10
+
+
+class TestLmScoreAndWeightedSample:
+    def test_lm_score_favors_repetitive(self, spark):
+        from data_engineering_project_spark.operators import terms
+        # Both docs share the head token 'a'; doc 1 always continues
+        # with 'b' (the dominant transition) while doc 2 scatters over
+        # four rare continuations -> doc 1 scores higher. (Disjoint
+        # vocabularies would NOT discriminate: every transition is
+        # P=1 under MLE.)
+        df = spark.createDataFrame(
+            [(1, "a b a b a b a b"), (2, "a q a w a e a r")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in terms.bigram_lm_scores(df, "text", "doc_id").collect()}
+        assert out[1]["avg_logp"] > out[2]["avg_logp"]
+        assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+        # hand check: C(a as head)=8; doc1 P(b|a)=4/8, P(a|b)=1
+        import math
+        expect1 = round(4 * math.log(0.5) / 7, 4)
+        assert out[1]["avg_logp"] == expect1
+
+    def test_weighted_sample_extremes(self, spark):
+        from data_engineering_project_spark.operators import sampling
+        df = spark.range(500).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("p")
+        )
+        assert sampling.weighted_sample(df, "k", "p").count() == 500
+        df0 = spark.range(500).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("p")
+        )
+        assert sampling.weighted_sample(df0, "k", "p").count() == 0
+
+    def test_weighted_sample_rate_tracks_prob(self, spark):
+        from data_engineering_project_spark.operators import sampling
+        df = spark.range(2000).select(
+            F.col("id").alias("k"), F.lit(0.25).alias("p")
+        )
+        n = sampling.weighted_sample(df, "k", "p").count()
+        assert 380 <= n <= 620  # ~500 expected, md5-uniform
