@@ -271,6 +271,42 @@ def kmeans_fit(
     return cents
 
 
+def _argmax_cell_exprs(cent_rows, vec_col: str) -> tuple[str, str]:
+    """(norm_sql, argmax_sql) for the map-side nearest-centroid argmax.
+
+    Emitted as ONE SQL string parsed once: composing the same tree out
+    of pyspark lambda wrappers costs ~0.1s of py4j round trips PER
+    COSINE (measured 1.5s for 16 centroids — pure driver overhead),
+    while F.expr parses the whole thing in milliseconds. Each
+    centroid's own norm is folded to a Python double up front — the
+    identical sequential sum/sqrt an engine computes, so oracle-side
+    replays stay bit-equal.
+
+    Tiebreak is (sim desc, cell asc): struct compare is field-ordered,
+    so ``array_max`` picks highest sim, then highest -cell = lowest
+    cell."""
+    import math
+
+    norm_sql = (
+        f"sqrt(aggregate(transform(cast({vec_col} as array<double>),"
+        " x -> x * x), 0D, (a, v) -> a + v))"
+    )
+    structs = []
+    for row in cent_rows:
+        vec = [float(x) for x in row["centroid"]]
+        vals = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec)
+        nc = math.sqrt(sum(x * x for x in vec))
+        dot = (
+            f"aggregate(zip_with(cast({vec_col} as array<double>),"
+            f" array({vals}), (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        )
+        structs.append(
+            f"struct({dot} / (__nv * CAST('{nc!r}' AS DOUBLE)) AS sim,"
+            f" {-int(row['label'])} AS negcell)"
+        )
+    return norm_sql, "array_max(array(" + ",".join(structs) + "))"
+
+
 def assign_cells(
     corpus: DataFrame,
     cents: DataFrame,
@@ -279,22 +315,25 @@ def assign_cells(
 ) -> DataFrame:
     """IVF assignment: each vector → its nearest centroid ('cell').
 
-    Broadcast the centroid table (k rows), score k cosines per vector,
-    keep the argmax — one map-side pass, no corpus shuffle.
-    """
-    scored = corpus.join(
-        F.broadcast(cents.select(F.col("label").alias("cell"), F.col("centroid")))
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cell",
-        cosine_similarity(F.col(vec_col), F.col("centroid")).alias("sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    Fully map-side: the k centroids (a bounded control-plane frame —
+    k ≤ a few hundred by construction) are collected and inlined as
+    literal arrays, each vector scores k cosines and keeps the argmax
+    via one ``array_max`` over (sim, -cell) structs. Zero exchanges:
+    the earlier broadcast-join + per-vector window shuffled the WHOLE
+    corpus on id just to rank k rows — at 100 TB that shuffle is the
+    entire cost of an assignment pass, and it buys nothing the struct
+    max doesn't."""
+    cent_rows = cents.select(
+        F.col("label"), F.col("centroid")
+    ).collect()
+    norm_sql, argmax_sql = _argmax_cell_exprs(cent_rows, vec_col)
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, "cell")
+        corpus.withColumn("__nv", F.expr(norm_sql))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-F.expr(argmax_sql)["negcell"]).alias("cell"),
+        )
     )
 
 
@@ -412,3 +451,96 @@ def centroids(
             ).alias("centroid")
         )
     )
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension distribution stats over a vector column.
+
+    The feature-health profile a training pipeline runs before
+    normalizing embeddings: posexplode fans each vector into (dim, v)
+    rows — columnar expansion, no data movement — then one groupBy(dim)
+    whose partials are map-side combined, so the only exchange is
+    n_dims × n_partitions partial rows regardless of corpus size.
+    """
+    ex = df.select(F.posexplode(vec_col).alias("dim", "v")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+def lloyd_step_summary(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One fully-verifiable Lloyd (k-means) step from a deterministic
+    init: per cell, how many vectors it attracted, their mean cosine to
+    the seed centroid, and the L2 distance the centroid would move.
+
+    Init = the k lowest-id vectors (deterministic, so an independent
+    engine can replay the identical step). Assignment is the map-side
+    literal-centroid argmax (zero shuffles — see :func:`assign_cells`);
+    the recomputed means shuffle only k × n_dims partial rows. This is
+    the per-iteration cost model of :func:`kmeans_fit`, exposed as a
+    value-checkable summary.
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy(F.lit(1))) - 1
+        )
+        .select(
+            "cell",
+            F.transform("centroid", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent_rows = [
+        {"label": row["cell"], "centroid": row["centroid"]}
+        for row in init.collect()
+    ]
+    norm_sql, argmax_sql = _argmax_cell_exprs(cent_rows, vec_col)
+    best = F.expr(argmax_sql)
+    assigned = df.withColumn("__nv", F.expr(norm_sql)).select(
+        F.col(vec_col),
+        best["sim"].alias("sim"),
+        (-best["negcell"]).alias("cell"),
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("sim"), 4).alias("avg_cos"),
+    )
+    means = (
+        assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+    )
+    init_dims = init.select(
+        "cell", F.posexplode("centroid").alias("dim", "init_v")
+    )
+    shift = (
+        means.join(init_dims, ["cell", "dim"])
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("mean_v") - F.col("init_v"))
+                        * (F.col("mean_v") - F.col("init_v"))
+                    )
+                ),
+                4,
+            ).alias("shift")
+        )
+    )
+    return per_cell.join(shift, "cell")

@@ -5440,6 +5440,343 @@ def q_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- Round-3 batch 4: vector-column statistics, a value-checked Lloyd
+# step, corpus duplicated-span coverage, sketch-accuracy measurement,
+# and vocabulary OOV rates.
+
+
+@register(
+    "embedding_dim_stats",
+    """
+WITH ex AS (
+    SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(v), 6)         AS mean_v,
+       ROUND(stddev_samp(v), 6) AS std_v,
+       ROUND(MIN(v), 6)         AS min_v,
+       ROUND(MAX(v), 6)         AS max_v
+FROM ex GROUP BY 1
+""",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature-health stats over the embedding column —
+    the profile pass before whitening/normalizing vectors. posexplode
+    is columnar expansion (no exchange); the groupBy(dim) partials are
+    map-side combined so the shuffle is n_dims x n_partitions rows no
+    matter the corpus size."""
+    return similarity.embedding_dim_stats(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_norm_by_label",
+    """
+WITH n AS (
+    SELECT vec_id, label,
+           sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+    FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
+    GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM n GROUP BY 1
+""",
+)
+def q_embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per class label — catches un-normalized or
+    degenerate embedding batches before they poison cosine search. The
+    norm is a per-row array fold (JVM expression, no Python); the only
+    shuffle is label-keyed partials."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "label", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    return nrm.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
+@register(
+    "kmeans_step_summary",
+    """
+WITH emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+init AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           v AS c
+    FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+    SELECT e.vec_id, e.v, i.cell, i.c,
+           list_dot_product(e.v, i.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(i.c, i.c))) AS sim
+    FROM emb e CROSS JOIN init i
+),
+assigned AS (
+    SELECT vec_id, v, cell, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+means AS (
+    SELECT cell, dim, AVG(val) AS mean_v
+    FROM (SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+          FROM assigned)
+    GROUP BY 1, 2
+),
+initd AS (
+    SELECT cell, generate_subscripts(c, 1) AS dim, unnest(c) AS cv FROM init
+),
+shifts AS (
+    SELECT m.cell,
+           sqrt(SUM((m.mean_v - i.cv) * (m.mean_v - i.cv))) AS shift
+    FROM means m JOIN initd i ON m.cell = i.cell AND m.dim = i.dim
+    GROUP BY 1
+)
+SELECT a.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(AVG(a.sim), 4) AS avg_cos,
+       ROUND(ANY_VALUE(s.shift), 4) AS shift
+FROM assigned a JOIN shifts s ON a.cell = s.cell
+GROUP BY a.cell
+""",
+)
+def q_kmeans_step_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) step replayed independently by both engines
+    from a deterministic init (the 8 lowest-id vectors): per cell, the
+    vectors it attracted, their mean cosine to the seed, and the L2
+    distance the centroid would move. Value-checks the ENTIRE iterative
+    kernel of kmeans_fit/ivf — assignment argmax, per-dim mean
+    recompute, convergence metric — not just its plumbing. Spark side
+    is the zero-shuffle literal-centroid argmax; the DuckDB twin is a
+    k x N cross join (fine at oracle scale, never run at corpus
+    scale)."""
+    return similarity.lloyd_step_summary(
+        load(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+@register(
+    "duplicated_ngram_coverage",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(w) - 3),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')
+               )) AS gram
+        FROM t WHERE len(w) >= 5
+    )
+),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+cov AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM g JOIN dfreq USING (gram) GROUP BY 1
+)
+SELECT doc_id, n_grams, n_dup,
+       ROUND(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_share
+FROM cov
+ORDER BY CAST(n_dup AS DOUBLE) / n_grams DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_duplicated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per document (the Lee et al. 2022
+    'Deduplicating Training Data' diagnostic): share of a doc's
+    distinct word 5-grams that appear in at least one other document —
+    the docs a span-level dedup pass would rewrite first. Shuffles
+    hashed 5-grams (distinct + doc-frequency), never text; the ORDER BY
+    uses the raw ratio (single IEEE division, identical across
+    engines) with doc_id as tiebreak."""
+    docs = load(spark, sf_dir, "documents")
+    sh5 = dedup.shingle_arrays(docs, "text", "doc_id", n=5).filter(
+        F.size("sh") > 0
+    )
+    g = sh5.select("doc_id", F.explode("sh").alias("gram"))
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    cov = (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    ratio = F.col("n_dup").cast("double") / F.col("n_grams")
+    return (
+        cov.select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.round(ratio, 4).alias("dup_share"),
+        )
+        .orderBy(F.desc(F.col("n_dup").cast("double") / F.col("n_grams")), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_MINHASH_EST_TERMS = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(1, 33)
+)
+
+
+@register(
+    "minhash_estimate_error",
+    f"""
+WITH {_LSH_PAIRS_CTES},
+est AS (
+    SELECT p.id_a, p.id_b,
+           ({_MINHASH_EST_TERMS}) / 32.0 AS est_j
+    FROM pairs p
+    JOIN mins a ON a.doc_id = p.id_a
+    JOIN mins b ON b.doc_id = p.id_b
+),
+shl AS (SELECT doc_id, list(sh) AS sh_list FROM sh GROUP BY doc_id),
+ex AS (
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(a.sh_list, b.sh_list)) AS DOUBLE)
+           / (len(a.sh_list) + len(b.sh_list)
+              - len(list_intersect(a.sh_list, b.sh_list))) AS exact_j
+    FROM pairs p
+    JOIN shl a ON p.id_a = a.doc_id
+    JOIN shl b ON p.id_b = b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est_j), 4) AS avg_est,
+       ROUND(AVG(exact_j), 4) AS avg_exact,
+       ROUND(AVG(ABS(est_j - exact_j)), 4) AS avg_abs_err
+FROM est JOIN ex USING (id_a, id_b)
+""",
+)
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured sketch accuracy: on the LSH candidate pairs, compare
+    the MinHash Jaccard ESTIMATE (matching signature slots / 32)
+    against the exact shingle Jaccard, and report the mean absolute
+    error — the number that justifies trusting banded LSH at corpus
+    scale, computed by the engine itself. All inputs are the portable
+    hash family, so DuckDB replays the identical sketches."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_arrays(docs, "text", "doc_id").localCheckpoint(eager=True)
+    wide = dedup._portable_minhash_wide(
+        docs, "text", "doc_id", 32, 3, shingles=sh
+    ).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidates_portable(
+        docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
+    )
+    a = wide.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(1, 33)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(1, 33)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(1, 33)
+    )
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(32.0)).alias("est_j"))
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    ex = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("exact_j")
+        )
+    )
+    return est.join(ex, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("est_j"), 4).alias("avg_est"),
+        F.round(F.avg("exact_j"), 4).alias("avg_exact"),
+        F.round(F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 4).alias(
+            "avg_abs_err"
+        ),
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    """
+WITH tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+vocab AS (SELECT term FROM counts ORDER BY n DESC, term ASC LIMIT 20)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY lang
+""",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per language against the corpus's
+    own top-20 vocabulary (count desc, term asc tiebreak — the
+    deterministic cut). The tokenizer-coverage check run before fixing
+    a vocab for training. The vocab is a broadcast of 20 rows; the
+    token stream is aggregated with map-side partials, one
+    lang-keyed shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("n"))
+    # Global 20-row cut: the window runs over the aggregated term
+    # counts (vocabulary-sized, tiny), never the token stream.
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 4
+            ).alias("oov_rate"),
+        )
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
