@@ -6004,6 +6004,192 @@ def q_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Round-3 batch 6: graph value-iteration (PageRank) and
+# market-basket lift.
+
+
+@register(
+    "copurchase_pagerank",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+pr0 AS (
+    SELECT d.src AS node, d.deg, 1.0 / n.n_nodes AS pr
+    FROM deg d CROSS JOIN n
+),
+it1 AS (
+    SELECT e.dst AS node, SUM(p.pr / p.deg) AS s
+    FROM und e JOIN pr0 p ON e.src = p.node GROUP BY 1
+),
+pr1 AS (
+    SELECT p.node, p.deg,
+           0.15000000000000002 / n.n_nodes
+           + 0.85 * COALESCE(i.s, 0.0) AS pr
+    FROM pr0 p LEFT JOIN it1 i ON p.node = i.node CROSS JOIN n
+),
+it2 AS (
+    SELECT e.dst AS node, SUM(p.pr / p.deg) AS s
+    FROM und e JOIN pr1 p ON e.src = p.node GROUP BY 1
+),
+pr2 AS (
+    SELECT p.node, p.deg,
+           0.15000000000000002 / n.n_nodes
+           + 0.85 * COALESCE(i.s, 0.0) AS pr
+    FROM pr1 p LEFT JOIN it2 i ON p.node = i.node CROSS JOIN n
+)
+SELECT node AS part, deg, ROUND(pr, 6) AS pagerank
+FROM pr2
+ORDER BY ROUND(pr, 6) DESC, node ASC
+LIMIT 20
+""",
+)
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the undirected co-purchase graph
+    (parts sharing an order, both edge directions fed so there are no
+    dangling sinks) — the link-structure ranking a pipeline uses for
+    entity importance. Spark runs operators.graph.pagerank (one
+    src-keyed join + one dst-keyed aggregate per iteration); DuckDB
+    replays the identical two iterations as unrolled CTEs. Ordering is
+    on the ROUNDED rank so float summation order can't flip the
+    tie-break; (1-d) is spelled as its exact double (0.15 has no exact
+    binary form, and both engines must subtract the same literal)."""
+    from data_engineering_project_spark.operators import graph as graph_ops
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    # Build one direction with '<' and mirror it: the distinct runs on
+    # half the pair volume, and the mirrored union adds no exchange.
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = graph_ops.pagerank(
+        edges, iterations=2, damping=0.85, materialize=False
+    )
+    return (
+        pr.select(
+            F.col("node").alias("part"),
+            "deg",
+            F.round("pr", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("part"))
+        .limit(20)
+    )
+
+
+@register(
+    "copurchase_lift",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM items),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.n_both, ca.cnt AS n_a, cb.cnt AS n_b,
+       ROUND(CAST(p.n_both AS DOUBLE) * t.n_orders
+             / (ca.cnt * cb.cnt), 4) AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b
+CROSS JOIN t
+ORDER BY ROUND(CAST(p.n_both AS DOUBLE) * t.n_orders
+               / (ca.cnt * cb.cnt), 4) DESC,
+         p.part_a ASC, p.part_b ASC
+LIMIT 15
+""",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift for frequently co-purchased part pairs
+    (support ≥ 3 orders): lift = P(a,b) / (P(a)·P(b)), > 1 meaning
+    the pair co-occurs more than independence predicts. The pair join
+    is order-keyed (basket-bounded); the per-part counts broadcast.
+    Ordering uses the rounded lift (single IEEE multiply/divide chain,
+    identical across engines) with the pair as tiebreak."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    total = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    ).withColumn("k", F.lit(1))
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("n_a")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("n_b")
+    )
+    lift = (
+        F.col("n_both").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(15)
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
