@@ -90,3 +90,43 @@ def pagerank(
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             pr = pr.localCheckpoint(eager=True)
     return pr.select("node", "deg", "pr")
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED edge list →
+    (node, n_triangles).
+
+    ``edges`` must be distinct canonical pairs (src < dst, one row per
+    undirected edge). The classic two-join enumeration: wedges
+    (a<b, b<c) joined against the closing edge (a, c) finds each
+    triangle exactly once with a < b < c, then each corner credits its
+    three nodes. All three joins are equi-joins on node-id pairs —
+    shuffle keys are ids, never adjacency lists, so skew follows node
+    degree and the ordering predicate (a<b<c) already cuts the wedge
+    space by 6× versus naive enumeration. At lake scale the standard
+    refinement is degree-ordering (orient each edge from the
+    lower-degree endpoint) which bounds wedge fan-out by O(sqrt(|E|));
+    the canonical-id orientation here is the same plan shape.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -35,6 +35,7 @@ from data_engineering_project_spark.operators import (
     dedup,
     funnel,
     packing,
+    pii,
     quality_rules,
     ranking,
     reach,
@@ -6187,6 +6188,342 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(15)
+    )
+
+
+_PII_ENRICH_SQL = """
+SELECT doc_id, source,
+       text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+            || CAST(doc_id % 7 AS VARCHAR) || '.com'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' call +1 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                         || '.0.1'
+                    ELSE '' END AS text
+FROM documents
+"""
+
+
+@register(
+    "pii_redaction_scan",
+    """
+WITH enriched AS (%s),
+red AS (
+    SELECT doc_id, source,
+           CASE WHEN regexp_matches(text, '%s') THEN 1 ELSE 0 END AS has_email,
+           CASE WHEN regexp_matches(text, '%s') THEN 1 ELSE 0 END AS has_phone,
+           CASE WHEN regexp_matches(text, '%s') THEN 1 ELSE 0 END AS has_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '%s', '[EMAIL]', 'g'),
+               '%s', '[PHONE]', 'g'),
+               '%s', '[IP]', 'g') AS redacted
+    FROM enriched
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)        AS n_docs,
+       CAST(SUM(has_email) AS BIGINT)  AS n_email,
+       CAST(SUM(has_phone) AS BIGINT)  AS n_phone,
+       CAST(SUM(has_ipv4) AS BIGINT)   AS n_ipv4,
+       CAST(SUM(length(redacted)) AS BIGINT)   AS sum_len,
+       CAST(COUNT(DISTINCT md5(redacted)) AS BIGINT) AS n_distinct
+FROM red GROUP BY source
+ORDER BY source
+"""
+    % (
+        _PII_ENRICH_SQL,
+        pii.EMAIL,
+        pii.PHONE,
+        pii.IPV4,
+        pii.EMAIL,
+        pii.PHONE,
+        pii.IPV4,
+    ),
+)
+def q_pii_redaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus (operators/pii.py): deterministic
+    synthetic PII (email always; phone on doc_id%3=0; IPv4 on
+    doc_id%2=0) is appended in-query — the raw synthetic text contains
+    none — then detected and redacted with the shared Java/RE2 regex
+    subset. Per-source counts of each PII class plus an exact content
+    check on the redacted text (total length + distinct md5). Redaction
+    is row-local Catalyst codegen; the only shuffle is the final
+    (source, 6 ints) aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = pii.scan_and_redact(enriched, "text")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("has_email").cast("long").alias("n_email"),
+            F.sum("has_phone").cast("long").alias("n_phone"),
+            F.sum("has_ipv4").cast("long").alias("n_ipv4"),
+            F.sum(F.length("redacted")).cast("long").alias("sum_len"),
+            F.countDistinct(F.md5("redacted")).cast("long").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "char_bigram_profile",
+    """
+WITH pos AS (
+    SELECT lang, text, i
+    FROM documents, unnest(generate_series(1, length(text) - 1)) AS g(i)
+),
+c AS (
+    SELECT lang, substring(text, i, 2) AS bigram,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pos GROUP BY 1, 2
+),
+r AS (
+    SELECT lang, bigram, cnt,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY cnt DESC, bigram ASC
+           ) AS BIGINT) AS rank
+    FROM c
+)
+SELECT lang, bigram, cnt, rank FROM r WHERE rank <= 5
+ORDER BY lang, rank
+""",
+)
+def q_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language profiles — the classic n-gram lang-ID
+    feature table (Cavnar & Trenkle 1994): top-5 char bigrams per lang
+    by corpus frequency. The bigram explode is scan-side (sequence +
+    substring, pure codegen); counts combine map-side before the
+    (lang, bigram) shuffle; the rank window partitions by lang (5
+    groups), never globally."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr("sequence(1, length(text) - 1)")
+        ).alias("i"),
+        "text",
+    ).select("lang", F.expr("substring(text, i, 2)").alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "cnt", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+@register(
+    "events_hourly_anomalies",
+    """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+base AS (
+    SELECT hour_ts, n_events,
+           AVG(n_events) OVER (
+               PARTITION BY EXTRACT(hour FROM hour_ts)) AS mu,
+           STDDEV_SAMP(n_events) OVER (
+               PARTITION BY EXTRACT(hour FROM hour_ts)) AS sigma
+    FROM hourly
+)
+SELECT hour_ts, n_events, ROUND((n_events - mu) / sigma, 4) AS zscore
+FROM base
+WHERE ABS(ROUND((n_events - mu) / sigma, 4)) > 2.0
+ORDER BY hour_ts
+""",
+)
+def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: hourly event counts scored against
+    the same-hour-of-day baseline (mean/sample-std across days), flag
+    |z| > 2. The baseline window partitions on hour-of-day (24 groups,
+    each a month of days) — no global window; the outlier decision uses
+    the ROUNDED z on both engines (same convention as
+    revenue_zscore_outliers)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy(F.hour("hour_ts"))
+    base = hourly.select(
+        "hour_ts",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        base.filter(F.abs(z) > 2.0)
+        .select("hour_ts", "n_events", z.alias("zscore"))
+        .orderBy("hour_ts")
+    )
+
+
+@register(
+    "purchase_attribution",
+    """
+WITH fp AS (
+    SELECT user_id, MIN(ts) AS first_purchase_ts
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+    SELECT e.user_id, e.event_type, e.ts, e.event_id
+    FROM events e JOIN fp ON e.user_id = fp.user_id
+    WHERE e.ts < fp.first_purchase_ts
+),
+touch AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rf,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+    FROM pre
+),
+paths AS (
+    SELECT f.user_id, f.event_type AS first_touch,
+           l.event_type AS last_touch
+    FROM (SELECT user_id, event_type FROM touch WHERE rf = 1) f
+    JOIN (SELECT user_id, event_type FROM touch WHERE rl = 1) l
+      ON f.user_id = l.user_id
+)
+SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY 1, 2
+ORDER BY n_users DESC, first_touch ASC, last_touch ASC
+""",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: for every user who purchased, the first-
+    and last-touch event types strictly before their FIRST purchase,
+    counted per (first, last) path. The purchase anchor is a semi-
+    join-shaped aggregate (user → min purchase ts, broadcastable);
+    both touch windows partition by user with (ts, event_id) total
+    order so ties never flip between engines."""
+    ev = load(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    pre = ev.join(fp, "user_id").filter(
+        F.col("ts") < F.col("first_purchase_ts")
+    )
+    wf = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wl = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    touch = pre.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    first = touch.filter(F.col("rf") == 1).select(
+        "user_id", F.col("event_type").alias("first_touch")
+    )
+    last = touch.filter(F.col("rl") == 1).select(
+        "user_id", F.col("event_type").alias("last_touch")
+    )
+    return (
+        first.join(last, "user_id")
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(
+            F.desc("n_users"), F.asc("first_touch"), F.asc("last_touch")
+        )
+    )
+
+
+@register(
+    "copurchase_triangles",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+ORDER BY n_triangles DESC, node ASC
+LIMIT 20
+""",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the co-purchase graph
+    (operators/graph.py:triangle_counts): canonical support-≥2 edges
+    (a<b), wedge join + closing-edge join finds each triangle once
+    with a<b<c, each corner credits its three nodes; top 20. All
+    equi-joins on part-id pairs — the support threshold bounds the
+    edge list, so the wedge fan-out is tiny relative to lineitem."""
+    from data_engineering_project_spark.operators.graph import triangle_counts
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(20)
     )
 
 
