@@ -6527,6 +6527,293 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kfold_balance",
+    """
+WITH folds AS (
+    SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 5 AS fold,
+           lang, n_chars
+    FROM documents
+)
+SELECT fold, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM folds GROUP BY 1, 2
+ORDER BY fold, lang
+""",
+)
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split assignment (eval-set construction):
+    fold = portable_hash60(doc_id) % 5 — stable across runs, engines
+    and cluster sizes (no rand(), no row ordering dependence), with the
+    per-(fold, lang) doc and char counts that show the folds are
+    balanced. Pure scan-side hash + one small aggregate; at 100 TB the
+    fold column is exactly the hash-bucket idiom used for sharded
+    training splits."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (dedup.portable_hash60(F.col("doc_id").cast("string")) % 5).alias(
+                "fold"
+            ),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+@register(
+    "label_weights",
+    """
+WITH c AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_classes
+    FROM c
+)
+SELECT label, n_vecs,
+       ROUND(CAST(total AS DOUBLE) / (n_classes * n_vecs), 4) AS weight
+FROM c CROSS JOIN t
+ORDER BY label
+""",
+)
+def q_label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (imbalanced-training reweighting,
+    sklearn's 'balanced' formula): w = N / (K * n_label). Two tiny
+    aggregates; the class table broadcasts."""
+    emb = load(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    t = c.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_classes"),
+    ).withColumn("k", F.lit(1))
+    return (
+        c.withColumn("k", F.lit(1))
+        .join(F.broadcast(t), "k")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("total").cast("double")
+                / (F.col("n_classes") * F.col("n_vecs")),
+                4,
+            ).alias("weight"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "session_paths_top",
+    """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+""",
+)
+def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common within-session
+    event-type sequences (1h-gap sessions from operators/sessionize).
+    The path string is built by sorting each session's (ts, event_id,
+    type) structs INSIDE the aggregate — array_sort on the collected
+    list, bounded by session length — so no second window pass; the
+    (ts, event_id) total order makes ties deterministic on both
+    engines. Shuffle keys: user (sessionize), then (user, session),
+    then the path string."""
+    tagged = sessionize.with_session_ids(
+        load(spark, sf_dir, "events"), gap_seconds=3600
+    )
+    paths = (
+        tagged.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+first_seen AS (
+    SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY 1
+),
+m AS (SELECT MAX(doc_id) AS mx FROM documents),
+g AS (SELECT unnest(generate_series(1, 10)) AS decile),
+vocab AS (
+    SELECT g.decile, CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM first_seen, m, g
+    WHERE fd * 10 <= mx * g.decile
+    GROUP BY 1
+),
+docs AS (
+    SELECT g.decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents, m, g
+    WHERE doc_id * 10 <= mx * g.decile
+    GROUP BY 1
+)
+SELECT v.decile, d.n_docs, v.vocab_size
+FROM vocab v JOIN docs d ON v.decile = d.decile
+ORDER BY v.decile
+""",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-token count after each
+    doc_id decile of the corpus. Each token collapses to its FIRST
+    document (min doc_id) — one (token → min) aggregate over the
+    exploded terms, so the curve costs one pass over the corpus, not
+    ten cumulative distinct-counts. The decile compare uses integer
+    cross-multiplication (fd*10 <= mx*decile) — no division-rounding
+    drift between engines. The 10-row threshold frame broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    m = docs.agg(F.max("doc_id").alias("mx")).withColumn("k", F.lit(1))
+    g = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(m), "k")
+    )
+    vocab = (
+        first_seen.withColumn("k", F.lit(1))
+        .join(F.broadcast(g), "k")
+        .filter(F.col("fd") * 10 <= F.col("mx") * F.col("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    dcount = (
+        docs.select("doc_id")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(g), "k")
+        .filter(F.col("doc_id") * 10 <= F.col("mx") * F.col("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        vocab.join(dcount, "decile")
+        .select("decile", "n_docs", "vocab_size")
+        .orderBy("decile")
+    )
+
+
+@register(
+    "lang_source_chi2",
+    """
+WITH o AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+),
+lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM o GROUP BY 1),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM o),
+cells AS (
+    SELECT lt.lang, st.source, lt.nl, st.ns, t.nt,
+           COALESCE(o.n, 0) AS n
+    FROM lt CROSS JOIN st CROSS JOIN t
+    LEFT JOIN o ON o.lang = lt.lang AND o.source = st.source
+)
+SELECT CAST(ROUND(SUM(
+           (n - CAST(nl AS DOUBLE) * ns / nt)
+         * (n - CAST(nl AS DOUBLE) * ns / nt)
+         / (CAST(nl AS DOUBLE) * ns / nt)), 4) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+           AS BIGINT) AS dof,
+       CAST(MAX(nt) AS BIGINT) AS n_total
+FROM cells
+""",
+)
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source — the standard corpus-composition drift check. The full
+    lang x source grid (including zero-observed cells, which still
+    contribute their expected count) is built from the two broadcast
+    marginal tables; every input to the statistic is an exact integer,
+    so the only float work is the final 100-cell sum."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    lt = o.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    st = o.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    t = o.agg(F.sum("n").cast("long").alias("nt")).withColumn("k", F.lit(1))
+    cells = (
+        lt.withColumn("k", F.lit(1))
+        .join(F.broadcast(st.withColumn("k", F.lit(1))), "k")
+        .join(F.broadcast(t), "k")
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "nl",
+            "ns",
+            "nt",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    exp = F.col("nl").cast("double") * F.col("ns") / F.col("nt")
+    return cells.agg(
+        F.round(F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp), 4)
+        .cast("double")
+        .alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.max("nt").cast("long").alias("n_total"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
