@@ -544,3 +544,67 @@ def lloyd_step_summary(
         )
     )
     return per_cell.join(shift, "cell")
+
+
+def mmr_select(
+    scored: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of each query's candidates maximizing
+
+        lam * relevance(d)  -  (1 - lam) * max_{s in selected} cos(d, s)
+
+    → (query_id, rank, neighbor_id, mmr_score). The diversity term
+    de-dupes near-identical results — the retrieval-side complement of
+    corpus near-dup removal.
+
+    Scale shape: the candidate set per query is already bounded (the
+    output of cosine_topk / ivf_topk with a generous k), so the greedy
+    O(k·|cand|) loop runs inside applyInPandas per query group —
+    executor-side, one shuffle on query_id, no driver state. Ties are
+    broken by candidate id ascending after 6-dp rounding, matching the
+    engine-wide ranking convention.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+        )
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        sims = np.round(normed @ normed.T, 6)
+        n = len(ids)
+        selected: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        max_sim = np.zeros(n)
+        for _ in range(min(k, n)):
+            mmr = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = np.lexsort((ids, -mmr_masked))[0]
+            selected.append(best)
+            scores.append(float(mmr_masked[best]))
+            avail[best] = False
+            max_sim = np.maximum(max_sim, sims[best])
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                "rank": np.arange(1, len(selected) + 1),
+                id_col: ids[selected],
+                "mmr_score": scores,
+            }
+        )
+
+    out_schema = (
+        f"{query_col} long, rank int, {id_col} long, mmr_score double"
+    )
+    return scored.groupBy(query_col).applyInPandas(rerank, schema=out_schema)

@@ -6814,6 +6814,225 @@ def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitter_tokens",
+    """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+SELECT tok, cnt
+FROM c, t
+WHERE cnt * 30 > n_total
+ORDER BY cnt DESC, tok ASC
+""",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (count > N/30) computed the sketch way
+    (operators/frequency.py): per-partition Misra–Gries summaries give
+    a guaranteed-recall candidate set with NO full-vocabulary shuffle,
+    then a broadcast-candidate recount applies the exact integer
+    threshold. The oracle computes the same set by brute force — the
+    two agree because MG candidates are a superset of the true heavy
+    hitters and the verify pass is exact."""
+    from data_engineering_project_spark.operators import frequency
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        frequency.heavy_hitters(toks, "tok", k=30)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )
+
+
+@register(
+    "winsorized_revenue_stats",
+    """
+WITH p AS (
+    SELECT o_custkey % 10 AS cohort,
+           quantile_cont(o_totalprice, 0.01) AS p01,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY 1
+),
+clamped AS (
+    SELECT o.o_custkey % 10 AS cohort, o.o_totalprice AS v,
+           LEAST(GREATEST(o.o_totalprice, p.p01), p.p99) AS w
+    FROM orders o JOIN p ON o.o_custkey % 10 = p.cohort
+)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 4)
+           AS mean_raw,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 4)
+           AS mean_winsorized
+FROM clamped GROUP BY cohort
+ORDER BY cohort
+""",
+)
+def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means: order values clamped to each cohort's exact
+    [p01, p99] (percentile with linear interpolation on both engines),
+    the standard outlier-robust KPI. The per-cohort percentile table is
+    tiny and broadcasts back onto the fact scan; means accumulate in
+    DECIMAL so partial-aggregation order can't wiggle the 4-dp
+    rounding."""
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 10).alias("cohort"),
+        F.col("o_totalprice").alias("v"),
+    )
+    p = orders.groupBy("cohort").agg(
+        F.expr("percentile(v, 0.01)").alias("p01"),
+        F.expr("percentile(v, 0.99)").alias("p99"),
+    )
+    clamped = orders.join(F.broadcast(p), "cohort").withColumn(
+        "w", F.least(F.greatest(F.col("v"), F.col("p01")), F.col("p99"))
+    )
+    mean_of = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(38,6)")).cast("double") / F.count("*"),
+        4,
+    )
+    return (
+        clamped.groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_orders"),
+            mean_of("v").alias("mean_raw"),
+            mean_of("w").alias("mean_winsorized"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# Johnson–Lindenstrauss sign matrix: entry (i, j) is ±1 from the parity
+# of the SAME md5-derived 60-bit integer both engines compute
+# (portable_hash60 of "rp-{i}-{j}"), so neither side embeds a literal
+# matrix.
+_RP_OUT_DIMS = 8
+
+
+@register(
+    "random_projection_check",
+    """
+WITH elems AS (
+    SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS i,
+           CAST(embedding[i] AS DOUBLE) AS e
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+),
+pairs AS (
+    SELECT vec_id, label, i, e, j,
+           CASE WHEN CAST(('0x' || substring(md5(
+                    'rp-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                ), 1, 15)) AS BIGINT) %% 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM elems, (SELECT unnest(generate_series(0, %d)) AS j)
+),
+proj AS (
+    SELECT vec_id, label, j,
+           CAST(SUM(CAST(e * s AS DECIMAL(28, 12))) AS DOUBLE) AS p
+    FROM pairs GROUP BY 1, 2, 3
+),
+norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(e * e AS DECIMAL(28, 12))) AS DOUBLE))
+               AS nrm
+    FROM elems GROUP BY 1
+),
+ratios AS (
+    SELECT p.vec_id, p.label,
+           sqrt(CAST(SUM(CAST(p.p * p.p AS DECIMAL(28, 12))) AS DOUBLE)
+                / %d) / MAX(n.nrm) AS ratio
+    FROM proj p JOIN norms n ON p.vec_id = n.vec_id
+    GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18, 9))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_norm_ratio
+FROM ratios GROUP BY label
+ORDER BY label
+"""
+    % (_RP_OUT_DIMS - 1, _RP_OUT_DIMS),
+)
+def q_random_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sanity gate: project 64-dim embeddings to
+    8 dims with a deterministic ±1 sign matrix and report the per-label
+    mean of ||Px||/(sqrt(8)·||x||) — should hover near 1 if the
+    projection preserves norms (the precondition for using the reduced
+    vectors in coarse ANN/clustering passes). Every inner sum runs in
+    DECIMAL (products are exact float64, the accumulation exact), so
+    neither engine's partial-agg order can move the rounded output.
+    The long-form (element, out-dim) build here mirrors the oracle; a
+    production kernel would fuse the 8 dot products into one zip_with
+    per out-dim (same plan shape as similarity._dot)."""
+    emb = load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "e0"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("i").cast("long").alias("i"),
+        F.col("e0").cast("double").alias("e"),
+    )
+    j = spark.range(_RP_OUT_DIMS).select(F.col("id").alias("j"))
+    sign = F.when(
+        dedup.portable_hash60(
+            F.concat(
+                F.lit("rp-"),
+                F.col("i").cast("string"),
+                F.lit("-"),
+                F.col("j").cast("string"),
+            )
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    pairs = elems.crossJoin(F.broadcast(j)).withColumn("s", sign)
+    proj = pairs.groupBy("vec_id", "label", "j").agg(
+        F.sum((F.col("e") * F.col("s")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("p")
+    )
+    norms = elems.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("e") * F.col("e")).cast("decimal(28,12)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    ratios = (
+        proj.join(norms, "vec_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sqrt(
+                    F.sum(
+                        (F.col("p") * F.col("p")).cast("decimal(28,12)")
+                    ).cast("double")
+                    / _RP_OUT_DIMS
+                )
+                / F.max("nrm")
+            ).alias("ratio")
+        )
+    )
+    return (
+        ratios.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_norm_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
