@@ -7033,6 +7033,286 @@ def q_random_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_dedup_idempotent",
+    """
+WITH keyed AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, date_trunc('minute', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM keyed GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_dedup_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion cleanup: collapse retried deliveries to
+    one event per idempotency key (user, type, minute bucket), keeping
+    the earliest by (ts, event_id). One shuffle on the composite key —
+    the batch twin of the streaming sink's exactly-once txlog
+    (sources/txlog.py); reports kept/dropped per type so the dedup
+    rate is observable."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy(F.asc("ts"), F.asc("event_id"))
+    keyed = ev.select(
+        "event_type", F.row_number().over(w).alias("rn")
+    )
+    return (
+        keyed.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "purchase_rate_wilson",
+    """
+WITH h AS (
+    SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT hour_of_day, n, k,
+           CAST(k AS DOUBLE) / n AS p,
+           1.96 AS z
+    FROM h
+)
+SELECT hour_of_day, n, k,
+       ROUND(p, 4) AS rate,
+       ROUND((p + z*z/(2*n) - z * sqrt(p*(1-p)/n + z*z/(4*n*n)))
+             / (1 + z*z/n), 4) AS wilson_lo,
+       ROUND((p + z*z/(2*n) + z * sqrt(p*(1-p)/n + z*z/(4*n*n)))
+             / (1 + z*z/n), 4) AS wilson_hi
+FROM w
+ORDER BY hour_of_day
+""",
+)
+def q_purchase_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase conversion rate per hour-of-day with a Wilson 95%
+    score interval — the binomial CI that stays inside [0,1] at small
+    n (standard for funnel dashboards). Inputs are exact integer
+    (n, k) pairs per hour; the CI arithmetic is a fixed double
+    expression identical on both engines."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z = F.lit(1.96)
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z * z / (4 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    return h.select(
+        "hour_of_day",
+        "n",
+        "k",
+        F.round(p, 4).alias("rate"),
+        F.round((p + z * z / (2 * F.col("n")) - half) / denom, 4).alias(
+            "wilson_lo"
+        ),
+        F.round((p + z * z / (2 * F.col("n")) + half) / denom, 4).alias(
+            "wilson_hi"
+        ),
+    ).orderBy("hour_of_day")
+
+
+@register(
+    "token_pmi_top",
+    """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1, 2),
+m1 AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pc GROUP BY 1),
+m2 AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pc GROUP BY 1),
+t AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM pc)
+SELECT pc.w1, pc.w2, pc.n_ab,
+       ROUND(ln(CAST(pc.n_ab AS DOUBLE) * t.n_total
+                / (CAST(m1.n_a AS DOUBLE) * m2.n_b)), 4) AS pmi
+FROM pc
+JOIN m1 ON m1.w1 = pc.w1
+JOIN m2 ON m2.w2 = pc.w2
+CROSS JOIN t
+WHERE pc.n_ab >= 20
+ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC
+LIMIT 25
+""",
+)
+def q_token_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation statistic behind phrase mining and word-embedding
+    preprocessing (Church & Hanks 1990). Marginals come from the SAME
+    bigram-count table (one explode pass, one (w1,w2) shuffle); both
+    marginal tables are tiny and broadcast. Support floor n_ab >= 20
+    keeps the log out of the noisy tail; ties on the rounded PMI break
+    by the pair."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    bg = docs.select(
+        F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"), "t"
+    ).select(
+        F.expr("t[i - 1]").alias("w1"), F.expr("t[i]").alias("w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    m1 = pc.groupBy("w1").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    m2 = pc.groupBy("w2").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    t = pc.agg(F.sum("n_ab").cast("long").alias("n_total")).withColumn(
+        "j", F.lit(1)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n_total")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        4,
+    )
+    return (
+        pc.filter(F.col("n_ab") >= 20)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(t), "j")
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(25)
+    )
+
+
+@register(
+    "nation_trend_slope",
+    """
+WITH monthly AS (
+    SELECT n_name AS nation,
+           (EXTRACT(year FROM o_orderdate) - 1990) * 12
+               + EXTRACT(month FROM o_orderdate) AS month_idx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(regr_slope(revenue, month_idx), 2) AS slope,
+       ROUND(regr_r2(revenue, month_idx), 4) AS r2
+FROM monthly GROUP BY nation
+ORDER BY nation
+""",
+)
+def q_nation_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-trend fit: monthly revenue regressed on a month
+    index, per nation — the grouped OLS-over-time shape behind "which
+    markets are growing". The monthly rollup accumulates in DECIMAL
+    (exact) before the one-pass regression aggregates; month index is
+    integer arithmetic on date parts, identical across engines."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")
+            ).alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        monthly.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_months"),
+            F.round(F.expr("regr_slope(revenue, month_idx)"), 2).alias(
+                "slope"
+            ),
+            F.round(F.expr("regr_r2(revenue, month_idx)"), 4).alias("r2"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "session_length_histogram",
+    """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+lens AS (
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+)
+SELECT CAST(length(bin(n_events)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM lens GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of session lengths (events per 1h-gap
+    session): bucket = bit-length of the count, i.e. sessions of
+    1, 2-3, 4-7, 8-15... events. Bit-length comes from length(bin(n))
+    — exact integer string length, no float log at bucket edges."""
+    tagged = sessionize.with_session_ids(
+        load(spark, sf_dir, "events"), gap_seconds=3600
+    )
+    lens = tagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        lens.select(
+            F.length(F.expr("bin(n_events)")).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("bucket")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
