@@ -93,7 +93,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation over an UNDIRECTED edge list →
     (node, n_triangles).
@@ -111,6 +114,12 @@ def triangle_counts(
     the canonical-id orientation here is the same plan shape.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # The edge list feeds all three join arms — left lazy, a derived
+    # edge list (e.g. the order-keyed co-purchase self-join) would be
+    # recomputed three times (measured 4.8s -> ~2s at sf0.1). Same
+    # materialize-once contract as pagerank above.
+    if materialize:
+        e = e.localCheckpoint(eager=True)
     ab = e
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
