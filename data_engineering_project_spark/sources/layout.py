@@ -122,3 +122,61 @@ def write_zordered(
         else keyed.repartitionByRange("__z")
     )
     clustered.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory's many small files into few
+    ~``target_bytes`` files (the OPTIMIZE/compaction maintenance job
+    every streaming or incremental sink eventually needs: tiny files
+    mean per-file open/footer costs and task-scheduling overhead
+    dominate the scan at 100 TB).
+
+    Strategy: size the output file count from the CURRENT on-disk
+    bytes (ceil(total/target)), rewrite to a staging directory
+    alongside the table, then swap directories. The swap is two
+    renames — not atomic for concurrent readers; a production lake
+    would commit the rewrite through a table format's log (or this
+    repo's sources/txlog.py) instead. Returns {files_before,
+    files_after, bytes}.
+
+    ``sort_within_by`` re-sorts rows inside each output file so
+    compaction doubles as a re-clustering pass (see write_clustered).
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    compacted = df.coalesce(n_out)
+    if sort_within_by:
+        compacted = compacted.sortWithinPartitions(*sort_within_by)
+    staging = path.rstrip("/") + ".__compact__"
+    compacted.write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    after = [
+        f
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }

@@ -33,6 +33,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema evolution: union the footers' schemas
+    (``mergeSchema``) so files written before a column was added read
+    as NULL in that column instead of failing. Costs one footer read
+    per file at planning time — enable only on tables that actually
+    evolved; steady-state tables should pin a read schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def normalize_nanos(df: DataFrame, col: str) -> DataFrame:
     """Convert a nanos-since-epoch long (parquet TIMESTAMP(NANOS) read
     under ``spark.sql.legacy.parquet.nanosAsLong``) to TimestampType.
