@@ -7313,6 +7313,211 @@ def q_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "brand_share_within_type",
+    """
+WITH rev AS (
+    SELECT p.p_brand AS brand, p.p_type AS part_type,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+)
+SELECT brand, part_type,
+       CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER (PARTITION BY part_type) AS DOUBLE),
+             4) AS share_in_type
+FROM rev
+ORDER BY part_type, brand
+""",
+)
+def q_brand_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each brand's revenue share within its part
+    type (the classic percent-of-parent OLAP window). Revenue
+    accumulates in DECIMAL so both the numerator and the windowed
+    denominator are exact before the one float divide; the share
+    window partitions by type — small groups, no global order."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("part_type")
+    return rev.select(
+        "brand",
+        "part_type",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double"),
+            4,
+        ).alias("share_in_type"),
+    ).orderBy("part_type", "brand")
+
+
+@register(
+    "time_to_conversion",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+    FROM events GROUP BY 1
+),
+deltas AS (
+    SELECT date_diff('second', signup_ts, purchase_ts) AS secs
+    FROM firsts
+    WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+      AND purchase_ts >= signup_ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(quantile_cont(secs, 0.50) AS DOUBLE) AS p50_secs,
+       CAST(quantile_cont(secs, 0.90) AS DOUBLE) AS p90_secs,
+       CAST(MAX(secs) AS BIGINT) AS max_secs
+FROM deltas
+""",
+)
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: signup → first-purchase delay distribution
+    (median/p90/max over converting users). One conditional-min
+    aggregate per user — no self-join of the events table — then a
+    single small percentile reduce over per-user scalars. Exact
+    second diffs feed interpolated percentiles identically on both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    as_epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    deltas = firsts.filter(
+        F.col("signup_ts").isNotNull()
+        & F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+    ).select((as_epoch("purchase_ts") - as_epoch("signup_ts")).alias("secs"))
+    return deltas.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(secs, 0.50)").cast("double").alias("p50_secs"),
+        F.expr("percentile(secs, 0.90)").cast("double").alias("p90_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )
+
+
+@register(
+    "supplier_hhi",
+    """
+WITH rev AS (
+    SELECT p.p_type AS part_type, l.l_suppkey AS suppkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+shares AS (
+    SELECT part_type,
+           CAST(revenue AS DOUBLE)
+               / CAST(SUM(revenue) OVER (PARTITION BY part_type)
+                     AS DOUBLE) AS s
+    FROM rev
+)
+SELECT part_type,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(s * s) * 10000, 2) AS hhi
+FROM shares GROUP BY part_type
+ORDER BY part_type
+""",
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    per part type (0-10000 scale): sum of squared market shares — the
+    standard supply-concentration risk metric. Shares derive from
+    DECIMAL-exact revenue; the square-sum per type runs over the small
+    (type, supplier) rollup, never the fact table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("part_type"), F.col("l_suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("part_type")
+    shares = rev.select(
+        "part_type",
+        (
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double")
+        ).alias("s"),
+    )
+    return (
+        shares.groupBy("part_type")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("s") * F.col("s")) * 10000, 2).alias("hhi"),
+        )
+        .orderBy("part_type")
+    )
+
+
+@register(
+    "user_acquisition_curve",
+    """
+WITH first_seen AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+),
+daily AS (
+    SELECT date_trunc('day', first_ts) AS day_start,
+           CAST(COUNT(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY 1
+)
+SELECT day_start, new_users,
+       CAST(SUM(new_users) OVER (
+           ORDER BY day_start ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM daily
+ORDER BY day_start
+""",
+)
+def q_user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User acquisition: daily first-seen cohort sizes with the
+    running total. Each user collapses to one first-seen row before
+    any window; the cumulative window then runs over DAYS (a rollup
+    bounded by the calendar, not the data), so the 'global order' is
+    over the tiny frame, never the event stream."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily = first_seen.groupBy(
+        F.date_trunc("day", "first_ts").alias("day_start")
+    ).agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day_start",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day_start")
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
