@@ -7518,6 +7518,301 @@ def q_user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_start")
 
 
+@register(
+    "orders_contract_violations",
+    """
+SELECT 'o_orderkey_not_null' AS rule,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_in_set',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('F', 'O', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_in_range',
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority_matches',
+       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderkey_unique',
+       CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(c) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+ORDER BY rule
+""",
+)
+def q_orders_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract over orders (operators/contracts.py):
+    null / enum / range / regex rules fuse into ONE conditional-count
+    aggregate pass, plus one key-group pass for uniqueness — rule
+    count never multiplies scans. The Great-Expectations shape,
+    mechanical and composable (same regex subset as the PII module so
+    the oracle runs it verbatim)."""
+    from data_engineering_project_spark.operators import contracts as C
+
+    orders = load(spark, sf_dir, "orders")
+    return C.evaluate(
+        orders,
+        [
+            C.not_null("o_orderkey"),
+            C.in_set("o_orderstatus", ["F", "O", "P"]),
+            C.in_range("o_totalprice", 0, 1000000),
+            C.matches("o_orderpriority", "^[1-5]-"),
+            C.unique_key("o_orderkey"),
+        ],
+    ).orderBy("rule")
+
+
+@register(
+    "value_psi_drift",
+    """
+WITH bucketed AS (
+    SELECT CASE WHEN day(ts) <= 15 THEN 'first_half' ELSE 'second_half'
+           END AS half,
+           LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+    FROM events
+),
+c AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN half = 'first_half' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN half = 'second_half' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2
+    FROM bucketed GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+      FROM c),
+p AS (
+    SELECT bucket,
+           (CAST(n1 AS DOUBLE) + 1) / (t1 + 10) AS p1,
+           (CAST(n2 AS DOUBLE) + 1) / (t2 + 10) AS p2
+    FROM c CROSS JOIN t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(SUM((p2 - p1) * ln(p2 / p1)), 6) AS psi
+FROM p
+""",
+)
+def q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month for the event-value distribution — the standard model-
+    monitoring drift score (PSI < 0.1 stable, > 0.25 action). Fixed
+    width-50 buckets with +1 Laplace smoothing so empty cells stay
+    finite; all bucket counts are exact integers, the PSI sum runs
+    over ≤10 cells."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, "first_half")
+        .otherwise("second_half")
+        .alias("half"),
+        F.least(
+            F.floor(F.col("value") / 50).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    c = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "first_half", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("half") == "second_half", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    t = c.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    ).withColumn("j", F.lit(1))
+    p = (
+        c.withColumn("j", F.lit(1))
+        .join(F.broadcast(t), "j")
+        .select(
+            "bucket",
+            ((F.col("n1").cast("double") + 1) / (F.col("t1") + 10)).alias(
+                "p1"
+            ),
+            ((F.col("n2").cast("double") + 1) / (F.col("t2") + 10)).alias(
+                "p2"
+            ),
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(
+            F.sum(
+                (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))
+            ),
+            6,
+        ).alias("psi"),
+    )
+
+
+@register(
+    "revenue_changepoint",
+    """
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DECIMAL(38, 6))
+               AS rev
+    FROM orders GROUP BY 1
+),
+cum AS (
+    SELECT day, rev,
+           SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c,
+           ROW_NUMBER() OVER (ORDER BY day) AS t,
+           SUM(rev) OVER () AS tot,
+           COUNT(*) OVER () AS n
+    FROM daily
+),
+stats AS (
+    SELECT day,
+           ROUND(ABS(CAST(c AS DOUBLE) / t
+                     - CAST(tot - c AS DOUBLE) / (n - t)), 2) AS mean_shift
+    FROM cum
+    WHERE t >= 30 AND t <= n - 30
+)
+SELECT day, mean_shift
+FROM stats
+ORDER BY mean_shift DESC, day ASC
+LIMIT 5
+""",
+)
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint scan over daily revenue: for every
+    candidate split day, |mean(before) - mean(after)| from the ONE
+    cumulative pass (prefix sums), top 5. The global-order window runs
+    over the DAILY rollup (thousands of rows, bounded by the
+    calendar), never the fact table — the standard rollup-first shape
+    for sequential statistics; prefix sums stay in exact DECIMAL until
+    the two mean divisions. Candidate splits keep >= 30 days on each
+    side."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        F.sum("rev").over(w_cum).alias("c"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("rev").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    shift = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("t")
+            - (F.col("tot") - F.col("c")).cast("double")
+            / (F.col("n") - F.col("t"))
+        ),
+        2,
+    )
+    return (
+        cum.filter((F.col("t") >= 30) & (F.col("t") <= F.col("n") - 30))
+        .select("day", shift.alias("mean_shift"))
+        .orderBy(F.desc("mean_shift"), F.asc("day"))
+        .limit(5)
+    )
+
+
+_COS6 = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+@register(
+    "knn_label_agreement",
+    """
+WITH ranked AS (
+    SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY %s DESC, b.vec_id ASC
+           ) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+agr AS (
+    SELECT qid, qlabel,
+           CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS matches
+    FROM ranked WHERE rn <= 10 GROUP BY 1, 2
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(matches) AS DOUBLE) / (10 * COUNT(*)), 4)
+           AS avg_agreement
+FROM agr GROUP BY 1
+ORDER BY label
+"""
+    % _COS6.format(a="a.embedding", b="b.embedding"),
+)
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (Confident-Learning-shaped): for each vector,
+    the fraction of its exact 10 nearest neighbors (cosine) sharing
+    its label, averaged per label — labels whose neighborhoods
+    disagree are candidates for relabeling/dropping before training.
+    The Spark path reuses the BLAS top-k kernel with the corpus as its
+    own query set (the query matrix is a bounded broadcast; at real
+    corpus scale the IVF/LSH ANN path replaces the exact kernel, same
+    contract). Agreement aggregates are integer sums with one final
+    division."""
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    queries_pdf = emb.select("vec_id", "embedding").toPandas()
+    topk = similarity.cosine_topk_vectorized(
+        emb, queries_pdf, "vec_id", "embedding", k=10
+    )
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    agr = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("matches")
+        )
+    )
+    return (
+        agr.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum("matches").cast("double") / (10 * F.count("*")), 4
+            ).alias("avg_agreement"),
+        )
+        .orderBy("label")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

@@ -20,6 +20,12 @@ ARROW_KERNELS = {
     "embedding_similar_pairs",
     "pack_documents",
     "media_featurize",
+    # Misra-Gries sketch pass: a bounded per-partition mapInPandas
+    # summary (O(k) state) feeding a JVM-side exact verify.
+    "heavy_hitter_tokens",
+    # Exact-KNN label audit: the BLAS top-k kernel with the corpus as
+    # its own (bounded) query set.
+    "knn_label_agreement",
 }
 
 # The one query whose JOB is a Python table function: doc_chunks_udtf
