@@ -7485,7 +7485,7 @@ WITH first_seen AS (
     SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
 ),
 daily AS (
-    SELECT date_trunc('day', first_ts) AS day_start,
+    SELECT CAST(first_ts AS DATE) AS day_start,
            CAST(COUNT(*) AS BIGINT) AS new_users
     FROM first_seen GROUP BY 1
 )
@@ -7506,7 +7506,7 @@ def q_user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     daily = first_seen.groupBy(
-        F.date_trunc("day", "first_ts").alias("day_start")
+        F.to_date("first_ts").alias("day_start")
     ).agg(F.count("*").alias("new_users"))
     w = Window.orderBy("day_start").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -7810,6 +7810,487 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_agreement"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "referential_integrity_report",
+    """
+SELECT 'lineitem.partkey->part' AS relation,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+           AS BIGINT) AS n_orphans,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'lineitem.suppkey->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+           AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders.custkey->customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+           AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+ORDER BY relation
+""",
+)
+def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star: one anti-join count
+    per relation (operators/joins.anti_join — LeftAnti, so the probe
+    side streams and the key side builds/broadcasts; no fact-to-fact
+    materialization). The four relations union into one report frame."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(rel, probe, build, pk, fk):
+        keyed = build.select(F.col(pk).alias(fk))
+        orphans = anti_join(probe, keyed, [fk], broadcast_right=True)
+        return (
+            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+            .withColumn("relation", F.lit(rel))
+            .withColumn("j", F.lit(1))
+            .join(
+                probe.agg(F.count("*").cast("long").alias("n_rows"))
+                .withColumn("j", F.lit(1)),
+                "j",
+            )
+            .select("relation", "n_orphans", "n_rows")
+        )
+
+    parts = [
+        audit("lineitem.partkey->part", li, part, "p_partkey", "l_partkey"),
+        audit("lineitem.suppkey->supplier", li, supp, "s_suppkey", "l_suppkey"),
+        audit("orders.custkey->customer", orders, cust.select("c_custkey"),
+              "c_custkey", "o_custkey"),
+        audit("customer.nationkey->nation", cust, nation, "n_nationkey",
+              "c_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("relation")
+
+
+@register(
+    "date_spine_coverage",
+    """
+WITH bounds AS (
+    SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+),
+spine AS (
+    SELECT CAST(d AS DATE) AS day
+    FROM bounds, unnest(generate_series(CAST(lo AS DATE),
+                                        CAST(hi AS DATE),
+                                        INTERVAL 1 DAY)) AS g(d)
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT EXTRACT(year FROM s.day) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN d.n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_without_orders,
+       CAST(SUM(COALESCE(d.n_orders, 0)) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+GROUP BY 1
+ORDER BY year
+""",
+)
+def q_date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine completeness: generate the full day spine between
+    the fact table's min/max dates (sequence + explode — the standard
+    date-dimension build) and left-join the daily rollup to expose
+    silent gaps. The spine is bounded by the calendar (a few thousand
+    rows) and broadcasts; per-year coverage counts come out of one
+    pass."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    return (
+        spine.join(daily, "day", "left")
+        .groupBy(F.year("day").alias("year"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.when(F.col("n_orders").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("days_without_orders"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+        )
+        .orderBy("year")
+    )
+
+
+@register(
+    "cross_source_exact_dups",
+    """
+WITH hashed AS (
+    SELECT md5(text) AS h, source FROM documents
+),
+groups AS (
+    SELECT h,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM hashed GROUP BY 1
+)
+SELECT n_copies, n_sources, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM groups
+WHERE n_copies > 1
+GROUP BY 1, 2
+ORDER BY n_copies, n_sources
+""",
+)
+def q_cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate provenance: exact-content groups (md5) broken down by
+    how many copies and how many DISTINCT sources each spans — the
+    dedup-policy input ("same feed re-crawled" vs "mirrored across
+    sources"). Shuffles 128-bit hashes only, never text; the histogram
+    over (copies, sources) is tiny."""
+    docs = load(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5("text").alias("h"), "source")
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return (
+        groups.groupBy("n_copies", "n_sources")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_copies", "n_sources")
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    """
+WITH cust_rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS rev
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT rev,
+           ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+           COUNT(*) OVER () AS n,
+           SUM(rev) OVER () AS tot
+    FROM cust_rev
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(2.0 * SUM(CAST(i AS DOUBLE) * CAST(rev AS DOUBLE))
+             / (MAX(n) * CAST(MAX(tot) AS DOUBLE))
+             - (MAX(n) + 1.0) / MAX(n), 4) AS gini
+FROM ranked
+""",
+)
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customers: the
+    rank-weighted closed form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n on
+    revenue sorted ascending. The global-order window runs over the
+    per-customer ROLLUP (bounded by entity count, not order count) —
+    the documented rollup-first shape; revenue stays DECIMAL-exact
+    until the final scalar arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev")
+    )
+    w_rank = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    w_all = Window.orderBy("rev").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cust_rev.select(
+        "rev",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(F.col("i").cast("double") * F.col("rev").cast("double"))
+            / (F.max("n") * F.max("tot").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "user_activity_streaks",
+    """
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grouped AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+    FROM active
+),
+streaks AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak
+    FROM grouped GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak,
+       CAST(SUM(streak) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+ORDER BY longest_streak DESC, user_id ASC
+LIMIT 20
+""",
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands pattern: day minus per-user row_number is
+    constant within a run, so one user-partitioned window + one
+    aggregate find every streak with no self-join. All windows
+    partition by user; day arithmetic is exact integer dates."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = active.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak").cast("long").alias("longest_streak"),
+            F.sum("streak").cast("long").alias("n_active_days"),
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "ranking_rank_correlation",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS s1,
+           len(list_distinct(string_split(text, ' '))) AS s2
+    FROM documents
+),
+ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id ASC) AS r1,
+           ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id ASC) AS r2
+    FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(corr(CAST(r1 AS DOUBLE), CAST(r2 AS DOUBLE)), 4)
+           AS spearman
+FROM ranked
+""",
+)
+def q_ranking_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two document-scoring schemes
+    (total tokens vs distinct tokens): Pearson corr over the two rank
+    columns — the standard check that a cheaper ranking proxy agrees
+    with the expensive one before swapping it into a pipeline. Ranks
+    are deterministic (score desc, doc_id tiebreak); the global-order
+    windows run over the doc-level rollup. At lake scale the exact
+    global ranks would come from the documented two-phase range-rank
+    (order_value_deciles) — same contract."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("s1"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("s2"),
+    )
+    r1 = Window.orderBy(F.desc("s1"), F.asc("doc_id"))
+    r2 = Window.orderBy(F.desc("s2"), F.asc("doc_id"))
+    ranked = scored.select(
+        F.row_number().over(r1).alias("r1"),
+        F.row_number().over(r2).alias("r2"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.corr(F.col("r1").cast("double"), F.col("r2").cast("double")), 4
+        ).alias("spearman"),
+    )
+
+
+@register(
+    "value_information_value",
+    """
+WITH bucketed AS (
+    SELECT LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+    FROM events
+),
+c AS (
+    SELECT bucket,
+           CAST(SUM(good) AS BIGINT) AS n_good,
+           CAST(SUM(1 - good) AS BIGINT) AS n_bad
+    FROM bucketed GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+             CAST(SUM(n_bad) AS BIGINT) AS tb FROM c),
+p AS (
+    SELECT bucket,
+           (CAST(n_good AS DOUBLE) + 1) / (tg + 10) AS pg,
+           (CAST(n_bad AS DOUBLE) + 1) / (tb + 10) AS pb
+    FROM c CROSS JOIN t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(SUM((pg - pb) * ln(pg / pb)), 6) AS information_value
+FROM p
+""",
+)
+def q_value_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information Value of the event-value feature for predicting
+    purchases — the credit-scoring feature-screening statistic
+    (IV < 0.02 useless, > 0.3 strong). Same smoothed-bucket mechanics
+    as the PSI query: exact integer counts per bucket, ≤10-cell float
+    sum at the end."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.least(
+            F.floor(F.col("value") / 50).cast("long"), F.lit(9)
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "good"
+        ),
+    )
+    c = bucketed.groupBy("bucket").agg(
+        F.sum("good").cast("long").alias("n_good"),
+        F.sum(1 - F.col("good")).cast("long").alias("n_bad"),
+    )
+    t = c.agg(
+        F.sum("n_good").cast("long").alias("tg"),
+        F.sum("n_bad").cast("long").alias("tb"),
+    ).withColumn("j", F.lit(1))
+    p = (
+        c.withColumn("j", F.lit(1))
+        .join(F.broadcast(t), "j")
+        .select(
+            "bucket",
+            ((F.col("n_good").cast("double") + 1) / (F.col("tg") + 10)).alias(
+                "pg"
+            ),
+            ((F.col("n_bad").cast("double") + 1) / (F.col("tb") + 10)).alias(
+                "pb"
+            ),
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(
+            F.sum(
+                (F.col("pg") - F.col("pb")) * F.log(F.col("pg") / F.col("pb"))
+            ),
+            6,
+        ).alias("information_value"),
+    )
+
+
+@register(
+    "bounce_rate_by_entry",
+    """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(struct_pack(ts := ts, event_id := event_id,
+                           event_type := event_type)) AS first_row
+    FROM s GROUP BY 1, 2
+),
+entry AS (
+    SELECT first_row.event_type AS entry_type, n_events
+    FROM per_session
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS bounce_rate
+FROM entry GROUP BY entry_type
+ORDER BY entry_type
+""",
+)
+def q_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: share of 1h-gap sessions
+    with exactly one event, grouped by the session's FIRST event type.
+    The entry event comes from a min-struct aggregate ((ts, event_id,
+    type) lexicographic min — no second window pass); deterministic
+    because (ts, event_id) totally orders each session."""
+    tagged = sessionize.with_session_ids(
+        load(spark, sf_dir, "events"), gap_seconds=3600
+    )
+    per_session = tagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_row"),
+    )
+    entry = per_session.select(
+        F.col("first_row.event_type").alias("entry_type"), "n_events"
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        entry.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            F.round(bounce.cast("double") / F.count("*"), 4).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("entry_type")
     )
 
 
