@@ -47,6 +47,12 @@ SHOWCASE = {
     "mixture_corpus_sample": "mixture sampling is ONE scan + map-only md5-bucket predicate — thresholds folded in as literals, no join",
     "events_hourly_latest": "keyed downsampling: one (user,hour) shuffle, rank window bounded by per-key events",
     "embedding_quantization_error": "quantization error: per-row array expressions then one small aggregate — map-only until the final groupBy",
+    "pii_redaction_scan": "PII redaction: regex detect+redact fully inside whole-stage codegen; the only exchange is the final per-source aggregate",
+    "heavy_hitter_tokens": "Misra-Gries sketch-then-verify: bounded mapInPandas candidates, broadcast semi-join recount — the skewed term axis never becomes a full-vocab shuffle",
+    "copurchase_triangles": "triangle counting: one materialized edge list feeds all three equi-join arms (wedge + closing edge), no recompute, no nested loop",
+    "winsorized_revenue_stats": "winsorize: tiny per-cohort percentile table broadcast back onto the fact scan; means accumulate in DECIMAL partials",
+    "user_activity_streaks": "gaps-and-islands: ONE user-partitioned window then plain aggregates — no self-join for consecutive-day runs",
+    "vocab_growth_curve": "Heaps curve: token->min(doc) one-pass aggregate; 10-row threshold frame broadcast; integer cross-multiplied decile bounds",
 }
 
 
