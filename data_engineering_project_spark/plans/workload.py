@@ -8294,6 +8294,236 @@ def q_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_value_twap",
+    """
+WITH seq AS (
+    SELECT user_id, value, ts, event_id,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+    FROM events
+),
+weighted AS (
+    SELECT user_id,
+           CAST(date_diff('second', ts, next_ts) AS BIGINT) AS w,
+           value
+    FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(w) AS BIGINT) AS total_secs,
+       ROUND(CAST(SUM(CAST(value * w AS DECIMAL(38, 12))) AS DOUBLE)
+             / SUM(w), 4) AS twap
+FROM weighted
+GROUP BY user_id
+HAVING SUM(w) > 0
+ORDER BY twap DESC, user_id ASC
+LIMIT 20
+""",
+)
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (the TWAP/OHLC
+    resampling shape): each observation holds until the next one, so
+    its weight is the exact second gap from the lead window. One
+    user-partitioned window, one aggregate; the value*weight products
+    accumulate in DECIMAL so partial-agg order can't move the 4-dp
+    rounding. Top 20 by TWAP."""
+    ev = load(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    as_epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        (as_epoch(F.lead("ts").over(w_seq)) - as_epoch(F.col("ts"))).alias(
+            "w"
+        ),
+    ).filter(F.col("w").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum("w").cast("long").alias("total_secs"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("w")).cast("decimal(38,12)")
+                ).cast("double")
+                / F.sum("w"),
+                4,
+            ).alias("twap"),
+        )
+        .filter(F.col("total_secs") > 0)
+        .orderBy(F.desc("twap"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_fold_drift",
+    """
+WITH elems AS (
+    SELECT vec_id % 2 AS fold, label, i,
+           CAST(embedding[i] AS DOUBLE) AS e
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+),
+means AS (
+    SELECT label, i,
+           CAST(SUM(CASE WHEN fold = 0
+                         THEN CAST(e AS DECIMAL(28, 12)) END) AS DOUBLE)
+               / SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS m0,
+           CAST(SUM(CASE WHEN fold = 1
+                         THEN CAST(e AS DECIMAL(28, 12)) END) AS DOUBLE)
+               / SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END) AS m1
+    FROM elems GROUP BY 1, 2
+),
+counts AS (
+    SELECT label,
+           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fold0,
+           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fold1
+    FROM embeddings GROUP BY 1
+)
+SELECT m.label, c.n_fold0, c.n_fold1,
+       ROUND(sqrt(CAST(SUM(CAST((m0 - m1) * (m0 - m1)
+                              AS DECIMAL(28, 14))) AS DOUBLE)), 4)
+           AS centroid_l2_drift
+FROM means m JOIN counts c ON m.label = c.label
+GROUP BY m.label, c.n_fold0, c.n_fold1
+ORDER BY m.label
+""",
+)
+def q_embedding_fold_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shift audit: L2 distance between per-label centroid of
+    the even-id and odd-id halves of the embedding corpus — large
+    drift flags a biased split (or temporal shift) before training.
+    Per-dim means use DECIMAL-exact sums; the 64-term distance sum is
+    DECIMAL-accumulated too, so neither engine's aggregation order
+    moves the rounding. One (label, dim) shuffle on exploded scalars."""
+    emb = load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        (F.col("vec_id") % 2).alias("fold"),
+        "label",
+        F.posexplode("embedding").alias("i0", "e0"),
+    ).select(
+        "fold",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("e0").cast("double").alias("e"),
+    )
+    means = elems.groupBy("label", "i").agg(
+        (
+            F.sum(
+                F.when(F.col("fold") == 0, F.col("e").cast("decimal(28,12)"))
+            ).cast("double")
+            / F.sum(F.when(F.col("fold") == 0, 1).otherwise(0))
+        ).alias("m0"),
+        (
+            F.sum(
+                F.when(F.col("fold") == 1, F.col("e").cast("decimal(28,12)"))
+            ).cast("double")
+            / F.sum(F.when(F.col("fold") == 1, 1).otherwise(0))
+        ).alias("m1"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fold0"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fold1"),
+    )
+    diff_sq = (F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(diff_sq.cast("decimal(28,14)")).cast("double")
+                ),
+                4,
+            ).alias("centroid_l2_drift")
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_fold0", "n_fold1", "centroid_l2_drift")
+        .orderBy("label")
+    )
+
+
+@register(
+    "curriculum_token_budget",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS richness
+    FROM documents
+),
+cuts AS (
+    SELECT quantile_cont(richness, 0.25) AS q1,
+           quantile_cont(richness, 0.50) AS q2,
+           quantile_cont(richness, 0.75) AS q3
+    FROM scored
+)
+SELECT (CASE WHEN richness > q3 THEN 3
+             WHEN richness > q2 THEN 2
+             WHEN richness > q1 THEN 1
+             ELSE 0 END) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(richness AS DECIMAL(18, 12))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_richness
+FROM scored CROSS JOIN cuts
+GROUP BY 1
+ORDER BY tier
+""",
+)
+def q_curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/mixing plan: documents bucketed into quality
+    quartiles (type-token richness, exact interpolated cutpoints) with
+    each tier's doc count and TOKEN BUDGET — the table a data-mixing
+    scheduler consumes ("sample tier 3 at 2x"). The 3-scalar cutpoint
+    frame broadcasts back onto the scan; tier assignment compares the
+    same doubles on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("richness"),
+    )
+    cuts = scored.agg(
+        F.expr("percentile(richness, 0.25)").alias("q1"),
+        F.expr("percentile(richness, 0.50)").alias("q2"),
+        F.expr("percentile(richness, 0.75)").alias("q3"),
+    ).withColumn("j", F.lit(1))
+    tier = (
+        F.when(F.col("richness") > F.col("q3"), 3)
+        .when(F.col("richness") > F.col("q2"), 2)
+        .when(F.col("richness") > F.col("q1"), 1)
+        .otherwise(0)
+    )
+    return (
+        scored.withColumn("j", F.lit(1))
+        .join(F.broadcast(cuts), "j")
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("richness").cast("decimal(18,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("avg_richness"),
+        )
+        .orderBy("tier")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
