@@ -8570,6 +8570,142 @@ def q_priority_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_sla_compliance",
+    """
+WITH lat AS (
+    SELECT o.o_orderpriority AS priority,
+           CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END AS within_sla
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(within_sla) AS BIGINT) AS n_within_sla,
+       ROUND(CAST(SUM(within_sla) AS DOUBLE) / COUNT(*), 4)
+           AS sla_rate
+FROM lat GROUP BY priority
+ORDER BY priority
+""",
+)
+def q_shipping_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-within-30-days SLA compliance per order priority: exact
+    integer day diffs, one fact-fact equi-join on orderkey (both
+    sides pre-projected to two columns), per-priority rate with exact
+    integer numerators."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    within = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        <= 30
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(within, 1).otherwise(0).alias("within_sla"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("within_sla").cast("long").alias("n_within_sla"),
+            F.round(
+                F.sum("within_sla").cast("double") / F.count("*"), 4
+            ).alias("sla_rate"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "basket_size_revenue",
+    """
+WITH baskets AS (
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS basket_size,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS revenue
+    FROM lineitem GROUP BY 1
+)
+SELECT basket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(revenue) AS DOUBLE) / COUNT(*), 2)
+           AS avg_basket_revenue
+FROM baskets GROUP BY basket_size
+ORDER BY basket_size
+""",
+)
+def q_basket_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size economics: orders bucketed by line count with the
+    average basket revenue per size — two stacked aggregates, the
+    first keyed on orderkey (map-side combinable), the second on the
+    tiny size domain. Revenue stays DECIMAL through both."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("basket_size"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("revenue"),
+    )
+    return (
+        baskets.groupBy("basket_size")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum("revenue").cast("double") / F.count("*"), 2
+            ).alias("avg_basket_revenue"),
+        )
+        .orderBy("basket_size")
+    )
+
+
+@register(
+    "reorder_interval_percentiles",
+    """
+WITH gaps AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     LAG(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reorders,
+       CAST(quantile_cont(gap_days, 0.25) AS DOUBLE) AS p25_days,
+       CAST(quantile_cont(gap_days, 0.50) AS DOUBLE) AS p50_days,
+       CAST(quantile_cont(gap_days, 0.90) AS DOUBLE) AS p90_days
+FROM gaps WHERE gap_days IS NOT NULL
+""",
+)
+def q_reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders (customer-partitioned lag, exact
+    integer day diffs, deterministic (date, orderkey) order), reduced
+    to interpolated quartiles + p90 — the restock-frequency input to
+    demand forecasting."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_reorders"),
+        F.expr("percentile(gap_days, 0.25)").cast("double").alias("p25_days"),
+        F.expr("percentile(gap_days, 0.50)").cast("double").alias("p50_days"),
+        F.expr("percentile(gap_days, 0.90)").cast("double").alias("p90_days"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

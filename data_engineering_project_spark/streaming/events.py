@@ -267,3 +267,69 @@ def ingest_files_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_view_maintenance(
+    spark: SparkSession,
+    state_dir: str,
+    k: int = 10,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """Incremental materialized-view maintenance: a foreachBatch sink
+    that keeps a running per-key (count, sum) table and its top-k view
+    exactly equal to a batch recompute over everything ingested so far.
+
+    Each micro-batch is PRE-AGGREGATED to one row per key before the
+    merge (so the state merge cost scales with distinct keys in the
+    batch, not batch rows), then combined with the existing totals by
+    a union + re-aggregate — the additive-aggregate form of MERGE.
+    State lives as parquet at ``state_dir`` (totals/) with the top-k
+    snapshot at topk/; a lake deployment would commit both through a
+    transactional table (sources/txlog.py) instead of the
+    overwrite-swap used here.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    totals_dir = os.path.join(state_dir, "totals")
+    topk_dir = os.path.join(state_dir, "topk")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_df.groupBy(key_col).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("total_value"),
+        )
+        if os.path.exists(totals_dir):
+            prev = spark.read.parquet(totals_dir)
+            merged = (
+                prev.unionByName(inc)
+                .groupBy(key_col)
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("total_value")
+                    .cast("decimal(38,6)")
+                    .alias("total_value"),
+                )
+            )
+        else:
+            merged = inc.withColumn(
+                "total_value", F.col("total_value").cast("decimal(38,6)")
+            )
+        staged = totals_dir + ".__new__"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(totals_dir):
+            import shutil
+
+            shutil.rmtree(totals_dir)
+        os.rename(staged, totals_dir)
+        (
+            spark.read.parquet(totals_dir)
+            .orderBy(F.desc("total_value"), F.asc(key_col))
+            .limit(k)
+            .write.mode("overwrite")
+            .parquet(topk_dir)
+        )
+
+    return merge
