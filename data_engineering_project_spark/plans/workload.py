@@ -8633,7 +8633,8 @@ WITH baskets AS (
 )
 SELECT basket_size,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(CAST(SUM(revenue) AS DOUBLE) / COUNT(*), 2)
+       CAST(((2 * CAST(SUM(revenue) * 100 AS BIGINT) + COUNT(*))
+             // (2 * COUNT(*))) AS DOUBLE) / 100
            AS avg_basket_revenue
 FROM baskets GROUP BY basket_size
 ORDER BY basket_size
@@ -8651,12 +8652,24 @@ def q_basket_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("revenue"),
     )
+    # avg in exact integer cents with half-up INTEGER division: a float
+    # divide rounded to 2dp can land on a half-cent boundary and round
+    # differently per engine (observed at sf0.001). round(sc/n, half
+    # up) == (2*sc + n) div (2*n) for non-negative integers.
     return (
         baskets.groupBy("basket_size")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(
-                F.sum("revenue").cast("double") / F.count("*"), 2
+            (F.sum("revenue") * 100).cast("long").alias("__sc"),
+        )
+        .select(
+            "basket_size",
+            "n_orders",
+            (
+                F.expr(
+                    "(2 * __sc + n_orders) DIV (2 * n_orders)"
+                ).cast("double")
+                / 100
             ).alias("avg_basket_revenue"),
         )
         .orderBy("basket_size")
