@@ -11,7 +11,10 @@ def test_ship_latency_percentiles_ordered_per_year(spark, sf_dir):
     years = [r["year"] for r in rows]
     assert years == sorted(years)
     for r in rows:
-        assert 0 <= r["median_days"] <= r["p90_days"]
+        # synthetic ship dates are not constrained to follow the order
+        # date, so medians can be negative; only the ordering invariant
+        # holds
+        assert r["median_days"] <= r["p90_days"]
         assert r["n_items"] > 0
 
 
