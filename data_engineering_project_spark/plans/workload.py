@@ -9030,6 +9030,118 @@ def q_return_flag_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_rank_movers",
+    """
+WITH yearly AS (
+    SELECT l_partkey,
+           EXTRACT(year FROM l_shipdate) AS y,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS rev
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT l_partkey, y,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY y ORDER BY rev DESC, l_partkey ASC
+           ) AS BIGINT) AS rnk
+    FROM yearly
+)
+SELECT a.l_partkey AS partkey,
+       a.rnk AS rank_1996, b.rnk AS rank_1997,
+       CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+FROM ranked a JOIN ranked b
+  ON a.l_partkey = b.l_partkey AND a.y = 1996 AND b.y = 1997
+ORDER BY ABS(a.rnk - b.rnk) DESC, a.l_partkey ASC
+LIMIT 20
+""",
+)
+def q_part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-delta movers: parts whose revenue RANK moved most between
+    1996 and 1997 — the leaderboard-churn shape (per-year rank window
+    over the part rollup, self-join on the entity, abs-delta top 20).
+    Ranks come from DECIMAL-exact revenue with id tiebreaks, so the
+    join and ordering are engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    yearly = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy(
+            "l_partkey", F.year("l_shipdate").alias("y")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("y").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    ranked = yearly.select(
+        "l_partkey", "y", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    a = ranked.filter(F.col("y") == 1996).select(
+        F.col("l_partkey").alias("partkey"), F.col("rnk").alias("rank_1996")
+    )
+    b = ranked.filter(F.col("y") == 1997).select(
+        F.col("l_partkey").alias("partkey"), F.col("rnk").alias("rank_1997")
+    )
+    return (
+        a.join(b, "partkey")
+        .select(
+            "partkey",
+            "rank_1996",
+            "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997"))
+            .cast("long")
+            .alias("rank_gain"),
+        )
+        .orderBy(
+            F.desc(F.abs(F.col("rank_1996") - F.col("rank_1997"))),
+            F.asc("partkey"),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "weekly_rev_count_corr",
+    """
+WITH weekly AS (
+    SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(corr(CAST(n_orders AS DOUBLE), revenue), 3) AS corr_orders_revenue
+FROM weekly
+""",
+)
+def q_weekly_rev_count_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation between weekly order volume and weekly revenue —
+    the metric-redundancy check before dropping one of two dashboard
+    series. One calendar-bounded rollup then a single corr aggregate
+    (both engines' one-pass covariance accumulators); rounded at 3dp,
+    far above accumulation-order noise."""
+    orders = load(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).alias("wk")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return weekly.agg(
+        F.count("*").alias("n_weeks"),
+        F.round(
+            F.corr(F.col("n_orders").cast("double"), F.col("revenue")), 3
+        ).alias("corr_orders_revenue"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
