@@ -760,3 +760,84 @@ def prefix_filter_pairs(
             F.round(inter / union, 4).alias("jaccard"),
         )
     )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring span removal (the dedup *rewrite*, not just the
+    measurement): drop every token covered by an ``n``-gram that
+    appears in ≥ ``min_docs`` distinct documents (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    span-level variant of exact dedup).
+
+    → (id, scrubbed text, n_tokens_before, n_tokens_removed).
+
+    Plan shape: one explode pass hashes every n-gram window (portable
+    md5 family), the cross-doc document-frequency aggregate keeps only
+    flagged hashes (shuffle key = 60-bit hash, never text), and the
+    per-doc scrub joins each doc's OWN windows against the flagged set
+    — so the rewrite is doc-keyed with bounded fan-in. Token ``i`` is
+    removed iff ANY window starting in [i-n+1, i] is flagged, computed
+    with an exact integer interval-overlap aggregate per doc.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("__t"))
+    windows = base.select(
+        id_col,
+        F.explode(
+            F.expr(f"sequence(0, size(__t) - {n})")
+        ).alias("pos"),
+        F.expr(
+            f"array_join(slice(__t, pos + 1, {n}), ' ')"
+        ).alias("__gram"),
+    ).select(
+        id_col, "pos", portable_hash60(F.col("__gram")).alias("gh")
+    )
+    flagged = (
+        windows.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    # positions of flagged windows per doc -> covered token index set
+    flagged_windows = windows.join(flagged, "gh").select(id_col, "pos")
+    covered = flagged_windows.select(
+        id_col,
+        F.explode(
+            F.expr(f"sequence(pos, pos + {n} - 1)")
+        ).alias("tok_idx"),
+    ).distinct()
+    removed = covered.groupBy(id_col).agg(
+        F.collect_set("tok_idx").alias("__kill")
+    )
+    out = (
+        base.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.size("__t").cast("long").alias("n_tokens_before"),
+            F.coalesce(F.size("__kill"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        "__t",
+                        lambda t, i: F.when(
+                            F.coalesce(
+                                F.array_contains("__kill", i), F.lit(False)
+                            ),
+                            F.lit(None),
+                        ).otherwise(t),
+                    ),
+                    lambda t: t.isNotNull(),
+                ),
+                " ",
+            ).alias("scrubbed"),
+        )
+    )
+    return out

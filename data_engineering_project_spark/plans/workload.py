@@ -9142,6 +9142,127 @@ def q_weekly_rev_count_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kwic_contexts",
+    """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+hits AS (
+    SELECT doc_id, i AS pos, t
+    FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+    WHERE t[i] = 'spark'
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       COALESCE(array_to_string(
+           list_slice(t, GREATEST(1, pos - 3), pos - 1), ' '), '')
+           AS left_ctx,
+       COALESCE(array_to_string(
+           list_slice(t, pos + 1, LEAST(len(t), pos + 3)), ' '), '')
+           AS right_ctx
+FROM hits
+ORDER BY doc_id, pos
+LIMIT 100
+""",
+)
+def q_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for the probe term 'spark':
+    every occurrence with 3 tokens of context each side — the corpus
+    inspection tool behind 'show me how this term is used'. The
+    position explode is scan-side; context slicing is row-local array
+    math; output is bounded by the LIMIT."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    hits = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(t))")).alias("pos"),
+        "t",
+    ).filter(F.expr("t[pos - 1] = 'spark'"))
+    return (
+        hits.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(
+                "array_join(slice(t, greatest(1, pos - 3),"
+                " pos - greatest(1, pos - 3)), ' ')"
+            ).alias("left_ctx"),
+            F.expr(
+                "array_join(slice(t, pos + 1,"
+                " least(size(t), pos + 3) - pos), ' ')"
+            ).alias("right_ctx"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(100)
+    )
+
+
+@register(
+    "span_scrub_stats",
+    """
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+w AS (
+    SELECT doc_id, i - 1 AS pos,
+           CAST(('0x' || substring(md5(
+               array_to_string(list_slice(t, i, i + 7), ' ')
+           ), 1, 15)) AS BIGINT) AS gh
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+),
+flagged AS (
+    SELECT gh FROM (
+        SELECT gh, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1
+    ) WHERE df >= 2
+),
+fw AS (SELECT DISTINCT doc_id, pos FROM w JOIN flagged USING (gh)),
+cov AS (
+    SELECT DISTINCT doc_id, tok
+    FROM fw, unnest(generate_series(pos, pos + 7)) AS g(tok)
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed
+    FROM cov GROUP BY 1
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.removed IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS docs_affected,
+       CAST(SUM(COALESCE(p.removed, 0)) AS BIGINT) AS tokens_removed
+FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def q_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span scrubbing (dedup.scrub_duplicated_spans —
+    Lee et al. 2021 span-level dedup) applied to the corpus: per
+    source, how many docs lose tokens and how many tokens the rewrite
+    removes when every cross-document duplicated 8-gram span is
+    dropped. The scrub shuffles 60-bit window hashes, never text; the
+    oracle replays the identical window-hash/flag/cover pipeline in
+    SQL."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = dedup.scrub_duplicated_spans(
+        docs, "text", "doc_id", n=8, min_docs=2
+    )
+    joined = docs.select("doc_id", "source").join(
+        scrubbed.select("doc_id", "n_tokens_removed"), "doc_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tokens_removed") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_affected"),
+            F.sum("n_tokens_removed").cast("long").alias("tokens_removed"),
+        )
+        .orderBy("source")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
