@@ -9352,6 +9352,214 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ab_test_zscore",
+    """
+WITH assigned AS (
+    SELECT CASE WHEN CAST(('0x' || substring(
+                    md5('ab-' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+per_arm AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS k
+    FROM assigned GROUP BY 1
+),
+wide AS (
+    SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+           MAX(CASE WHEN arm = 'A' THEN k END) AS ka,
+           MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+           MAX(CASE WHEN arm = 'B' THEN k END) AS kb
+    FROM per_arm
+)
+SELECT na, ka, nb, kb,
+       ROUND(CAST(ka AS DOUBLE) / na, 4) AS rate_a,
+       ROUND(CAST(kb AS DOUBLE) / nb, 4) AS rate_b,
+       ROUND((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+             / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 4) AS zscore
+FROM wide
+""",
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users hash-assigned to two arms
+    (deterministic md5 — the retry-stable bucketing every experiment
+    platform uses), purchase-conversion rates compared with the
+    pooled two-proportion z statistic. All inputs are exact integer
+    (n, k) pairs; the z arithmetic is one fixed double expression.
+    Under a null split (no real treatment) |z| should hover < 2."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        dedup.portable_hash60(
+            F.concat(F.lit("ab-"), F.col("user_id").cast("string"))
+        )
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_arm = (
+        ev.select(
+            arm.alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"), F.sum("conv").cast("long").alias("k")
+        )
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("k"))).alias("kb"),
+    )
+    pa = F.col("ka").cast("double") / F.col("na")
+    pb = F.col("kb").cast("double") / F.col("nb")
+    pool = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return wide.select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        F.round(pa, 4).alias("rate_a"),
+        F.round(pb, 4).alias("rate_b"),
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+@register(
+    "event_trigrams_top",
+    """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           LEAD(event_type, 1) OVER w AS t2,
+           LEAD(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, trigram ASC
+LIMIT 20
+""",
+)
+def q_event_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the 20 most common 3-step event-type
+    sequences per user timeline (double-lead window, (ts, event_id)
+    total order) — the n-gram generalization of the transition
+    matrix."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "neyman_allocation_sample",
+    """
+WITH stats AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+           STDDEV_SAMP(CAST(n_chars AS DOUBLE)) AS s_h
+    FROM documents GROUP BY 1
+),
+alloc AS (
+    SELECT lang, n_h,
+           CAST(ROUND(100.0 * (n_h * s_h)
+                      / SUM(n_h * s_h) OVER (), 0) AS BIGINT) AS k_h
+    FROM stats
+),
+ranked AS (
+    SELECT d.lang, d.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC
+           ) AS rn
+    FROM documents d
+)
+SELECT r.lang,
+       CAST(MAX(a.n_h) AS BIGINT) AS stratum_size,
+       CAST(MAX(a.k_h) AS BIGINT) AS allocated,
+       CAST(COUNT(*) AS BIGINT) AS sampled,
+       CAST(SUM(r.n_chars) AS BIGINT) AS sampled_chars
+FROM ranked r JOIN alloc a ON r.lang = a.lang
+WHERE r.rn <= a.k_h
+GROUP BY r.lang
+ORDER BY r.lang
+""",
+)
+def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sampling: a 100-doc budget split
+    across language strata proportionally to N_h·σ_h (the
+    variance-optimal survey allocation), then drawn deterministically
+    as the first k_h docs per stratum in md5-hash order. Two tiny
+    aggregates (per-stratum moments -> broadcast allocation) + one
+    rank window per stratum; retry-stable, no rand(). The σ uses the
+    sample std of doc length on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_h"),
+        F.stddev_samp(F.col("n_chars").cast("double")).alias("s_h"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    alloc = stats.select(
+        "lang",
+        "n_h",
+        F.round(
+            100.0
+            * (F.col("n_h") * F.col("s_h"))
+            / F.sum(F.col("n_h") * F.col("s_h")).over(w_all),
+            0,
+        )
+        .cast("long")
+        .alias("k_h"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string")))
+    )
+    ranked = docs.select(
+        "lang", "doc_id", "n_chars", F.row_number().over(w_rank).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rn") <= F.col("k_h"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_h").cast("long").alias("stratum_size"),
+            F.max("k_h").cast("long").alias("allocated"),
+            F.count("*").alias("sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
