@@ -9604,39 +9604,49 @@ def q_event_type_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact verify here exists for the oracle, not the plan."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     rsd = 0.02
+    # ONE scan builds a constant-size HLL sketch + exact count per
+    # type; every pairwise union is then a sketch MERGE on the 5-row
+    # table (hll_union) — no per-pair rescan of the events table. Same
+    # persisted-sketch discipline as reach_rollup_sketch.
     per_type = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd).alias("est"),
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
         F.countDistinct("user_id").alias("n_exact"),
     )
     a = per_type.select(
         F.col("event_type").alias("type_a"),
-        F.col("est").alias("est_a"),
+        F.col("sk").alias("sk_a"),
         F.col("n_exact").alias("n_a"),
     )
     b = per_type.select(
         F.col("event_type").alias("type_b"),
-        F.col("est").alias("est_b"),
+        F.col("sk").alias("sk_b"),
         F.col("n_exact").alias("n_b"),
     )
     pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+    # exact intersection for the verification columns only — the
+    # sketch path above never needs it
     u = (
-        ev.alias("x")
-        .crossJoin(pairs.select("type_a", "type_b"))
-        .filter(
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b"))
-        )
+        ev.distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+        .select("user_id", F.explode("types").alias("type_a"), "types")
+        .select("user_id", "type_a", F.explode("types").alias("type_b"))
+        .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
-        .agg(
-            F.approx_count_distinct("user_id", rsd).alias("est_union"),
-            F.countDistinct("user_id").alias("n_union"),
-        )
+        .agg(F.countDistinct("user_id").alias("n_inter"))
     )
-    joined = pairs.join(u, ["type_a", "type_b"])
-    est_both = F.col("est_a") + F.col("est_b") - F.col("est_union")
-    n_both = F.col("n_a") + F.col("n_b") - F.col("n_union")
-    # three sketches each with rsd sigma; 3x combined sigma bound
-    bound = 3 * rsd * (F.col("n_a") + F.col("n_b") + F.col("n_union"))
+    joined = pairs.join(u, ["type_a", "type_b"], "left").withColumn(
+        "n_inter", F.coalesce(F.col("n_inter"), F.lit(0))
+    )
+    est_both = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.expr("hll_union(sk_a, sk_b)"))
+    )
+    n_both = F.col("n_inter")
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    # three sketch estimates each with ~rsd sigma; 3x combined bound
+    bound = 3 * rsd * (F.col("n_a") + F.col("n_b") + n_union)
     return joined.select(
         "type_a",
         "type_b",
