@@ -9719,6 +9719,132 @@ def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "monthly_seasonality_index",
+    """
+WITH monthly AS (
+    SELECT EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(month FROM o_orderdate) AS m,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS rev
+    FROM orders GROUP BY 1, 2
+),
+with_year AS (
+    SELECT y, m, rev,
+           SUM(rev) OVER (PARTITION BY y) AS year_rev,
+           COUNT(*) OVER (PARTITION BY y) AS months_in_year
+    FROM monthly
+),
+idx AS (
+    SELECT m,
+           CAST(rev AS DOUBLE) * months_in_year
+               / CAST(year_rev AS DOUBLE) AS season_idx
+    FROM with_year
+    WHERE months_in_year = 12
+)
+SELECT m AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_years,
+       ROUND(CAST(SUM(CAST(season_idx AS DECIMAL(18, 12))) AS DOUBLE)
+             / COUNT(*), 4) AS seasonality_index
+FROM idx GROUP BY m
+ORDER BY month
+""",
+)
+def q_monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonality decomposition (ratio-to-yearly-average):
+    each month's revenue relative to its year's monthly mean, averaged
+    across complete years — index > 1 marks a seasonally strong month.
+    Windows partition by year; the cross-year average accumulates in
+    DECIMAL so 4-dp rounding is engine-stable. Partial years are
+    excluded (their 'average month' is biased)."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev")
+    )
+    w = Window.partitionBy("y")
+    with_year = monthly.select(
+        "y",
+        "m",
+        "rev",
+        F.sum("rev").over(w).alias("year_rev"),
+        F.count("*").over(w).alias("months_in_year"),
+    )
+    idx = with_year.filter(F.col("months_in_year") == 12).select(
+        "m",
+        (
+            F.col("rev").cast("double")
+            * F.col("months_in_year")
+            / F.col("year_rev").cast("double")
+        ).alias("season_idx"),
+    )
+    return (
+        idx.groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count("*").alias("n_years"),
+            F.round(
+                F.sum(F.col("season_idx").cast("decimal(18,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "discount_elasticity",
+    """
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(regr_slope(CAST(l_quantity AS DOUBLE),
+                        CAST(l_discount AS DOUBLE)), 4) AS qty_per_discount,
+       ROUND(regr_r2(CAST(l_quantity AS DOUBLE),
+                     CAST(l_discount AS DOUBLE)), 6) AS r2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response proxy: per brand, the OLS slope of quantity
+    on discount (one-pass regression aggregates — does a deeper
+    discount move volume?) with its R². The part dim broadcasts; the
+    moment accumulators shuffle one partial state per (brand,
+    partition)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.expr(
+                    "regr_slope(CAST(l_quantity AS DOUBLE),"
+                    " CAST(l_discount AS DOUBLE))"
+                ),
+                4,
+            ).alias("qty_per_discount"),
+            F.round(
+                F.expr(
+                    "regr_r2(CAST(l_quantity AS DOUBLE),"
+                    " CAST(l_discount AS DOUBLE))"
+                ),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("brand")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
