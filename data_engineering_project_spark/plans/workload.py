@@ -9954,6 +9954,141 @@ def q_supplier_lead_time_consistency(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "revenue_bridge",
+    """
+WITH per_part AS (
+    SELECT l_partkey,
+           EXTRACT(year FROM l_shipdate) AS y,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 6)))
+               AS DECIMAL(38, 6)) AS rev
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+    GROUP BY 1, 2
+),
+y0 AS (SELECT l_partkey, qty AS q0, rev AS r0 FROM per_part WHERE y = 1996),
+y1 AS (SELECT l_partkey, qty AS q1, rev AS r1 FROM per_part WHERE y = 1997),
+common AS (
+    SELECT y0.l_partkey,
+           CAST(q0 AS DOUBLE) AS q0, CAST(r0 AS DOUBLE) AS r0,
+           CAST(q1 AS DOUBLE) AS q1, CAST(r1 AS DOUBLE) AS r1
+    FROM y0 JOIN y1 ON y0.l_partkey = y1.l_partkey
+),
+effects AS (
+    SELECT
+        SUM(CAST((q1 - q0) * (r0 / q0) AS DECIMAL(28, 8))) AS vol_eff,
+        SUM(CAST((r1 / q1 - r0 / q0) * q1 AS DECIMAL(28, 8))) AS price_eff
+    FROM common
+),
+edges AS (
+    SELECT
+        (SELECT CAST(SUM(r1) AS DECIMAL(38, 6)) FROM y1
+         WHERE l_partkey NOT IN (SELECT l_partkey FROM y0)) AS new_rev,
+        (SELECT CAST(SUM(r0) AS DECIMAL(38, 6)) FROM y0
+         WHERE l_partkey NOT IN (SELECT l_partkey FROM y1)) AS lost_rev,
+        (SELECT CAST(SUM(rev) AS DECIMAL(38, 6)) FROM per_part
+         WHERE y = 1996) AS rev_1996,
+        (SELECT CAST(SUM(rev) AS DECIMAL(38, 6)) FROM per_part
+         WHERE y = 1997) AS rev_1997
+)
+SELECT CAST(ROUND(rev_1996, 2) AS DOUBLE) AS rev_1996,
+       CAST(ROUND(rev_1997, 2) AS DOUBLE) AS rev_1997,
+       CAST(ROUND(vol_eff, 2) AS DOUBLE) AS volume_effect,
+       CAST(ROUND(price_eff, 2) AS DOUBLE) AS price_effect,
+       CAST(ROUND(COALESCE(new_rev, 0), 2) AS DOUBLE) AS new_parts_rev,
+       CAST(ROUND(COALESCE(lost_rev, 0), 2) AS DOUBLE) AS lost_parts_rev
+FROM effects CROSS JOIN edges
+""",
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP&A revenue bridge 1996→1997: the year-over-year revenue delta
+    decomposed into volume effect Σ(q1−q0)·p0, price effect
+    Σ(p1−p0)·q1 (exact Laspeyres/Paasche split: their sum equals the
+    common-part delta identically), plus new-part and lost-part
+    revenue. Per-part rollups stay DECIMAL; each effect term is
+    DECIMAL-truncated before the sum so engine aggregation order
+    can't move the rounded output."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("rev"),
+        )
+    )
+    y0 = per_part.filter(F.col("y") == 1996).select(
+        "l_partkey",
+        F.col("qty").alias("q0"),
+        F.col("rev").alias("r0"),
+    )
+    y1 = per_part.filter(F.col("y") == 1997).select(
+        "l_partkey",
+        F.col("qty").alias("q1"),
+        F.col("rev").alias("r1"),
+    )
+    common = y0.join(y1, "l_partkey").select(
+        F.col("q0").cast("double").alias("q0"),
+        F.col("r0").cast("double").alias("r0"),
+        F.col("q1").cast("double").alias("q1"),
+        F.col("r1").cast("double").alias("r1"),
+    )
+    effects = common.agg(
+        F.sum(
+            (
+                (F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0"))
+            ).cast("decimal(28,8)")
+        ).alias("vol_eff"),
+        F.sum(
+            (
+                (F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0"))
+                * F.col("q1")
+            ).cast("decimal(28,8)")
+        ).alias("price_eff"),
+    ).withColumn("j", F.lit(1))
+    new_rev = (
+        y1.join(y0.select("l_partkey"), "l_partkey", "left_anti")
+        .agg(F.sum("r1").cast("decimal(38,6)").alias("new_rev"))
+        .withColumn("j", F.lit(1))
+    )
+    lost_rev = (
+        y0.join(y1.select("l_partkey"), "l_partkey", "left_anti")
+        .agg(F.sum("r0").cast("decimal(38,6)").alias("lost_rev"))
+        .withColumn("j", F.lit(1))
+    )
+    totals = (
+        per_part.groupBy()
+        .pivot("y", [1996, 1997])
+        .agg(F.sum("rev").cast("decimal(38,6)"))
+        .withColumnRenamed("1996", "rev_1996")
+        .withColumnRenamed("1997", "rev_1997")
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        effects.join(new_rev, "j")
+        .join(lost_rev, "j")
+        .join(totals, "j")
+        .select(
+            F.round("rev_1996", 2).cast("double").alias("rev_1996"),
+            F.round("rev_1997", 2).cast("double").alias("rev_1997"),
+            F.round("vol_eff", 2).cast("double").alias("volume_effect"),
+            F.round("price_eff", 2).cast("double").alias("price_effect"),
+            F.round(F.coalesce(F.col("new_rev"), F.lit(0)), 2)
+            .cast("double")
+            .alias("new_parts_rev"),
+            F.round(F.coalesce(F.col("lost_rev"), F.lit(0)), 2)
+            .cast("double")
+            .alias("lost_parts_rev"),
+        )
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
