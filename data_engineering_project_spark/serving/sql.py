@@ -98,3 +98,31 @@ Rules:
   fact_sales to dim_time(order_date).
 Question: {question}
 """
+
+
+def cache_gold_views(
+    spark: SparkSession, gold: dict[str, DataFrame], eager: bool = True
+) -> None:
+    """Register the gold tables as CACHED views — the serving-layer
+    optimization the reference's dashboard implies (app_fase1 re-runs
+    all 7 queries on every sidebar interaction; DuckDB pays a re-scan
+    each time, Spark should answer from the in-memory columnar cache).
+
+    ``eager=True`` materializes each cache immediately (one count per
+    table) so the FIRST dashboard interaction is already warm. Caches
+    are storage-level MEMORY_AND_DISK: a cache larger than executor
+    memory degrades to disk instead of failing. Call
+    ``uncache_gold_views`` (or restart the session) after a gold
+    rebuild — a stale cache serves the OLD snapshot by design
+    (dashboards want a consistent snapshot, not torn reads).
+    """
+    for name, df in gold.items():
+        cached = df.cache()
+        cached.createOrReplaceTempView(name)
+        if eager:
+            cached.count()
+
+
+def uncache_gold_views(spark: SparkSession, names: list[str]) -> None:
+    for name in names:
+        spark.catalog.uncacheTable(name)
