@@ -53,6 +53,9 @@ SHOWCASE = {
     "winsorized_revenue_stats": "winsorize: tiny per-cohort percentile table broadcast back onto the fact scan; means accumulate in DECIMAL partials",
     "user_activity_streaks": "gaps-and-islands: ONE user-partitioned window then plain aggregates — no self-join for consecutive-day runs",
     "vocab_growth_curve": "Heaps curve: token->min(doc) one-pass aggregate; 10-row threshold frame broadcast; integer cross-multiplied decile bounds",
+    "span_scrub_stats": "span scrub: window hashes scan-side, cross-doc df on 60-bit hashes only, doc-keyed rewrite join — text never shuffles",
+    "event_type_overlap_sketch": "HLL overlap: one scan builds per-type sketches; pairwise unions are sketch merges on a 5-row frame, no per-pair rescans",
+    "revenue_bridge": "revenue bridge: per-part DECIMAL rollups, effects as DECIMAL-truncated term sums, anti-joins for new/lost parts",
 }
 
 
