@@ -10167,6 +10167,124 @@ def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "peak_concurrent_sessions",
+    """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+spans AS (
+    SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY 1, 2
+),
+deltas AS (
+    SELECT start_ts AS t, 1 AS d FROM spans
+    UNION ALL
+    SELECT end_ts + INTERVAL 1 SECOND AS t, -1 AS d FROM spans
+),
+sweep AS (
+    SELECT CAST(t AS DATE) AS day,
+           SUM(SUM(d)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS concurrent
+    FROM deltas GROUP BY t
+)
+SELECT day, CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+FROM sweep GROUP BY day
+ORDER BY day
+""",
+)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day — the sweep-line (+1 at start,
+    −1 after end) over session spans: capacity planning's favorite
+    number. The sweep's global-order window runs over the SESSION
+    BOUNDARY rollup (two rows per session), not the event stream; ties
+    at the same instant net out before the running sum (group by t
+    first) so the peak is well-defined on both engines."""
+    tagged = sessionize.with_session_ids(
+        load(spark, sf_dir, "events"), gap_seconds=3600
+    )
+    spans = tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    deltas = spans.select(
+        F.col("start_ts").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(
+            (F.col("end_ts") + F.expr("INTERVAL 1 SECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = per_t.select(
+        F.col("t").cast("date").alias("day"),
+        F.sum("dd").over(w).alias("concurrent"),
+    )
+    return (
+        sweep.groupBy("day")
+        .agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "hapax_ratio_by_source",
+    """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS hapax_ratio
+FROM counts GROUP BY source
+ORDER BY source
+""",
+)
+def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio per source (share of once-occurring tokens
+    in the source's vocabulary) — a corpus-forensics fingerprint:
+    natural text runs ~40-60% hapax, template/spam far lower,
+    OCR-noise far higher. One (source, token) count, one rollup."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count("*").alias("vocab"),
+            hapax.cast("long").alias("hapax"),
+            F.round(hapax.cast("double") / F.count("*"), 4).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

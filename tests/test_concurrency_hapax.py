@@ -1,0 +1,52 @@
+"""Round-3 batch 25: sweep-line concurrency and hapax ratios."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from data_engineering_project_spark.plans import workload
+
+
+def test_peak_concurrency_counts_overlapping_sessions(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    # three users with overlapping sessions 10:00-10:30 (+/-), one user
+    # later in the day alone
+    for u, start_min, end_min in ((1, 0, 30), (2, 10, 40), (3, 20, 25), (4, 300, 310)):
+        for m in (start_min, end_min):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=m), u, "view", 0.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "conc")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    out = {
+        str(r["day"]): r["peak_concurrent"]
+        for r in workload.QUERIES["peak_concurrent_sessions"](spark, d).collect()
+    }
+    # 10:20-10:25: users 1, 2 and 3 are all inside their sessions
+    assert out == {"2024-01-01": 3}
+
+
+def test_hapax_ratio_on_planted_vocab(spark, tmp_path):
+    d = str(tmp_path / "hx")
+    # source s1: 'a' repeats, 'b c d' are hapax -> 3/4
+    rows = [
+        (1, "a a a b", "en", "s1", 7),
+        (2, "c d a", "en", "s1", 5),
+        (3, "x x y y", "en", "s2", 7),  # no hapax -> 0/2
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {
+        r["source"]: (r["vocab"], r["hapax"], r["hapax_ratio"])
+        for r in workload.QUERIES["hapax_ratio_by_source"](spark, d).collect()
+    }
+    assert out == {"s1": (4, 3, 0.75), "s2": (2, 0, 0.0)}
