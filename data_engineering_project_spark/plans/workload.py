@@ -10285,6 +10285,146 @@ def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "label_separation_score",
+    """
+WITH elems AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS e
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cents AS (
+    SELECT label AS c_label, i,
+           CAST(SUM(CAST(e AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*)
+               AS m
+    FROM elems GROUP BY 1, 2
+),
+cent_norm AS (
+    SELECT c_label,
+           sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28, 14))) AS DOUBLE))
+               AS cn
+    FROM cents GROUP BY 1
+),
+vec_norm AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(e * e AS DECIMAL(28, 14))) AS DOUBLE))
+               AS vn
+    FROM elems GROUP BY 1
+),
+dots AS (
+    SELECT el.vec_id, el.label, c.c_label,
+           CAST(SUM(CAST(el.e * c.m AS DECIMAL(28, 14))) AS DOUBLE)
+               AS dot
+    FROM elems el JOIN cents c ON el.i = c.i
+    GROUP BY 1, 2, 3
+),
+cos AS (
+    SELECT d.vec_id, d.label, d.c_label,
+           ROUND(d.dot / (v.vn * n.cn), 6) AS cosv
+    FROM dots d
+    JOIN vec_norm v ON v.vec_id = d.vec_id
+    JOIN cent_norm n ON n.c_label = d.c_label
+),
+scored AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN c_label = label THEN cosv END) AS own_cos,
+           MAX(CASE WHEN c_label <> label THEN cosv END) AS other_cos
+    FROM cos GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(own_cos - other_cos AS DECIMAL(18, 9)))
+                 AS DOUBLE) / COUNT(*), 4) AS separation
+FROM scored GROUP BY label
+ORDER BY label
+""",
+)
+def q_label_separation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit (centroid silhouette): per vector, cosine
+    to its OWN label centroid minus the best cosine to any OTHER
+    centroid, averaged per label — near zero (or negative) labels are
+    not separable in embedding space and will confuse any classifier
+    trained on them. All dot products and the final average accumulate
+    in DECIMAL; the vec x centroid compare is |V|x|labels|, the
+    broadcast-centroid shape of IVF assignment (never vec x vec)."""
+    emb = load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "e0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("e0").cast("double").alias("e"),
+    )
+    cents = elems.groupBy(F.col("label").alias("c_label"), "i").agg(
+        (
+            F.sum(F.col("e").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    cent_norm = cents.groupBy("c_label").agg(
+        F.sqrt(
+            F.sum((F.col("m") * F.col("m")).cast("decimal(28,14)")).cast(
+                "double"
+            )
+        ).alias("cn")
+    )
+    vec_norm = elems.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("e") * F.col("e")).cast("decimal(28,14)")).cast(
+                "double"
+            )
+        ).alias("vn")
+    )
+    dots = (
+        elems.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum((F.col("e") * F.col("m")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = (
+        dots.join(vec_norm, "vec_id")
+        .join(F.broadcast(cent_norm), "c_label")
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.round(
+                F.col("dot") / (F.col("vn") * F.col("cn")), 6
+            ).alias("cosv"),
+        )
+    )
+    scored = cos.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("label"), F.col("cosv"))
+        ).alias("own_cos"),
+        F.max(
+            F.when(F.col("c_label") != F.col("label"), F.col("cosv"))
+        ).alias("other_cos"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(
+                    (F.col("own_cos") - F.col("other_cos")).cast(
+                        "decimal(18,9)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("separation"),
+        )
+        .orderBy("label")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
