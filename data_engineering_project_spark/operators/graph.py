@@ -139,3 +139,44 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel nodes with
+    degree < k until a fixpoint → (node, core_degree). The standard
+    "dense-enough subgraph" filter before community detection or
+    embedding training (nodes outside the 2-core contribute almost no
+    structure).
+
+    ``edges`` must contain BOTH directions of each undirected edge.
+    Each round is one degree aggregate + one semi-join filter — both
+    keyed on node ids; the edge frame is localCheckpoint'ed per round
+    so the peeling loop doesn't stack plans. Converges in at most
+    O(peeling depth) rounds (bounded by ``max_iter``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        n_before = e.count()
+        e2 = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if e2.count() == n_before:
+            e = e2
+            break
+        e = e2
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )
