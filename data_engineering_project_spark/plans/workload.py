@@ -10525,6 +10525,134 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "littles_law_check",
+    """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+spans AS (
+    SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY 1, 2
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(date_diff('second', start_ts, end_ts)) AS BIGINT)
+               AS total_session_secs,
+           CAST(date_diff('second', MIN(start_ts), MAX(end_ts)) AS BIGINT)
+               AS horizon_secs
+    FROM spans
+)
+SELECT n_sessions, total_session_secs, horizon_secs,
+       ROUND(CAST(n_sessions AS DOUBLE) / horizon_secs, 6) AS lambda_rate,
+       ROUND(CAST(total_session_secs AS DOUBLE) / n_sessions, 2)
+           AS avg_duration_w,
+       ROUND(CAST(total_session_secs AS DOUBLE) / horizon_secs, 4)
+           AS time_avg_concurrency_l
+FROM agg
+""",
+)
+def q_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law on the session system: L = λ·W falls out as an
+    IDENTITY when L is measured as the time-average concurrency
+    (Σ busy-seconds / horizon), λ as sessions/horizon-second and W as
+    mean session duration — so the emitted L equals λ·W exactly and
+    any pipeline recomputing one of the three can cross-check the
+    others. All three are exact integer ratios of the session-span
+    rollup."""
+    tagged = sessionize.with_session_ids(
+        load(spark, sf_dir, "events"), gap_seconds=3600
+    )
+    spans = tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    as_epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    agg = spans.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(as_epoch("end_ts") - as_epoch("start_ts"))
+        .cast("long")
+        .alias("total_session_secs"),
+        (F.max(as_epoch("end_ts")) - F.min(as_epoch("start_ts")))
+        .cast("long")
+        .alias("horizon_secs"),
+    )
+    return agg.select(
+        "n_sessions",
+        "total_session_secs",
+        "horizon_secs",
+        F.round(
+            F.col("n_sessions").cast("double") / F.col("horizon_secs"), 6
+        ).alias("lambda_rate"),
+        F.round(
+            F.col("total_session_secs").cast("double")
+            / F.col("n_sessions"),
+            2,
+        ).alias("avg_duration_w"),
+        F.round(
+            F.col("total_session_secs").cast("double")
+            / F.col("horizon_secs"),
+            4,
+        ).alias("time_avg_concurrency_l"),
+    )
+
+
+@register(
+    "daily_count_autocorrelation",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT n,
+           LAG(n, 1) OVER (ORDER BY day) AS n_lag1,
+           LAG(n, 7) OVER (ORDER BY day) AS n_lag7
+    FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(corr(CAST(n AS DOUBLE), CAST(n_lag1 AS DOUBLE)), 4)
+           AS acf_lag1,
+       ROUND(corr(CAST(n AS DOUBLE), CAST(n_lag7 AS DOUBLE)), 4)
+           AS acf_lag7
+FROM lagged
+""",
+)
+def q_daily_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume at lag 1 (momentum) and
+    lag 7 (weekly seasonality) — the two numbers that decide whether a
+    forecast needs AR terms or weekly dummies. Lag windows run over
+    the calendar-bounded daily rollup; corr is the one-pass
+    covariance accumulator (nulls from the first lags drop out of the
+    pairwise corr on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("n").cast("double").alias("n"),
+        F.lag("n", 1).over(w).cast("double").alias("n_lag1"),
+        F.lag("n", 7).over(w).cast("double").alias("n_lag7"),
+    )
+    return lagged.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("n", "n_lag1"), 4).alias("acf_lag1"),
+        F.round(F.corr("n", "n_lag7"), 4).alias("acf_lag7"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

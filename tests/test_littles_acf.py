@@ -1,0 +1,25 @@
+"""Round-3 batch 28: Little's law identity and daily autocorrelation."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_spark.plans import workload
+
+
+def test_littles_law_identity_holds(spark, sf_dir):
+    r = workload.QUERIES["littles_law_check"](spark, sf_dir).collect()[0]
+    assert r["n_sessions"] > 0 and r["horizon_secs"] > 0
+    # L == lambda * W by construction (both sides are the same exact
+    # ratio before independent rounding)
+    assert r["time_avg_concurrency_l"] == pytest.approx(
+        r["lambda_rate"] * r["avg_duration_w"], rel=1e-2
+    )
+
+
+def test_autocorrelation_bounded(spark, sf_dir):
+    r = workload.QUERIES["daily_count_autocorrelation"](spark, sf_dir).collect()[0]
+    assert r["n_days"] > 14
+    for k in ("acf_lag1", "acf_lag7"):
+        if r[k] is not None:
+            assert -1.0 <= r[k] <= 1.0
