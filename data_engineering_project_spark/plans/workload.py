@@ -10653,6 +10653,157 @@ def q_daily_count_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "reorder_survival_km",
+    """
+WITH seq AS (
+    SELECT o_custkey,
+           CAST(o_orderdate AS DATE) AS d,
+           LEAD(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_d
+    FROM orders
+),
+horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+durations AS (
+    SELECT CASE WHEN next_d IS NULL
+                THEN date_diff('day', d, h)
+                ELSE date_diff('day', d, next_d) END AS t,
+           CASE WHEN next_d IS NULL THEN 0 ELSE 1 END AS observed
+    FROM seq CROSS JOIN horizon
+),
+n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durations),
+event_times AS (
+    SELECT t,
+           CAST(SUM(observed) AS BIGINT) AS d_i,
+           CAST(COUNT(*) AS BIGINT) AS leaving
+    FROM durations GROUP BY t
+),
+risk AS (
+    SELECT t, d_i,
+           n_total.n
+             - COALESCE(SUM(leaving) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_i
+    FROM event_times CROSS JOIN n_total
+),
+km AS (
+    SELECT t, d_i, n_i,
+           SUM(CASE WHEN d_i > 0 AND d_i < n_i
+                    THEN ln(1.0 - CAST(d_i AS DOUBLE) / n_i)
+                    WHEN d_i > 0 THEN -1000.0
+                    ELSE 0.0 END) OVER (
+               ORDER BY t ROWS UNBOUNDED PRECEDING) AS log_s
+    FROM risk
+),
+grid AS (SELECT unnest([30, 60, 90, 180, 365]) AS horizon_days)
+SELECT g.horizon_days,
+       ROUND(exp(MIN(CASE WHEN km.t <= g.horizon_days
+                          THEN km.log_s END)), 4) AS survival
+FROM grid g
+JOIN km ON km.t <= g.horizon_days
+GROUP BY g.horizon_days
+ORDER BY g.horizon_days
+""",
+)
+def q_reorder_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of 'time until the customer orders
+    again', with the final open interval right-censored at the
+    dataset horizon — survival analysis as pure windowed SQL: the KM
+    product Π(1 − d_i/n_i) becomes exp of a RUNNING SUM of logs along
+    the ordered event-time rollup (deterministic frame order on both
+    engines), read out at a 30/60/90/180/365-day grid. The risk-set
+    size n_i derives from one cumulative count — no per-time rescan."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    seq = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("next_d"),
+    )
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("h")
+    ).withColumn("j", F.lit(1))
+    durations = (
+        seq.withColumn("j", F.lit(1))
+        .join(F.broadcast(horizon), "j")
+        .select(
+            F.when(
+                F.col("next_d").isNull(),
+                F.datediff(F.col("h"), F.col("d")),
+            )
+            .otherwise(F.datediff(F.col("next_d"), F.col("d")))
+            .alias("t"),
+            F.when(F.col("next_d").isNull(), 0).otherwise(1).alias(
+                "observed"
+            ),
+        )
+    )
+    n_total = durations.agg(F.count("*").cast("long").alias("n")).withColumn(
+        "j", F.lit(1)
+    )
+    event_times = durations.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d_i"),
+        F.count("*").alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        event_times.withColumn("j", F.lit(1))
+        .join(F.broadcast(n_total), "j")
+        .withColumn(
+            "n_i",
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "log_s",
+            # the final event time can absorb the whole risk set
+            # (d_i == n_i): S drops to zero — encode as -1000 so
+            # exp() underflows to exactly 0.0 on both engines
+            F.sum(
+                F.when(
+                    (F.col("d_i") > 0) & (F.col("d_i") < F.col("n_i")),
+                    F.log(
+                        1.0
+                        - F.col("d_i").cast("double") / F.col("n_i")
+                    ),
+                )
+                .when(F.col("d_i") > 0, F.lit(-1000.0))
+                .otherwise(F.lit(0.0))
+            ).over(w_cum),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(30,), (60,), (90,), (180,), (365,)], "horizon_days int"
+    )
+    return (
+        grid.join(km, km.t <= grid.horizon_days)
+        .groupBy("horizon_days")
+        .agg(
+            # log-survival is non-increasing in t: the value AT the
+            # largest event time <= horizon is the MIN over the prefix
+            F.round(
+                F.exp(
+                    F.min(
+                        F.when(
+                            F.col("t") <= F.col("horizon_days"),
+                            F.col("log_s"),
+                        )
+                    )
+                ),
+                4,
+            ).alias("survival")
+        )
+        .orderBy("horizon_days")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
