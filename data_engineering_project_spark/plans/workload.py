@@ -10804,6 +10804,93 @@ def q_reorder_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "position_weighted_attribution",
+    """
+WITH fp AS (
+    SELECT user_id, MIN(ts) AS first_purchase_ts
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+    SELECT e.user_id, e.event_type, e.ts, e.event_id
+    FROM events e JOIN fp ON e.user_id = fp.user_id
+    WHERE e.ts < fp.first_purchase_ts
+),
+pos AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS r,
+           COUNT(*) OVER (PARTITION BY user_id) AS k
+    FROM pre
+),
+credit AS (
+    SELECT user_id, event_type,
+           CASE
+             WHEN k = 1 THEN 1.0
+             WHEN k = 2 THEN 0.5
+             WHEN r = 1 THEN 0.4
+             WHEN r = k THEN 0.4
+             ELSE 0.2 / (k - 2)
+           END AS w
+    FROM pos
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(18, 12))) AS DOUBLE), 4)
+           AS attributed_conversions
+FROM credit
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_position_weighted_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    converting user's pre-purchase path credits 40% to the first
+    touch, 40% to the last, and splits 20% across the middle touches
+    (1-touch paths get 1.0, 2-touch paths 0.5/0.5) — per-user credits
+    sum to exactly 1 conversion. Two windows per user (rank + count),
+    per-channel DECIMAL credit sums so 4-dp rounding is engine-
+    stable. The exact-rational weights (0.4, 0.2/(k-2)) are the same
+    IEEE doubles on both engines."""
+    ev = load(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    pre = ev.join(fp, "user_id").filter(
+        F.col("ts") < F.col("first_purchase_ts")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_all = Window.partitionBy("user_id")
+    pos = pre.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("k"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("r") == 1, F.lit(0.4))
+        .when(F.col("r") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        pos.select("event_type", weight.alias("w"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(18,12)")).cast("double"), 4
+            ).alias("attributed_conversions"),
+        )
+        .orderBy("channel")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

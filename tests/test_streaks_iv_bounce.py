@@ -85,3 +85,22 @@ def test_bounce_rate_counts_single_event_sessions(spark, tmp_path):
         for r in workload.QUERIES["bounce_rate_by_entry"](spark, d).collect()
     }
     assert out == {"view": (2, 1, 0.5), "signup": (1, 1, 1.0)}
+
+
+def test_position_weighted_credits_sum_to_conversions(spark, sf_dir):
+    rows = workload.QUERIES["position_weighted_attribution"](spark, sf_dir).collect()
+    total_credit = sum(r["attributed_conversions"] for r in rows)
+    # credits per converting user (with >=1 prior touch) sum to 1
+    ev = workload.load(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    n_attributed_users = (
+        ev.join(fp, "user_id").filter(F.col("ts") < F.col("fp"))
+        .select("user_id").distinct().count()
+    )
+    import pytest as _pt
+    assert total_credit == _pt.approx(n_attributed_users, abs=0.05)
