@@ -23,3 +23,11 @@ def test_autocorrelation_bounded(spark, sf_dir):
     for k in ("acf_lag1", "acf_lag7"):
         if r[k] is not None:
             assert -1.0 <= r[k] <= 1.0
+
+
+def test_markov_stationary_is_a_probability_vector(spark, sf_dir):
+    rows = workload.QUERIES["event_markov_stationary"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    total = sum(r["stationary_prob"] for r in rows)
+    assert total == pytest.approx(1.0, abs=0.01)
+    assert all(r["stationary_prob"] >= 0 for r in rows)
