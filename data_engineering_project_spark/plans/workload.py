@@ -10973,6 +10973,88 @@ def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "parts_never_ordered",
+    """
+SELECT CAST((SELECT COUNT(*) FROM part) AS BIGINT) AS n_parts,
+       CAST((SELECT COUNT(*) FROM part p
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_partkey = p.p_partkey))
+           AS BIGINT) AS n_never_ordered,
+       ROUND(CAST((SELECT COUNT(*) FROM part p
+                   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                     WHERE l.l_partkey = p.p_partkey))
+                 AS DOUBLE)
+             / (SELECT COUNT(*) FROM part), 4) AS dead_fraction
+""",
+)
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-inventory rate: parts with zero lineitems — one anti-join
+    (LeftAnti on partkey; the part side builds, lineitem streams). The
+    'catalog items nobody buys' KPI behind assortment pruning."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    dead = anti_join(part, li, ["p_partkey"])
+    n_parts = part.agg(F.count("*").cast("long").alias("n_parts")).withColumn(
+        "j", F.lit(1)
+    )
+    n_dead = dead.agg(
+        F.count("*").cast("long").alias("n_never_ordered")
+    ).withColumn("j", F.lit(1))
+    return (
+        n_parts.join(n_dead, "j")
+        .select(
+            "n_parts",
+            "n_never_ordered",
+            F.round(
+                F.col("n_never_ordered").cast("double") / F.col("n_parts"),
+                4,
+            ).alias("dead_fraction"),
+        )
+    )
+
+
+@register(
+    "customer_category_breadth",
+    """
+WITH breadth AS (
+    SELECT o.o_custkey,
+           CAST(COUNT(DISTINCT p.p_type) AS BIGINT) AS n_types
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+)
+SELECT n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM breadth GROUP BY n_types
+ORDER BY n_types
+""",
+)
+def q_customer_category_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-category purchase breadth: distribution of how many
+    distinct part types each customer has bought — the assortment
+    penetration histogram (narrow buyers vs full-range customers).
+    Part dim broadcasts; the distinct collapses inside the per-
+    customer aggregate before the tiny histogram rollup."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    breadth = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("p_type").cast("long").alias("n_types"))
+    )
+    return (
+        breadth.groupBy("n_types")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_types")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

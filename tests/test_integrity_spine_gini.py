@@ -77,3 +77,21 @@ def test_gini_bounds_and_known_uniform_case(spark, tmp_path, sf_dir):
     ).write.parquet(d + "/orders.parquet")
     r0 = workload.QUERIES["customer_revenue_gini"](spark, d).collect()[0]
     assert r0["gini"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_dead_inventory_fraction_consistent(spark, sf_dir):
+    r = workload.QUERIES["parts_never_ordered"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_never_ordered"] <= r["n_parts"]
+    assert r["dead_fraction"] == round(r["n_never_ordered"] / r["n_parts"], 4)
+
+
+def test_category_breadth_accounts_for_every_buyer(spark, sf_dir):
+    rows = workload.QUERIES["customer_category_breadth"](spark, sf_dir).collect()
+    buyers = sum(r["n_customers"] for r in rows)
+    orders = workload.load(spark, sf_dir, "orders")
+    li = workload.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    with_items = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey").distinct().count()
+    )
+    assert buyers == with_items
