@@ -11055,6 +11055,90 @@ def q_customer_category_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "theil_sen_revenue_trend",
+    """
+WITH monthly AS (
+    SELECT (EXTRACT(year FROM o_orderdate) - 1990) * 12
+               + EXTRACT(month FROM o_orderdate) AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+slopes AS (
+    SELECT (b.y - a.y) / (b.x - a.x) AS s
+    FROM monthly a JOIN monthly b ON a.x < b.x
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(quantile_cont(s, 0.5) AS DOUBLE), 2) AS theil_sen_slope
+FROM slopes
+""",
+)
+def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise month-to-month slopes — immune to the outlier months
+    that wreck an OLS fit (compare nation_trend_slope). The pairwise
+    join runs over the CALENDAR-bounded monthly rollup (~80 rows →
+    ~3k pairs), never the fact table; slopes are exact-decimal deltas
+    over integer month gaps, reduced by one interpolated median."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")
+        ).alias("x")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)").cast("double"), 2).alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+@register(
+    "value_five_number_summary",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(value) AS DOUBLE) AS v_min,
+       CAST(quantile_cont(value, 0.25) AS DOUBLE) AS q1,
+       CAST(quantile_cont(value, 0.50) AS DOUBLE) AS median,
+       CAST(quantile_cont(value, 0.75) AS DOUBLE) AS q3,
+       CAST(MAX(value) AS DOUBLE) AS v_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_value_five_number_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot five-number summary of event value per type (min, Q1,
+    median, Q3, max) — the distribution card every monitoring
+    dashboard draws. One grouped aggregate; interpolated quartiles
+    over raw doubles are bit-identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("v_min"),
+            F.expr("percentile(value, 0.25)").cast("double").alias("q1"),
+            F.expr("percentile(value, 0.50)").cast("double").alias("median"),
+            F.expr("percentile(value, 0.75)").cast("double").alias("q3"),
+            F.max("value").cast("double").alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

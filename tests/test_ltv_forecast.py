@@ -40,3 +40,26 @@ def test_forecast_baseline_scores_are_positive_and_finite(spark, sf_dir):
     assert r["n_months"] > 12
     assert r["mae"] > 0
     assert 0 < r["mape"] < 100
+
+
+def test_theil_sen_pairs_count_matches_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    r = workload.QUERIES["theil_sen_revenue_trend"](spark, sf_dir).collect()[0]
+    months = (
+        workload.load(spark, sf_dir, "orders")
+        .select(
+            ((F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")).alias("x")
+        )
+        .distinct()
+        .count()
+    )
+    assert r["n_pairs"] == months * (months - 1) // 2
+    assert r["theil_sen_slope"] is not None
+
+
+def test_five_number_summary_is_ordered(spark, sf_dir):
+    rows = workload.QUERIES["value_five_number_summary"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["v_min"] <= r["q1"] <= r["median"] <= r["q3"] <= r["v_max"]
