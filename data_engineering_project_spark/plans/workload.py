@@ -11139,6 +11139,86 @@ def q_value_five_number_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_anova_f",
+    """
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(CAST(value AS DECIMAL(28, 8))) AS DOUBLE) AS s_g,
+           CAST(SUM(CAST(value * value AS DECIMAL(28, 8))) AS DOUBLE)
+               AS ss_g
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(s_g) AS s,
+           SUM(ss_g) AS ss
+    FROM g
+),
+parts AS (
+    SELECT tot.n, tot.k,
+           SUM(s_g * s_g / n_g) - s * s / n AS ssb,
+           ss - SUM(s_g * s_g / n_g) AS ssw
+    FROM g CROSS JOIN tot
+    GROUP BY tot.n, tot.k, tot.s, tot.ss
+)
+SELECT n AS n_events, k AS n_groups,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_statistic
+FROM parts
+""",
+)
+def q_value_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F for event value across event types: between-
+    group vs within-group mean squares from the sufficient statistics
+    (n, Σx, Σx²) per group — one grouped pass, no residual
+    materialization. The squares accumulate in DECIMAL (values have
+    ≤2 decimals, so x·x is exact at 8dp) and the 5-group float
+    reduction happens on the tiny rollup; F ≈ 1 says the type tells
+    you nothing about value."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("value").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("s_g"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+    ).withColumn("j", F.lit(1))
+    parts = (
+        g.withColumn("j", F.lit(1))
+        .join(F.broadcast(tot), "j")
+        .groupBy("n", "k", "s", "ss")
+        .agg(
+            (
+                F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g"))
+                - F.first("s") * F.first("s") / F.first("n")
+            ).alias("ssb"),
+            (
+                F.first("ss")
+                - F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g"))
+            ).alias("ssw"),
+        )
+    )
+    return parts.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_groups"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("f_statistic"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

@@ -31,3 +31,10 @@ def test_markov_stationary_is_a_probability_vector(spark, sf_dir):
     total = sum(r["stationary_prob"] for r in rows)
     assert total == pytest.approx(1.0, abs=0.01)
     assert all(r["stationary_prob"] >= 0 for r in rows)
+
+
+def test_anova_f_nonnegative_and_df_consistent(spark, sf_dir):
+    r = workload.QUERIES["value_anova_f"](spark, sf_dir).collect()[0]
+    assert r["n_groups"] == 5
+    assert r["n_events"] > r["n_groups"]
+    assert r["f_statistic"] >= 0.0
