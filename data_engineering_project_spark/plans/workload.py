@@ -11219,6 +11219,63 @@ def q_value_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lang_source_mutual_information",
+    """
+WITH o AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+),
+lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM o GROUP BY 1),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM o)
+SELECT CAST(t.nt AS BIGINT) AS n_docs,
+       ROUND(SUM((CAST(o.n AS DOUBLE) / t.nt)
+                 * ln(CAST(o.n AS DOUBLE) * t.nt
+                      / (CAST(lt.nl AS DOUBLE) * st.ns))
+                 / ln(2.0)), 6) AS mutual_information_bits
+FROM o
+JOIN lt ON lt.lang = o.lang
+JOIN st ON st.source = o.source
+CROSS JOIN t
+GROUP BY t.nt
+""",
+)
+def q_lang_source_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between document language and source
+    — the information-theoretic companion to the chi-square drift
+    check (`lang_source_chi2`): MI ≈ 0 means knowing the source tells
+    you nothing about the language; it is also the feature-selection
+    score for categorical features. Only observed cells contribute
+    (0·log0 = 0 by convention), so no zero-cell grid is needed;
+    marginals broadcast onto the ≤100-cell contingency rollup."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    lt = o.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    st = o.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    t = o.agg(F.sum("n").cast("long").alias("nt")).withColumn("j", F.lit(1))
+    joined = (
+        o.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(st), "source")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(t), "j")
+    )
+    mi_term = (
+        (F.col("n").cast("double") / F.col("nt"))
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("nt")
+            / (F.col("nl").cast("double") * F.col("ns"))
+        )
+        / F.log(F.lit(2.0))
+    )
+    return joined.groupBy("nt").agg(
+        F.round(F.sum(mi_term), 6).alias("mutual_information_bits")
+    ).select(
+        F.col("nt").alias("n_docs"), "mutual_information_bits"
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

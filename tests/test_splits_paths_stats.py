@@ -110,3 +110,24 @@ def test_chi2_zero_when_independent_positive_when_skewed(spark, tmp_path):
     r2 = workload.QUERIES["lang_source_chi2"](spark, d2).collect()[0]
     # 2x2 full dependence: chi2 == N
     assert r2["chi2"] == pytest.approx(20.0, abs=1e-6)
+
+
+def test_mutual_information_zero_for_independent_grid(spark, tmp_path):
+    # same independent 2x2 grid as the chi2 test: MI must be ~0
+    indep = [
+        (i, "w", lang, src, 1)
+        for i, (lang, src) in enumerate(
+            [(l, s) for l in ("en", "fr") for s in ("a", "b")] * 5
+        )
+    ]
+    d = _write_docs(spark, tmp_path, indep, "mi_indep")
+    r = workload.QUERIES["lang_source_mutual_information"](spark, d).collect()[0]
+    assert abs(r["mutual_information_bits"]) < 1e-9
+
+    # fully dependent 2x2: MI = 1 bit exactly
+    dep = [(i, "w", "en", "a", 1) for i in range(10)] + [
+        (i + 10, "w", "fr", "b", 1) for i in range(10)
+    ]
+    d2 = _write_docs(spark, tmp_path, dep, "mi_dep")
+    r2 = workload.QUERIES["lang_source_mutual_information"](spark, d2).collect()[0]
+    assert abs(r2["mutual_information_bits"] - 1.0) < 1e-9
