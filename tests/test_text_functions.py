@@ -57,3 +57,18 @@ def test_doc_fingerprint_is_md5(spark):
 
     got = _one(spark, "hello world", t.doc_fingerprint("text"))
     assert got == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_char_entropy_of_uniform_alphabet_is_log2_k(spark, tmp_path):
+    from data_engineering_project_spark.plans import workload
+    import pytest as _pt
+
+    d = str(tmp_path / "ent")
+    # 'abcd' repeated: 4 equiprobable chars -> exactly 2 bits
+    spark.createDataFrame(
+        [(1, "abcd" * 50, "en", "s", 200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    r = workload.QUERIES["char_entropy_by_lang"](spark, d).collect()[0]
+    assert r["alphabet_size"] == 4
+    assert r["entropy_bits"] == _pt.approx(2.0, abs=1e-9)
