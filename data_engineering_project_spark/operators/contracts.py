@@ -21,10 +21,15 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Expectation:
     """One rule: ``name`` labels it, ``violated`` is a boolean Column
-    that is True on rows BREAKING the rule."""
+    that is True on rows BREAKING the rule. ``kind`` routes evaluation
+    explicitly — "row" rules fuse into the single aggregate pass,
+    "unique" rules group by ``key`` — so a hand-built row rule whose
+    name happens to end in ``_unique`` is never mis-routed."""
 
     name: str
     violated: Column
+    kind: str = "row"
+    key: str | None = None
 
 
 def not_null(col: str) -> Expectation:
@@ -32,9 +37,9 @@ def not_null(col: str) -> Expectation:
 
 
 def unique_key(col: str) -> Expectation:
-    """Marker for a uniqueness rule — evaluated separately (needs a
-    group-by, not a row predicate)."""
-    return Expectation(f"{col}_unique", F.lit(None))
+    """Uniqueness rule — evaluated separately (needs a group-by, not a
+    row predicate)."""
+    return Expectation(f"{col}_unique", F.lit(None), kind="unique", key=col)
 
 
 def in_range(col: str, lo, hi) -> Expectation:
@@ -64,9 +69,15 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     Row-predicate rules fuse into a single aggregate pass; uniqueness
     rules (key duplication) each add one group-by on their key, with
     the violation count = rows beyond the first per duplicated key.
+    An empty contract evaluates to an empty (rule, n_violations,
+    n_rows) frame rather than raising.
     """
-    row_rules = [e for e in expectations if not e.name.endswith("_unique")]
-    key_rules = [e for e in expectations if e.name.endswith("_unique")]
+    if not expectations:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_violations long, n_rows long"
+        )
+    row_rules = [e for e in expectations if e.kind == "row"]
+    key_rules = [e for e in expectations if e.kind == "unique"]
     aggs = [F.count("*").cast("long").alias("n_rows")] + [
         F.sum(F.when(e.violated, 1).otherwise(0)).cast("long").alias(e.name)
         for e in row_rules
@@ -82,7 +93,7 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             )
         )
     for e in key_rules:
-        key = e.name[: -len("_unique")]
+        key = e.key if e.key is not None else e.name[: -len("_unique")]
         dup = df.groupBy(key).agg(F.count("*").alias("c"))
         parts.append(
             dup.agg(

@@ -104,13 +104,17 @@ def cosine_topk_vectorized(
 
     q_ids = queries_pdf[id_col].to_numpy()
     q_mat = np.stack(queries_pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-    q_normed = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_normed = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
 
     def kernel(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            normed = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )  # clamp: zero vectors → 0-cosine, never NaN ordering
             sims = np.round(q_normed @ normed.T, 6)  # queries × batch
             for qi, qid in enumerate(q_ids):
                 row = sims[qi]
@@ -419,7 +423,9 @@ def embedding_near_dups(
             )
         ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        normed = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )  # clamp: zero vectors → 0-cosine, never NaN ordering
         sims = normed @ normed.T
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = sims[iu, ju] > threshold
@@ -578,7 +584,9 @@ def mmr_select(
         mat = np.stack(
             pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
         )
-        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        normed = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )  # clamp: zero vectors → 0-cosine, never NaN ordering
         ids = pdf[id_col].to_numpy()
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
         sims = np.round(normed @ normed.T, 6)

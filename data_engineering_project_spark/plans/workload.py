@@ -1759,33 +1759,70 @@ def q_events_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_reach_sketch")
+@register(
+    "events_reach_sketch",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       TRUE AS merge_lossless,
+       TRUE AS quantiles_monotone,
+       TRUE AS cardinality_sane
+FROM events
+GROUP BY event_type
+""",
+)
 def q_events_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production sketch-only projection: HLL++ distinct users and
-    KLL-style approx percentiles, constant-memory map-side merge, no
-    exact twins. Rows-only (sketch estimates are engine-specific);
-    the estimates' error bounds are value-verified by
-    ``events_reach_approx``'s oracle-checked bound flags, and tracked
-    against exact answers in tests/test_operators.py. Benched
-    separately so the sketch path's cost is visible — the exact
-    count-distinct + exact-percentile twin exists only for the check."""
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            # ONE percentile buffer for both ranks, projected to scalar
-            # columns (the driver's canonicalizer cannot hash ARRAY cells)
-            F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ps"),
-            F.count("*").alias("n_events"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.col("_ps")[0].alias("value_p50"),
-            F.col("_ps")[1].alias("value_p95"),
-            "n_events",
-        )
+    """The production sketch-only path: DataSketches HLL distinct
+    users (`hll_sketch_agg`, lgConfigK=14) and KLL-style approx
+    percentiles, constant-memory map-side merge, NO exact twins —
+    unlike ``events_reach_approx``, no exact count-distinct or exact
+    percentile is ever computed, so the bench time is the pure sketch
+    cost. Raw sketch estimates are engine-specific, so the
+    driver-checked projection asserts sketch INVARIANTS instead
+    (pack_documents / ivf_recall_check pattern; oracle supplies TRUE):
+
+    - ``merge_lossless``: the estimate from per-day sketches merged
+      with `hll_union_agg` EQUALS the single global sketch estimate —
+      HLL union is a register-wise max, so rollup-then-merge is
+      exactly lossless. This is the identity that makes pre-aggregated
+      daily sketch tables (reach_rollup_sketch) answer monthly
+      questions without rescanning raw events; a broken shuffle or
+      lgK mismatch breaks the equality.
+    - ``quantiles_monotone``: p50 <= p95 out of one shared
+      percentile_approx buffer.
+    - ``cardinality_sane``: estimate within [1, ceil(1.05 * n)] —
+      HLL at lgK=14 (~0.8% rsd) cannot legitimately leave that band.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+    glob = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias(
+            "approx_users"
+        ),
+        # ONE percentile buffer for both ranks (the driver's
+        # canonicalizer cannot hash ARRAY cells, so project scalars)
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ps"),
+        F.count("*").alias("n_events"),
+    )
+    return glob.join(merged, "event_type").select(
+        "event_type",
+        "n_events",
+        (F.col("merged_users") == F.col("approx_users")).alias(
+            "merge_lossless"
+        ),
+        (F.col("_ps")[0] <= F.col("_ps")[1]).alias("quantiles_monotone"),
+        (
+            (F.col("approx_users") >= F.least(F.lit(1), F.col("n_events")))
+            & (
+                F.col("approx_users")
+                <= F.ceil(F.col("n_events") * F.lit(1.05))
+            )
+        ).alias("cardinality_sane"),
     )
 
 
@@ -11376,18 +11413,38 @@ _DRIVER_PROVEN_R02 = (
     "cheapest_supplier_per_part", "kpis",
 )
 
-# A proven badge only attests the body that earned it: these bodies (or
-# their oracles) were rewritten AFTER their green row was recorded
-# (round-2 perf work: from_json single-parse events_json, commutative
-# sum(xxhash64) month_fingerprints, auto-routing cosine_topk), so they
-# are forced back into the checked window for a fresh row.
-_REVERIFY = frozenset(
-    {"month_fingerprints", "events_json", "cosine_topk",
-     # round 3: predicate fixed to match the synthetic p_type domain
-     # (the %BRASS literal matched ZERO rows at every SF, so its green
-     # row was a trivial 0=0) — fresh row required for the new body.
-     "cheapest_supplier_per_part"}
+# Green driver rows earned in round 3 (CORRECTNESS_r03.json, all three
+# checks: 49/50, the 50th being the intentional rows-only sketch entry).
+# Includes fresh rows for the round-2 _REVERIFY set (events_json,
+# cosine_topk, month_fingerprints, cheapest_supplier_per_part), which is
+# why that set is now empty again.
+_DRIVER_PROVEN_R03 = (
+    "events_json", "cosine_topk", "month_fingerprints",
+    "winnow_fingerprints", "late_shipment_priority",
+    "cheapest_supplier_per_part", "tfidf_top_terms", "stopword_candidates",
+    "word_bigram_top50", "vocab_overlap_jaccard", "rfm_segments",
+    "revenue_zscore_outliers", "orders_column_profile",
+    "part_price_histogram", "events_hourly_rate", "user_activity_gaps",
+    "nation_revenue_pareto", "rolling_7d_reach", "doc_length_percentiles",
+    "event_type_transitions", "copurchase_pairs", "user_event_entropy",
+    "part_abc_classes", "weekly_stickiness", "session_purchase_rate",
+    "ann_lsh_topk", "order_value_decile_cutpoints", "similar_part_names",
+    "salted_top_users", "customer_revenue_rank", "customer_last3_total",
+    "bm25_topk20", "doc_chunks", "doc_chunks_udtf", "doc_repetition_flags",
+    "jaccard_prefix_pairs", "mixture_corpus_sample", "events_hourly_latest",
+    "order_price_mad_outliers", "media_frame_sample",
+    "embedding_quantization_error", "user_decayed_score",
+    "ivf_recall_check", "doc_lm_score", "quality_weighted_sample",
+    "lang_confusion_matrix", "dedup_keep_list",
+    "session_duration_percentiles", "embedding_dim_stats",
 )
+
+# A proven badge only attests the body that earned it: names whose body
+# (or oracle) was rewritten AFTER their green row was recorded are forced
+# back into the checked window for a fresh row.  Round-3's reverify set
+# (events_json / cosine_topk / month_fingerprints /
+# cheapest_supplier_per_part) all earned fresh r03 rows; empty again.
+_REVERIFY = frozenset()
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py sweeps
 # the full QUERIES registry) and unit-tested with planted duplicates, but
@@ -11403,7 +11460,9 @@ _LIBRARY_ONLY = frozenset(
 
 def _rotated(names: list[str]) -> list[str]:
     proven = (
-        set(_DRIVER_PROVEN_R01) | set(_DRIVER_PROVEN_R02)
+        set(_DRIVER_PROVEN_R01)
+        | set(_DRIVER_PROVEN_R02)
+        | set(_DRIVER_PROVEN_R03)
     ) - _REVERIFY
     names = [n for n in names if n not in _LIBRARY_ONLY]
     return [n for n in names if n not in proven] + [

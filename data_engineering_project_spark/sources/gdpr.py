@@ -22,6 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def recover_table(path: str) -> None:
+    """Recover from a crash mid-swap: if ``path`` is missing but its
+    ``.__old__`` backup exists (died between the two renames), the
+    backup is the authoritative table — rename it back. If both exist
+    (died after the swap, before the backup delete), the new table
+    already validated its read, so the stale backup is dropped."""
+    backup = path.rstrip("/") + ".__old__"
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+    staging = path.rstrip("/") + ".__erase__"
+    if os.path.exists(staging):
+        # an unswapped staging write is garbage from a failed run
+        shutil.rmtree(staging)
+
+
 def erase_subjects(
     spark: SparkSession,
     tables: dict[str, str],
@@ -41,6 +59,7 @@ def erase_subjects(
         [(i,) for i in subject_ids], "subject_id long"
     )
     for path, col in tables.items():
+        recover_table(path)
         df = spark.read.parquet(path)
         keep = df.join(
             F.broadcast(ids_df),
@@ -53,8 +72,13 @@ def erase_subjects(
         backup = path.rstrip("/") + ".__old__"
         os.rename(path, backup)
         os.rename(staging, path)
-        shutil.rmtree(backup)
+        # Validate the swapped-in table READS before destroying the
+        # backup — if this count throws, the backup survives and the
+        # next call's recover_table() restores service. POSIX-rename
+        # semantics only; an object-store deployment would commit
+        # through sources/txlog.py instead.
         n_after = spark.read.parquet(path).count()
+        shutil.rmtree(backup)
         dropped[path] = n_before - n_after
     if audit_dir is not None:
         audit = spark.createDataFrame(

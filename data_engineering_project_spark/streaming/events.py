@@ -287,16 +287,53 @@ def topk_view_maintenance(
     State lives as parquet at ``state_dir`` (totals/) with the top-k
     snapshot at topk/; a lake deployment would commit both through a
     transactional table (sources/txlog.py) instead of the
-    overwrite-swap used here.
+    rename-swap used here.
+
+    Replay-safe: foreachBatch is at-least-once (a driver failure
+    between the state write and the checkpoint commit replays the
+    batch), so the last-applied ``batch_id`` is committed ATOMICALLY
+    with the totals — written as an underscore-prefixed marker file
+    inside the staged directory before the directory rename, the same
+    (sink_id, batch_id) idempotence txlog_sink implements — and a
+    batch whose id is <= the marker is skipped. Crash-safe swap: the
+    live totals are renamed to a ``.__old__`` backup before the staged
+    directory renames into place (never rmtree-then-rename, which
+    loses all state if the process dies between the two); a dangling
+    backup from a previous crash is recovered on the next batch.
     """
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
     totals_dir = os.path.join(state_dir, "totals")
     topk_dir = os.path.join(state_dir, "topk")
+    backup_dir = totals_dir + ".__old__"
+    # Spark's parquet reader skips underscore-prefixed files (like
+    # _SUCCESS), so the marker rides inside the data directory and the
+    # directory rename commits data + watermark as one atomic unit.
+    marker_name = "_last_batch_id"
+
+    def _recover() -> None:
+        if os.path.exists(backup_dir):
+            if os.path.exists(totals_dir):
+                # crash after swap, before backup delete: new state won
+                shutil.rmtree(backup_dir)
+            else:
+                # crash between the two renames: restore the backup
+                os.rename(backup_dir, totals_dir)
+
+    def _last_applied() -> int:
+        marker = os.path.join(totals_dir, marker_name)
+        if os.path.exists(marker):
+            with open(marker, encoding="ascii") as fh:
+                return int(fh.read().strip())
+        return -1
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover()
+        if batch_id <= _last_applied():
+            return  # replayed batch — already folded into totals
         inc = batch_df.groupBy(key_col).agg(
             F.count("*").cast("long").alias("n_events"),
             F.sum(F.col(value_col).cast("decimal(38,6)")).alias("total_value"),
@@ -319,11 +356,15 @@ def topk_view_maintenance(
             )
         staged = totals_dir + ".__new__"
         merged.write.mode("overwrite").parquet(staged)
+        with open(
+            os.path.join(staged, marker_name), "w", encoding="ascii"
+        ) as fh:
+            fh.write(str(batch_id))
         if os.path.exists(totals_dir):
-            import shutil
-
-            shutil.rmtree(totals_dir)
+            os.rename(totals_dir, backup_dir)
         os.rename(staged, totals_dir)
+        if os.path.exists(backup_dir):
+            shutil.rmtree(backup_dir)
         (
             spark.read.parquet(totals_dir)
             .orderBy(F.desc("total_value"), F.asc(key_col))

@@ -44,6 +44,25 @@ def test_contract_rules_count_planted_violations(spark):
     }
 
 
+def test_contract_empty_list_and_explicit_kind_routing(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k long, name_unique string"
+    )
+    # empty contract: empty result frame, not IndexError
+    empty = C.evaluate(df, [])
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "rule", "n_violations", "n_rows",
+    ]
+    # a hand-built ROW rule whose name ends in _unique must route to
+    # the row-predicate path (kind field, not name sniffing)
+    row_rule = C.Expectation(
+        "looks_unique", F.col("name_unique").isNull()
+    )
+    out = {r["rule"]: r["n_violations"] for r in C.evaluate(df, [row_rule]).collect()}
+    assert out == {"looks_unique": 0}
+
+
 def test_orders_contract_is_clean_on_testdata(spark, sf_dir):
     rows = workload.QUERIES["orders_contract_violations"](spark, sf_dir).collect()
     assert len(rows) == 5

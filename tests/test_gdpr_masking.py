@@ -53,6 +53,31 @@ def test_erasure_is_idempotent(spark, tmp_path):
     assert erase_subjects(spark, {ev: "user_id"}, [7]) == {ev: 0}
 
 
+def test_erasure_recovers_from_dangling_backup(spark, tmp_path):
+    """Crash between the two swap renames leaves only table.__old__;
+    the next erase_subjects call must restore it and proceed."""
+    import os
+
+    ev = str(tmp_path / "crash_tbl")
+    spark.createDataFrame(
+        [(1, 7), (2, 8), (3, 9)], "event_id long, user_id long"
+    ).write.parquet(ev)
+    # simulate the torn swap: data only in the backup
+    os.rename(ev, ev + ".__old__")
+    assert erase_subjects(spark, {ev: "user_id"}, [8]) == {ev: 1}
+    assert sorted(
+        r["user_id"] for r in spark.read.parquet(ev).collect()
+    ) == [7, 9]
+    assert not os.path.exists(ev + ".__old__")
+    # stale backup alongside a live table (crash before backup delete)
+    import shutil
+
+    shutil.copytree(ev, ev + ".__old__")
+    assert erase_subjects(spark, {ev: "user_id"}, [9]) == {ev: 1}
+    assert [r["user_id"] for r in spark.read.parquet(ev).collect()] == [7]
+    assert not os.path.exists(ev + ".__old__")
+
+
 def test_masked_view_hashes_nulls_and_redacts(spark):
     df = spark.createDataFrame(
         [(1, "alice", "mail a@b.co", 31.0)],

@@ -87,6 +87,24 @@ def test_mmr_rank1_is_pure_relevance_and_scores_decrease(spark):
     assert [r["neighbor_id"] for r in out] == [3, 2, 1, 0]
 
 
+def test_mmr_zero_embedding_is_deterministic_not_nan(spark):
+    # an all-zero embedding must behave as 0-cosine to everything, not
+    # inject NaN rows into the similarity matrix (NaN max_sim would
+    # make the greedy order nondeterministic)
+    rows = [
+        (5, 201, [1.0, 0.0], 0.9),
+        (5, 202, [0.0, 0.0], 0.8),  # zero vector
+        (5, 203, [0.0, 1.0], 0.7),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, embedding array<double>, relevance double",
+    )
+    out = mmr_select(df, k=3, lam=0.5).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [201, 202, 203]
+    assert all(r["mmr_score"] == r["mmr_score"] for r in out)  # no NaN
+
+
 # --------------------------------------------------------- winsorize
 
 

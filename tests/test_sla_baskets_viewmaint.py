@@ -89,3 +89,55 @@ def test_streaming_topk_view_equals_batch_recompute(spark, tmp_path):
         .collect()
     ]
     assert topk == [3, 1]
+
+
+def test_topk_view_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch with the
+    same batch_id (driver died between state write and checkpoint
+    commit) must NOT double-count."""
+    state = str(tmp_path / "state")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    merge = topk_view_maintenance(spark, state, k=2)
+    b0 = spark.createDataFrame([(1, t0, 1, 10.0), (2, t0, 2, 5.0)], schema)
+    merge(b0, 0)
+    merge(b0, 0)  # replay of batch 0
+    b1 = spark.createDataFrame([(3, t0, 1, 1.0)], schema)
+    merge(b1, 1)
+    merge(b1, 1)  # replay of batch 1
+    totals = {
+        r["user_id"]: (r["n_events"], float(r["total_value"]))
+        for r in spark.read.parquet(state + "/totals").collect()
+    }
+    assert totals == {1: (2, 11.0), 2: (1, 5.0)}
+
+
+def test_topk_view_recovers_from_crash_between_renames(spark, tmp_path):
+    """A crash between 'totals -> backup' and 'staged -> totals' leaves
+    only the .__old__ backup; the next batch must restore it and apply
+    cleanly on top."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    merge = topk_view_maintenance(spark, state, k=2)
+    merge(spark.createDataFrame([(1, t0, 1, 10.0)], schema), 0)
+    # simulate the torn swap: totals moved aside, new dir never landed
+    os.rename(state + "/totals", state + "/totals.__old__")
+    merge(spark.createDataFrame([(2, t0, 2, 5.0)], schema), 1)
+    totals = {
+        r["user_id"]: (r["n_events"], float(r["total_value"]))
+        for r in spark.read.parquet(state + "/totals").collect()
+    }
+    assert totals == {1: (1, 10.0), 2: (1, 5.0)}
+    assert not os.path.exists(state + "/totals.__old__")
+    # crash AFTER the swap but before backup delete: new state wins
+    shutil.copytree(state + "/totals", state + "/totals.__old__")
+    merge(spark.createDataFrame([(3, t0, 3, 2.0)], schema), 2)
+    totals = {
+        r["user_id"]: (r["n_events"], float(r["total_value"]))
+        for r in spark.read.parquet(state + "/totals").collect()
+    }
+    assert totals == {1: (1, 10.0), 2: (1, 5.0), 3: (1, 2.0)}
+    assert not os.path.exists(state + "/totals.__old__")
