@@ -356,13 +356,22 @@ def _portable_minhash_wide(
 
 
 def minhash_signatures_portable(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Long-form portable MinHash: one (id, h_idx, min_h) row per hash
     — scalar columns only, so the cross-engine canonicalizer can hash
     the result. Docs with fewer than ``shingle_n`` tokens yield no rows
-    (no shingles), matching the SQL oracle's generate_series join."""
-    wide = _portable_minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    (no shingles), matching the SQL oracle's generate_series join.
+    Pass a precomputed ``shingles`` frame to share the tokenize+NGram
+    stage with the rest of the dedup family."""
+    wide = _portable_minhash_wide(
+        df, text_col, id_col, num_hashes, shingle_n, shingles
+    )
     # <i>L literals: bigint h_idx, matching the oracle's generate_series
     stack = "stack({n}, {args}) AS (h_idx, min_h)".format(
         n=num_hashes,
@@ -666,6 +675,7 @@ def prefix_filter_pairs(
     threshold_num: int = 1,
     threshold_denom: int = 2,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join with PPJoin-style prefix filtering
     (Xiao et al., WWW'08 — public algorithm): all pairs with shingle
@@ -686,13 +696,18 @@ def prefix_filter_pairs(
     per doc (bounded by doc shingle count), an equi-join on rare
     shingles, then per-pair array intersection on candidates only.
     """
-    sh = shingle_arrays(df, text_col, id_col, shingle_n).filter(
-        F.size("sh") > 0
-    )
-    # The shingle frame feeds three consumers (prefix index, set sizes,
-    # verify arrays); checkpoint it once so NGram + distinct run once,
-    # not three times (measured 7.2s -> ~2s at sf0.1).
-    sh = sh.localCheckpoint(eager=True)
+    if shingles is None:
+        # The shingle frame feeds three consumers (prefix index, set
+        # sizes, verify arrays); checkpoint it once so NGram + distinct
+        # run once, not three times (measured 7.2s -> ~2s at sf0.1).
+        sh = (
+            shingle_arrays(df, text_col, id_col, shingle_n)
+            .filter(F.size("sh") > 0)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # precomputed (already materialized) frame — filter is map-side
+        sh = shingles.filter(F.size("sh") > 0)
     ex = sh.select(F.col(id_col), F.explode("sh").alias("__sh"))
     dfreq = ex.groupBy("__sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__sh"))

@@ -55,15 +55,26 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if materialize:
         e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    n = deg.agg(F.count("*").cast("long").alias("n_nodes")).withColumn(
-        "k", F.lit(1)
+    # Checkpoint the degree table: it seeds pr AND rides inside the
+    # rank lineage of every iteration — left lazy, each iteration's
+    # subtree re-aggregates the full edge list (3 redundant edge
+    # shuffles for 2 iterations, measured in the executed plan).
+    # |nodes| rows — small relative to edges, and exactly the frame a
+    # lake deployment would persist next to the bucketed edge list.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    pr = deg.withColumn("k", F.lit(1)).join(F.broadcast(n), "k").select(
+    # ONE scalar to the driver (control-plane, same pattern as
+    # kmeans_fit's centroid collect): inlining 1/N as a literal keeps
+    # the repeated n-count aggregate + nested-loop broadcast out of
+    # every iteration's plan.
+    n_nodes = deg.count()
+    pr = deg.select(
         F.col("src").alias("node"),
         "deg",
-        (F.lit(1.0) / F.col("n_nodes")).alias("pr"),
-        "n_nodes",
+        F.lit(1.0 / n_nodes).alias("pr"),
     )
     # Checkpoint the rank frame PERIODICALLY, not per iteration: each
     # eager checkpoint forces a separate job, and for a handful of
@@ -82,10 +93,9 @@ def pagerank(
             "node",
             "deg",
             (
-                F.lit(1.0 - damping) / F.col("n_nodes")
+                F.lit((1.0 - damping) / n_nodes)
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("pr"),
-            "n_nodes",
         )
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             pr = pr.localCheckpoint(eager=True)
