@@ -5106,26 +5106,18 @@ FROM flagged GROUP BY priority
 )
 def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection: median absolute deviation with the
-    3-sigma-equivalent 1.4826 consistency constant (public statistics).
-    The two medians are exact interpolated percentiles collected as
-    control-plane scalars (2 one-row jobs); the flagging pass is then a
-    map-only predicate — the robust-statistics shape that survives the
-    skew that wrecks z-scores."""
+    3-sigma-equivalent 1.4826 consistency constant (public statistics),
+    via operators/robust.py. This driver-checked entry uses the EXACT
+    percentile backend (the one DuckDB replays bit-for-bit); the
+    library's ``exact=False`` switch swaps in approx_percentile — the
+    constant-memory sketch path a 100 TB deployment runs, covered by
+    pytest flag-agreement instead of a value oracle."""
+    from data_engineering_project_spark.operators import robust
+
     orders = load(spark, sf_dir, "orders")
-    med = orders.agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("m")
-    ).collect()[0]["m"]
-    mad = orders.agg(
-        F.expr(f"percentile(abs(o_totalprice - {med!r}), 0.5)").alias("m")
-    ).collect()[0]["m"]
-    cut = F.lit(3.0) * F.lit(1.4826) * F.lit(mad)
     return (
-        orders.select(
-            F.col("o_orderpriority").alias("priority"),
-            (F.abs(F.col("o_totalprice") - med) > cut).cast("int").alias(
-                "is_out"
-            ),
-        )
+        robust.mad_outlier_flags(orders, "o_totalprice", k=3.0, exact=True)
+        .select(F.col("o_orderpriority").alias("priority"), "is_out")
         .groupBy("priority")
         .agg(
             F.count("*").alias("n_orders"),
@@ -11521,9 +11513,18 @@ _DRIVER_PROVEN_R03 = (
 # A proven badge only attests the body that earned it: names whose body
 # (or oracle) was rewritten AFTER their green row was recorded are forced
 # back into the checked window for a fresh row.  Round-3's reverify set
-# (events_json / cosine_topk / month_fingerprints /
-# cheapest_supplier_per_part) all earned fresh r03 rows; empty again.
-_REVERIFY = frozenset()
+# all earned fresh r03 rows.  Round-4 entries: the dedup family was
+# rewired onto the shared shingle/candidate memo (_dedup_shared) and
+# order_price_mad_outliers onto operators/robust.py — outputs verified
+# bit-identical by local sim, but the bodies changed, so they queue for
+# a fresh driver row per this convention.
+_REVERIFY = frozenset(
+    {
+        "minhash_portable", "lsh_pairs_portable", "ngram_jaccard_portable",
+        "dedup_clusters_portable", "dedup_keep_list", "jaccard_prefix_pairs",
+        "order_price_mad_outliers",
+    }
+)
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py sweeps
 # the full QUERIES registry) and unit-tested with planted duplicates, but
