@@ -1,0 +1,158 @@
+"""×10 full-registry scale check (round-4 VERDICT task).
+
+Builds a ×K replica of EVERY testdata table (keys shifted per replica
+so cardinalities really grow ×K; document text is salted per replica
+and embeddings perturbed so the dedup/similarity families face K× the
+corpus, not K identical copies whose cross-replica duplicate pairs
+would inflate quadratically BY CONSTRUCTION rather than by plan flaw),
+runs the full bench registry on it, and writes SCALING_X10.json
+comparing per-query time against the committed sf0.1 BENCH_DETAIL.json
+— any entry growing much faster than the data factor is a
+super-linearity bug to chase.
+
+Run: python scripts_x10_bench.py            (replica + bench, ~30 min)
+     SPARK_GRAFT_X10_SKIP_BUILD=1 ...      (reuse existing replica)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
+WORK = os.environ.get("SPARK_GRAFT_X10_DIR", "/tmp/spark_graft_x10")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# key columns shifted per replica; offset = K-padded max of the base key
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# shared key domains: the same offset must shift both sides of an FK
+OFFSET_KEY = {
+    "c_custkey": "cust", "o_custkey": "cust",
+    "o_orderkey": "order", "l_orderkey": "order",
+    "p_partkey": "part", "l_partkey": "part",
+    "s_suppkey": "supp", "l_suppkey": "supp",
+    "event_id": "event", "user_id": "user",
+    "doc_id": "doc", "vec_id": "vec",
+}
+COPY = ["region", "nation"]  # nationkey-referenced dims stay fixed
+
+
+def build_replica(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(WORK, exist_ok=True)
+    # one offset per key DOMAIN (max over every table using it, +1)
+    offsets: dict[str, int] = {}
+    for table, cols in SHIFT.items():
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        for c in cols:
+            dom = OFFSET_KEY[c]
+            m = df.agg(F.max(c)).collect()[0][0] + 1
+            offsets[dom] = max(offsets.get(dom, 0), int(m))
+    reps = spark.range(K).withColumnRenamed("id", "rep")
+    for table in COPY:
+        shutil.copy(f"{SF_DIR}/{table}.parquet", f"{WORK}/{table}.parquet")
+    for table, cols in SHIFT.items():
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        out = df.crossJoin(reps)
+        for c in cols:
+            out = out.withColumn(
+                c, F.col(c) + F.col("rep") * offsets[OFFSET_KEY[c]]
+            )
+        if table == "documents":
+            # salt per replica: cross-replica docs must NOT be exact
+            # near-duplicates of each other
+            out = out.withColumn(
+                "text", F.concat("text", F.lit(" zr"), F.col("rep"))
+            ).withColumn("n_chars", F.length("text"))
+        if table == "embeddings":
+            out = out.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, x -> CAST(x * (1.0 + rep * 1e-4)"
+                    " AS FLOAT))"
+                ),
+            )
+        (
+            out.drop("rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{WORK}/{table}.parquet")
+        )
+        print(f"built {table} x{K}", file=sys.stderr)
+
+
+def main() -> int:
+    if not os.environ.get("SPARK_GRAFT_X10_SKIP_BUILD"):
+        from data_engineering_project_spark.session import get_spark
+
+        build_replica(get_spark())
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=WORK)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        print("bench failed", proc.returncode, file=sys.stderr)
+        return 1
+    x10 = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    base = json.loads(
+        subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout
+    )
+    rows = {}
+    for name, t10 in x10["queries"].items():
+        t1 = base["queries"].get(name)
+        if t1 is None:
+            continue
+        # Spark's ~0.3-0.6 s per-query scheduling floor dominates small
+        # queries at both SFs; subtract nothing, just flag on ratio
+        # with a floor so noise can't flag a 0.2 s query.
+        ratio = round(t10 / t1, 2) if t1 > 0 else None
+        rows[name] = {
+            "sf0.1_sec": t1,
+            "x10_sec": t10,
+            "ratio": ratio,
+            "super_linear": bool(ratio and ratio > K * 1.3 and t10 > 5.0),
+        }
+    flagged = sorted(
+        (n for n, r in rows.items() if r["super_linear"]),
+        key=lambda n: -rows[n]["ratio"],
+    )
+    out = {
+        "k": K,
+        "total_sf01": base["value"],
+        "total_x10": x10["value"],
+        "total_ratio": round(x10["value"] / base["value"], 2),
+        "flagged_super_linear": flagged,
+        "queries": rows,
+    }
+    with open(os.path.join(REPO, "SCALING_X10.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({
+        "total_ratio": out["total_ratio"],
+        "flagged": flagged,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
