@@ -89,11 +89,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # caching of a deterministic frame, so query OUTPUTS are bit-identical
 # with and without the cache. At lake scale this is the "materialize
 # the shingle table once" step of a dedup pipeline.
-_DEDUP_SHARED: dict[tuple[int, str, str], DataFrame] = {}
+_DEDUP_SHARED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _dedup_shared(spark, sf_dir, tag, build) -> DataFrame:
-    key = (id(spark), sf_dir, tag)
+    # applicationId, not id(spark): a checkpointed frame dies with its
+    # SparkContext, and CPython can reuse a GC'd session's id()
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     df = _DEDUP_SHARED.get(key)
     if df is None:
         df = build().localCheckpoint(eager=True)
