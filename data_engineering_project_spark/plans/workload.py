@@ -83,24 +83,63 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Deterministic intermediate frames shared ACROSS queries in one
 # session (the bench loop and the driver both run the registry in a
 # single SparkSession): the 3-gram shingle frame and the LSH candidate
-# sets are rebuilt identically by every query in the dedup family, and
-# tokenize+NGram is the family's most expensive map stage. Each entry
-# is localCheckpoint'ed once per (session, sf_dir) and reused — pure
-# caching of a deterministic frame, so query OUTPUTS are bit-identical
-# with and without the cache. At lake scale this is the "materialize
-# the shingle table once" step of a dedup pipeline.
-_DEDUP_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+# sets are rebuilt identically by every query in the dedup family
+# (tokenize+NGram is the family's most expensive map stage), and the
+# co-purchase pair-counts frame feeds the whole graph family. Each
+# entry is localCheckpoint'ed once per (session, sf_dir) and reused —
+# pure caching of a deterministic frame, so query OUTPUTS are
+# bit-identical with and without the cache. At lake scale this is the
+# "materialize the shingle/edge table once" step of the pipeline.
+_SHARED_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _dedup_shared(spark, sf_dir, tag, build) -> DataFrame:
+def _shared_frame(spark, sf_dir, tag, build) -> DataFrame:
     # applicationId, not id(spark): a checkpointed frame dies with its
     # SparkContext, and CPython can reuse a GC'd session's id()
     key = (spark.sparkContext.applicationId, sf_dir, tag)
-    df = _DEDUP_SHARED.get(key)
+    df = _SHARED_FRAMES.get(key)
     if df is None:
         df = build().localCheckpoint(eager=True)
-        _DEDUP_SHARED[key] = df
+        _SHARED_FRAMES[key] = df
     return df
+
+
+def _copurchase_items(spark, sf_dir) -> DataFrame:
+    """Distinct (order, part) basket items — the base of the whole
+    co-purchase graph family."""
+    return _shared_frame(
+        spark, sf_dir, "copurchase_items",
+        lambda: load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
+def _copurchase_pair_counts(spark, sf_dir) -> DataFrame:
+    """Canonical co-purchase pair supports: (part_a < part_b, n_both =
+    number of orders containing both). ONE order-keyed self-join +
+    pair aggregate serves the entire graph family — pairs (top-k),
+    lift (support filter), triangles (support>=2 edges), pagerank and
+    assortativity (distinct edges = the frame's key set). Pair blow-up
+    is bounded by basket size squared (TPC-H <=7 items), never
+    corpus-quadratic."""
+    def build() -> DataFrame:
+        items = _copurchase_items(spark, sf_dir)
+        a, b = items.alias("a"), items.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("part_a"),
+                F.col("b.l_partkey").alias("part_b"),
+            )
+            .agg(F.count("*").alias("n_both"))
+        )
+
+    return _shared_frame(spark, sf_dir, "copurchase_pair_counts", build)
 
 
 def gold(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -2100,11 +2139,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 9.5s → 4.5s at sf0.1). The shingle frame is likewise
     # checkpointed once and shared by signatures AND verify — tokenize
     # + NGram is the pipeline's single most expensive map stage.
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
-    pairs = _dedup_shared(
+    pairs = _shared_frame(
         spark, sf_dir, "lsh64x8",
         lambda: dedup.minhash_lsh_candidates(
             docs, "text", "doc_id", num_hashes=64, bands=8, shingles=sh
@@ -2125,11 +2164,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters_portable``. Component semantics are additionally
     unit-tested (chains, transitivity, separate components)."""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
-    pairs = _dedup_shared(
+    pairs = _shared_frame(
         spark, sf_dir, "lsh64x8",
         lambda: dedup.minhash_lsh_candidates(
             docs, "text", "doc_id", num_hashes=64, bands=8, shingles=sh
@@ -2213,7 +2252,7 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer can value-hash the result. Same explode→min-agg plan
     shape as the xxhash64 fast path (one shuffle on doc_id)."""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
@@ -2451,11 +2490,11 @@ def q_ngram_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_pairs_portable this makes the WHOLE near-dup pipeline
     oracle-matched, candidate generation through verification."""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
-    pairs = _dedup_shared(
+    pairs = _shared_frame(
         spark, sf_dir, "lsh32x4",
         lambda: dedup.lsh_candidates_portable(
             docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
@@ -2501,11 +2540,11 @@ def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations of the same components, so a value match is strong
     evidence for both. (The xxhash64 production twin stays rows-only.)"""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
-    pairs = _dedup_shared(
+    pairs = _shared_frame(
         spark, sf_dir, "lsh32x4",
         lambda: dedup.lsh_candidates_portable(
             docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
@@ -4342,28 +4381,15 @@ LIMIT 25
 )
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
-    order, top 25. The self-join is keyed on the orderkey, so pair
-    blow-up is bounded by per-order basket size squared (TPC-H ≤7
-    items → ≤21 pairs/order), never corpus-quadratic; at lake scale a
-    giant basket would be df-capped first (same guard the LSH pair
-    generators use)."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
+    order, top 25 — a top-k over the shared canonical pair-counts
+    frame (_copurchase_pair_counts: one order-keyed self-join +
+    aggregate serves the whole graph family; at lake scale a giant
+    basket would be df-capped first, the LSH pair generators' guard)."""
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _copurchase_pair_counts(spark, sf_dir)
+        .select(
+            "part_a", "part_b", F.col("n_both").alias("n_orders")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(25)
     )
@@ -5033,7 +5059,7 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join only ever touches rare shingles. Integer threshold
     verify, no float boundary."""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
@@ -5437,11 +5463,11 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. was_clustered marks survivors that had duplicates
     removed."""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
-    pairs = _dedup_shared(
+    pairs = _shared_frame(
         spark, sf_dir, "lsh32x4",
         lambda: dedup.lsh_candidates_portable(
             docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
@@ -5768,14 +5794,14 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, computed by the engine itself. All inputs are the portable
     hash family, so DuckDB replays the identical sketches."""
     docs = load(spark, sf_dir, "documents")
-    sh = _dedup_shared(
+    sh = _shared_frame(
         spark, sf_dir, "sh3",
         lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
     )
     wide = dedup._portable_minhash_wide(
         docs, "text", "doc_id", 32, 3, shingles=sh
     ).localCheckpoint(eager=True)
-    pairs = _dedup_shared(
+    pairs = _shared_frame(
         spark, sf_dir, "lsh32x4",
         lambda: dedup.lsh_candidates_portable(
             docs, "text", "doc_id", num_hashes=32, bands=4, shingles=sh
@@ -6163,30 +6189,12 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary form, and both engines must subtract the same literal)."""
     from data_engineering_project_spark.operators import graph as graph_ops
 
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    # Build one direction with '<' and mirror it: the distinct runs on
-    # half the pair volume, and the mirrored union adds no exchange.
-    # (A groupBy-collect_set + map-side array-expansion build was
-    # measured too: faster cold, slower warm — the object-hash
-    # collect_set buffer loses to this whole-stage-codegen join once
-    # the scan is cached, so the join form stays.)
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    # One direction from the shared pair-counts frame (its key set IS
+    # the distinct canonical edge list), mirrored — the union adds no
+    # exchange, and the expensive order-keyed self-join is shared with
+    # the whole co-purchase family.
+    half = _copurchase_pair_counts(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -6238,32 +6246,18 @@ LIMIT 15
 def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift for frequently co-purchased part pairs
     (support ≥ 3 orders): lift = P(a,b) / (P(a)·P(b)), > 1 meaning
-    the pair co-occurs more than independence predicts. The pair join
-    is order-keyed (basket-bounded); the per-part counts broadcast.
-    Ordering uses the rounded lift (single IEEE multiply/divide chain,
-    identical across engines) with the pair as tiebreak."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    the pair co-occurs more than independence predicts. Pair supports
+    come from the shared canonical frame (_copurchase_pair_counts);
+    the per-part counts broadcast. Ordering uses the rounded lift
+    (single IEEE multiply/divide chain, identical across engines)
+    with the pair as tiebreak."""
+    items = _copurchase_items(spark, sf_dir)
     total = items.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     ).withColumn("k", F.lit(1))
     pc = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_both"))
-        .filter(F.col("n_both") >= 3)
+    pairs = _copurchase_pair_counts(spark, sf_dir).filter(
+        F.col("n_both") >= 3
     )
     ca = pc.select(
         F.col("l_partkey").alias("part_a"), F.col("cnt").alias("n_a")
@@ -6603,28 +6597,17 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list, so the wedge fan-out is tiny relative to lineitem."""
     from data_engineering_project_spark.operators.graph import triangle_counts
 
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _copurchase_pair_counts(spark, sf_dir)
+        .filter(F.col("n_both") >= 2)
+        .select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("src", "dst")
     )
     return (
-        triangle_counts(edges)
+        # materialize=False: edges is a map-side filter over the
+        # already-checkpointed shared pair-counts frame
+        triangle_counts(edges, materialize=False)
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(20)
     )
@@ -10595,24 +10578,12 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     means hubs buy with hubs (social-like), negative means hubs link
     to the periphery (typical for product graphs). Degree table
     broadcasts onto the edge list twice; one corr reduce."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # both directions = mirror of the shared canonical pair frame
+    half = _copurchase_pair_counts(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    und = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count("*").alias("d"))
     ds = deg.select(F.col("src"), F.col("d").alias("d_src"))
@@ -11525,6 +11496,8 @@ _REVERIFY = frozenset(
         "minhash_portable", "lsh_pairs_portable", "ngram_jaccard_portable",
         "dedup_clusters_portable", "dedup_keep_list", "jaccard_prefix_pairs",
         "order_price_mad_outliers",
+        # graph family rewired onto _copurchase_pair_counts
+        "copurchase_pairs",
     }
 )
 
