@@ -7077,7 +7077,17 @@ def q_random_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         F.lit(1),
     ).otherwise(F.lit(-1))
-    pairs = elems.crossJoin(F.broadcast(j)).withColumn("s", sign)
+    # The sign depends only on (i, j) — |dims|×|out_dims| distinct
+    # values — so the md5-derived matrix is computed ONCE on a tiny
+    # frame and broadcast, instead of hashing per (element, out-dim)
+    # row (8× the exploded volume in md5 calls).
+    sign_mat = (
+        elems.select("i")
+        .distinct()
+        .crossJoin(F.broadcast(j))
+        .withColumn("s", sign)
+    )
+    pairs = elems.join(F.broadcast(sign_mat), "i")
     proj = pairs.groupBy("vec_id", "label", "j").agg(
         F.sum((F.col("e") * F.col("s")).cast("decimal(28,12)"))
         .cast("double")
@@ -9415,8 +9425,12 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH (md5 family); the source lookup is two broadcast joins on doc
     id; the matrix is at most |sources|² cells."""
     docs = load(spark, sf_dir, "documents")
+    sh = _shared_frame(
+        spark, sf_dir, "sh3",
+        lambda: dedup.shingle_arrays(docs, "text", "doc_id"),
+    )
     pairs = dedup.lsh_candidates_portable(
-        docs, "text", "doc_id", num_hashes=16, bands=4
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingles=sh
     )
     src = docs.select("doc_id", "source")
     sa = src.select(
