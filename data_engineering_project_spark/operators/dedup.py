@@ -552,12 +552,15 @@ def winnow_fingerprints(
     k: int = 8,
     window: int = 4,
     out: str = "fingerprints",
+    minima: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sorted fingerprint array) per document — the array view of
     :func:`winnow_minima` (which see, for the physical-shape notes).
     The collect_set aggregate reuses the window's partitioning on the
-    doc id, so the array build adds no shuffle."""
-    minima = winnow_minima(df, text_col, id_col, k, window)
+    doc id, so the array build adds no shuffle. Pass a precomputed
+    ``minima`` frame to share the gram pipeline with pair generation."""
+    if minima is None:
+        minima = winnow_minima(df, text_col, id_col, k, window)
     return minima.groupBy(id_col).agg(
         F.array_sort(F.collect_set("fp")).alias(out)
     )
@@ -571,6 +574,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 5,
     max_df: int = 20,
+    minima: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints.
 
@@ -592,7 +596,8 @@ def winnow_overlap_pairs(
     """
     from pyspark.sql import Window
 
-    minima = winnow_minima(df, text_col, id_col, k, window)
+    if minima is None:
+        minima = winnow_minima(df, text_col, id_col, k, window)
     ex = (
         minima.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("__df") <= max_df)

@@ -2591,9 +2591,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's canonicalizer cannot hash ARRAY cells, and the exploded
     relation is the join-ready shape downstream pair-generation uses
     anyway (the array form stays available via
-    operators.dedup.winnow_fingerprints)."""
+    operators.dedup.winnow_fingerprints). The (doc, fp) minima frame —
+    the per-char gram+window pipeline, the family's whole cost — is
+    built once per session and shared with winnow_pairs."""
     docs = load(spark, sf_dir, "documents")
-    fp = dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    minima = _shared_frame(
+        spark, sf_dir, "winnow_minima_k8w4",
+        lambda: dedup.winnow_minima(docs, "text", "doc_id", k=8, window=4),
+    )
+    fp = dedup.winnow_fingerprints(
+        docs, "text", "doc_id", k=8, window=4, minima=minima
+    )
     return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
@@ -2614,9 +2622,17 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints (≥5
     shared window minima, boilerplate fingerprints df-capped at 20) —
     a third, independent near-dup path next to MinHash-LSH and SimHash,
-    fully oracle-checked."""
+    fully oracle-checked. Shares the session-memoized minima frame
+    with winnow_fingerprints (the gram pipeline dominates; the pair
+    join after the df-cap is sub-second)."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.winnow_overlap_pairs(docs, "text", "doc_id", min_shared=5, max_df=20)
+    minima = _shared_frame(
+        spark, sf_dir, "winnow_minima_k8w4",
+        lambda: dedup.winnow_minima(docs, "text", "doc_id", k=8, window=4),
+    )
+    return dedup.winnow_overlap_pairs(
+        docs, "text", "doc_id", min_shared=5, max_df=20, minima=minima
+    )
 
 
 @register(
@@ -11512,6 +11528,8 @@ _REVERIFY = frozenset(
         "order_price_mad_outliers",
         # graph family rewired onto _copurchase_pair_counts
         "copurchase_pairs",
+        # winnow family rewired onto the shared minima frame
+        "winnow_fingerprints", "winnow_pairs",
     }
 )
 
