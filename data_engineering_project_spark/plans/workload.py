@@ -11441,6 +11441,375 @@ def q_char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kaplan_meier_repurchase",
+    """
+WITH ranked AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+per AS (
+    SELECT o_custkey,
+           MIN(CASE WHEN rn = 1 THEN od END) AS d1,
+           MIN(CASE WHEN rn = 2 THEN od END) AS d2
+    FROM ranked WHERE rn <= 2 GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+subj AS (
+    SELECT CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                ELSE date_diff('day', d1, maxd) END AS t,
+           CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM per CROSS JOIN mx
+),
+g AS (SELECT t, COUNT(*) AS m, SUM(ev) AS d FROM subj GROUP BY 1),
+r AS (
+    SELECT t, m, d,
+           SUM(m) OVER ()
+           - COALESCE(SUM(m) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+    FROM g
+),
+e AS (
+    SELECT t, n, d,
+           MAX(CASE WHEN d >= n THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS dead,
+           SUM(ln(CASE WHEN d >= n THEN 1.0
+                       ELSE (CAST(n AS DOUBLE) - d) / n END))
+               OVER (ORDER BY t) AS ls
+    FROM r WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(ls), 6) END AS survival
+FROM e ORDER BY t_days
+""",
+)
+def q_kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-second-order with right
+    censoring (customers with one order are censored at the corpus max
+    date) — the retention curve marketing actually wants, computed
+    from exact risk sets instead of naive repeat-rate ratios. Shape:
+    one per-customer window (first/second order), a reduce to the
+    per-duration (events, at-risk) table — at most one row per
+    distinct day gap, tiny — then the product-limit estimate as
+    exp(cumulative-sum of logs) over that tiny frame (the global
+    window runs on the reduced domain, never the subject table). The
+    d>=n terms are guarded to ln(1) and the survival forced to 0 via
+    the `dead` flag so a total-failure tail never feeds ln(0)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    per = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("d2"),
+    )
+    mx = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("maxd")
+    ).withColumn("k", F.lit(1))
+    subj = per.withColumn("k", F.lit(1)).join(F.broadcast(mx), "k").select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        ).otherwise(F.datediff("maxd", "d1")).alias("t"),
+        F.col("d2").isNotNull().cast("int").alias("ev"),
+    )
+    g = subj.groupBy("t").agg(
+        F.count("*").alias("m"), F.sum("ev").alias("d")
+    )
+    wt = Window.orderBy("t")
+    before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = g.select(
+        "t", "d",
+        (
+            F.sum("m").over(tot)
+            - F.coalesce(F.sum("m").over(before), F.lit(0))
+        ).alias("n"),
+    ).filter(F.col("d") > 0)
+    term = F.log(
+        F.when(F.col("d") >= F.col("n"), F.lit(1.0)).otherwise(
+            (F.col("n").cast("double") - F.col("d")) / F.col("n")
+        )
+    )
+    e = r.select(
+        "t", "n", "d",
+        F.max(
+            F.when(F.col("d") >= F.col("n"), 1).otherwise(0)
+        ).over(wt).alias("dead"),
+        F.sum(term).over(wt).alias("ls"),
+    )
+    return e.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("ls"), 6))
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+@register(
+    "rater_agreement_kappa",
+    """
+WITH rated AS (
+    SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+           CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                     >= 40 THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+    FROM rated
+),
+p AS (
+    SELECT n, n11, n10, n01, n00,
+           (CAST(n11 AS DOUBLE) + n00) / n AS po,
+           ((CAST(n11 AS DOUBLE) + n10) / n) * ((CAST(n11 AS DOUBLE) + n01) / n)
+           + ((CAST(n01 AS DOUBLE) + n00) / n) * ((CAST(n10 AS DOUBLE) + n00) / n)
+               AS pe
+    FROM c
+)
+SELECT n AS n_docs, n11 AS n_both_pos, n00 AS n_both_neg,
+       n10 AS n_only_a, n01 AS n_only_b,
+       ROUND(po, 6) AS rate_agree,
+       CASE WHEN pe = 1.0 THEN 1.0
+            ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+FROM p
+""",
+)
+def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality raters (char
+    threshold vs whitespace-token threshold) — chance-corrected
+    agreement, the standard check before trusting heuristic labels or
+    merging annotator pools. One conditional-count aggregate pass; the
+    kappa arithmetic is a fixed double expression over exact integer
+    cells (pe=1 degenerate case pinned to 1.0)."""
+    docs = load(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    b = F.when(
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+        >= 40,
+        1,
+    ).otherwise(0)
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11").cast("double") + F.col("n00")) / nd
+    pe = ((F.col("n11").cast("double") + F.col("n10")) / nd) * (
+        (F.col("n11").cast("double") + F.col("n01")) / nd
+    ) + ((F.col("n01").cast("double") + F.col("n00")) / nd) * (
+        (F.col("n10").cast("double") + F.col("n00")) / nd
+    )
+    return c.select(
+        F.col("n").alias("n_docs"),
+        F.col("n11").alias("n_both_pos"),
+        F.col("n00").alias("n_both_neg"),
+        F.col("n10").alias("n_only_a"),
+        F.col("n01").alias("n_only_b"),
+        F.round(po, 6).alias("rate_agree"),
+        F.when(pe == 1.0, F.lit(1.0))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
+    )
+
+
+@register(
+    "score_calibration_ece",
+    """
+WITH scored AS (
+    SELECT 1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 300.0) / 100.0))
+               AS s,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+b AS (
+    SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+               AS conf,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS rate
+    FROM scored GROUP BY 1
+),
+r AS (
+    SELECT bin, n, ROUND(conf, 6) AS confidence, ROUND(rate, 6) AS emp_rate
+    FROM b
+)
+SELECT bin, n, confidence, emp_rate,
+       ROUND(SUM(n * abs(confidence - emp_rate)) OVER ()
+             / SUM(n) OVER (), 6) AS ece
+FROM r ORDER BY bin
+""",
+)
+def q_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for a model score (reliability-diagram bins +
+    expected calibration error): a deterministic logistic score over
+    doc length vs the lang=='en' pseudo-label, bucketed into 10
+    confidence bins; ECE = Σ n_b/N · |confidence_b − empirical_b|.
+    The per-bin mean score accumulates in DECIMAL (exact sum, one
+    final double division) so partial-agg order can't move the 6-dp
+    output, and ECE is computed FROM the rounded per-bin columns, so
+    both engines reduce identical inputs. One aggregate pass + a
+    window over ≤10 bin rows."""
+    docs = load(spark, sf_dir, "documents")
+    s = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars").cast("double") - 300.0) / 100.0)
+    )
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    b = (
+        docs.select(s.alias("s"), y.alias("y"))
+        .groupBy(
+            F.least(F.floor(F.col("s") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("s").cast("decimal(28,14)")).cast("double")
+                / F.count("*")
+            ).alias("conf"),
+            (F.sum("y").cast("double") / F.count("*")).alias("rate"),
+        )
+    )
+    r = b.select(
+        "bin", "n",
+        F.round("conf", 6).alias("confidence"),
+        F.round("rate", 6).alias("emp_rate"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return r.select(
+        "bin", "n", "confidence", "emp_rate",
+        F.round(
+            F.sum(
+                F.col("n") * F.abs(F.col("confidence") - F.col("emp_rate"))
+            ).over(tot)
+            / F.sum("n").over(tot),
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
+@register(
+    "mannwhitney_priority_value",
+    """
+WITH o AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+vals AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS m1,
+           CAST(SUM(1 - g1) AS BIGINT) AS m2
+    FROM o GROUP BY 1
+),
+rk AS (
+    SELECT m1, m2,
+           COALESCE(SUM(m1 + m2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS less,
+           m1 + m2 AS eq
+    FROM vals
+),
+s AS (
+    SELECT CAST(SUM(m1) AS BIGINT) AS n1,
+           CAST(SUM(m2) AS BIGINT) AS n2,
+           CAST(SUM(m1 * (2 * less + eq + 1)) AS BIGINT) AS two_r1
+    FROM rk
+)
+SELECT n1, n2, two_r1,
+       CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+       ROUND(((CAST(two_r1 AS DOUBLE) - n1 * (n1 + 1)) / 2.0
+              - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
+             4) AS z_approx
+FROM s
+""",
+)
+def q_mannwhitney_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U: do URGENT orders carry a different value
+    distribution than LOW-priority ones? Mid-ranks handled EXACTLY in
+    integer space — for a value with `less` smaller observations and
+    `eq` ties, 2·midrank = 2·less + eq + 1, so the doubled rank sum
+    and doubled U are exact BIGINTs; only the final normal
+    approximation (no tie correction; documented) divides in double.
+    One group-by on value + a cumulative window over the distinct
+    value domain, then a scalar reduce."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    vals = o.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("m1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("m2"),
+    )
+    before = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rk = vals.select(
+        "m1", "m2",
+        F.coalesce(
+            F.sum(F.col("m1") + F.col("m2")).over(before), F.lit(0)
+        ).alias("less"),
+        (F.col("m1") + F.col("m2")).alias("eq"),
+    )
+    s = rk.agg(
+        F.sum("m1").cast("long").alias("n1"),
+        F.sum("m2").cast("long").alias("n2"),
+        F.sum(
+            F.col("m1") * (2 * F.col("less") + F.col("eq") + 1)
+        )
+        .cast("long")
+        .alias("two_r1"),
+    )
+    n1d = F.col("n1").cast("double")
+    return s.select(
+        "n1", "n2", "two_r1",
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("two_u1"),
+        F.round(
+            (
+                (F.col("two_r1").cast("double") - F.col("n1") * (F.col("n1") + 1))
+                / 2.0
+                - n1d * F.col("n2") / 2.0
+            )
+            / F.sqrt(
+                n1d * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+            ),
+            4,
+        ).alias("z_approx"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
