@@ -11489,10 +11489,13 @@ FROM e ORDER BY t_days
 """,
 )
 def q_kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival of time-to-second-order with right
+    """Kaplan–Meier survival of time-to-SECOND-order with right
     censoring (customers with one order are censored at the corpus max
-    date) — the retention curve marketing actually wants, computed
-    from exact risk sets instead of naive repeat-rate ratios. Shape:
+    date) — the new-customer activation curve, one subject per
+    customer and the FULL event-time curve; the sibling
+    ``reorder_survival_km`` estimates the different quantity 'time
+    until ANY next order' (one subject per consecutive order pair)
+    read at a fixed day grid. Shape:
     one per-customer window (first/second order), a reduce to the
     per-duration (events, at-risk) table — at most one row per
     distinct day gap, tiny — then the product-limit estimate as
