@@ -11813,6 +11813,369 @@ def q_mannwhitney_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benford_price_digits",
+    """
+WITH d AS (
+    SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders
+),
+c AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY 1
+)
+SELECT digit, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 5) AS obs_share,
+       CASE digit
+           WHEN 1 THEN 0.30103 WHEN 2 THEN 0.17609 WHEN 3 THEN 0.12494
+           WHEN 4 THEN 0.09691 WHEN 5 THEN 0.07918 WHEN 6 THEN 0.06695
+           WHEN 7 THEN 0.05799 WHEN 8 THEN 0.05115 ELSE 0.04576
+       END AS benford_share
+FROM c
+""",
+)
+def q_benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order values — the classic
+    fraud/data-quality screen for financial columns. The first
+    significant digit is extracted in EXACT integer space (half-up
+    cents, then the leading character) so both engines bucket
+    identically; expected shares are literal Benford constants, not
+    engine log10 calls. One group-by over 9 buckets plus a 9-row
+    window for the share — the windowed total is post-aggregation
+    (<=9 rows), so the unpartitioned window is control-plane."""
+    orders = load(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = orders.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    benford = (
+        F.when(F.col("digit") == 1, 0.30103)
+        .when(F.col("digit") == 2, 0.17609)
+        .when(F.col("digit") == 3, 0.12494)
+        .when(F.col("digit") == 4, 0.09691)
+        .when(F.col("digit") == 5, 0.07918)
+        .when(F.col("digit") == 6, 0.06695)
+        .when(F.col("digit") == 7, 0.05799)
+        .when(F.col("digit") == 8, 0.05115)
+        .otherwise(0.04576)
+    )
+    w_all = Window.partitionBy()
+    return c.select(
+        "digit",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w_all),
+            5,
+        ).alias("obs_share"),
+        benford.alias("benford_share"),
+    )
+
+
+@register(
+    "ks_priority_value",
+    """
+WITH o AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+vals AS (
+    SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+           CAST(SUM(1 - g1) AS BIGINT) AS c2
+    FROM o GROUP BY 1
+),
+cum AS (
+    SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+           SUM(c2) OVER (ORDER BY v) AS f2,
+           SUM(c1) OVER () AS n1,
+           SUM(c2) OVER () AS n2
+    FROM vals
+),
+s AS (
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+    FROM cum
+)
+SELECT n1, n2, d_num,
+       ROUND(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS d_stat,
+       ROUND(CAST(d_num AS DOUBLE) / (n1 * n2)
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 4) AS z_stat
+FROM s
+""",
+)
+def q_ks_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov: the max ECDF gap between URGENT
+    and LOW order-value distributions. Like mannwhitney_priority_value,
+    every comparison is done in exact integer space — the ECDF gap is
+    maximized as |F1·n2 − F2·n1| over cumulative BIGINT counts, and
+    only the final D and z statistics divide in double. One group-by
+    on the distinct value domain + a cumulative window; the global
+    window is the documented ECDF serialization point — at lake scale
+    the same statistic runs on a binned ECDF (value histogram), which
+    caps the window input at the bin count."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    vals = o.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vals.select(
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    s = cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    d_raw = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+    return s.select(
+        "n1", "n2", "d_num",
+        F.round(d_raw, 6).alias("d_stat"),
+        F.round(
+            d_raw
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "copurchase_kcore",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+e0 AS (SELECT pa, pb FROM pairs WHERE n >= 2),
+d1 AS (SELECT node, COUNT(*) AS deg
+       FROM (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0)
+       GROUP BY 1),
+k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+e1 AS (SELECT pa, pb FROM e0
+       WHERE pa IN (SELECT node FROM k1) AND pb IN (SELECT node FROM k1)),
+d2 AS (SELECT node, COUNT(*) AS deg
+       FROM (SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1)
+       GROUP BY 1),
+k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+e2 AS (SELECT pa, pb FROM e1
+       WHERE pa IN (SELECT node FROM k2) AND pb IN (SELECT node FROM k2)),
+d3 AS (SELECT node, COUNT(*) AS deg
+       FROM (SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2)
+       GROUP BY 1),
+k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+e3 AS (SELECT pa, pb FROM e2
+       WHERE pa IN (SELECT node FROM k3) AND pb IN (SELECT node FROM k3))
+SELECT 1 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+UNION ALL
+SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM k2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+UNION ALL
+SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+""",
+)
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, three fixed rounds) on the support>=2
+    co-purchase graph: each round drops nodes whose degree fell below
+    k and the edges they carried — the standard dense-subgraph /
+    spam-cluster screen. Reuses the shared canonical pair-counts
+    frame; each round is one degree aggregate + two broadcastable
+    semi-joins (the surviving-node set shrinks monotonically, so the
+    semi-join side only gets smaller). Fixed-round peel keeps the
+    plan static and cross-engine exact; a full fixpoint loop is the
+    same body iterated with a convergence check."""
+    edges = (
+        _copurchase_pair_counts(spark, sf_dir)
+        .filter(F.col("n_both") >= 2)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for rnd in (1, 2, 3):
+        deg = (
+            edges.select(F.col("part_a").alias("node"))
+            .unionAll(edges.select(F.col("part_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 3).select("node")
+        edges = edges.join(
+            F.broadcast(keep),
+            edges["part_a"] == keep["node"],
+            "left_semi",
+        )
+        keep2 = deg.filter(F.col("deg") >= 3).select("node")
+        edges = edges.join(
+            F.broadcast(keep2),
+            edges["part_b"] == keep2["node"],
+            "left_semi",
+        ).localCheckpoint(eager=False)
+        n_nodes = keep.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        )
+        n_edges = edges.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges")
+        )
+        rows.append(
+            n_nodes.crossJoin(n_edges).select(
+                F.lit(rnd).alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    return rows[0].unionAll(rows[1]).unionAll(rows[2])
+
+
+@register(
+    "bloom_prefilter_stats",
+    """
+WITH dim AS (SELECT p_partkey FROM part WHERE p_size >= 48),
+fact AS (SELECT DISTINCT l_partkey FROM lineitem),
+bits AS (
+    SELECT DISTINCT
+        CAST(('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || '|'
+                                    || CAST(p_partkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1024 AS pos
+    FROM dim CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+),
+fpos AS (
+    SELECT l_partkey,
+        CAST(('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || '|'
+                                    || CAST(l_partkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1024 AS pos
+    FROM fact CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+),
+fpass AS (
+    SELECT l_partkey FROM fpos JOIN bits USING (pos)
+    GROUP BY 1 HAVING COUNT(*) = 3
+),
+flags AS (
+    SELECT f.l_partkey,
+           CASE WHEN p.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS bloom_pass,
+           CASE WHEN d.p_partkey IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+    FROM fact f
+    LEFT JOIN fpass p ON f.l_partkey = p.l_partkey
+    LEFT JOIN dim d ON f.l_partkey = d.p_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_keys,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(bloom_pass) - SUM(exact_hit) AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(bloom_pass) - SUM(exact_hit) AS DOUBLE)
+             / (COUNT(*) - SUM(exact_hit)), 6) AS fp_rate
+FROM flags
+""",
+)
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter, measured end to end — THE
+    shuffle-reduction trick for selective joins at lake scale: build a
+    tiny bit-set from the dim side (here m=1024 bits, k=3 portable
+    md5 hashes, so both engines compute the identical filter), ship
+    it broadcast, and drop fact rows whose key can't be in the dim
+    set before any shuffle. Output verifies the two properties that
+    make the trick safe: zero false negatives (n_bloom_pass >=
+    n_exact always; every exact hit passes by construction) and a
+    measured false-positive rate. The bit-set and the per-key
+    membership check are exact integers, so the whole row is
+    hash-portable. Spark's native runtime row-filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) applies the
+    same idea inside AQE; this operator makes it explicit and
+    measurable."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    dim = part.filter(F.col("p_size") >= 48).select("p_partkey")
+
+    def positions(col):
+        return F.array(
+            *[
+                dedup.portable_hash60(
+                    F.concat(F.lit(f"bf{i}|"), col.cast("string"))
+                )
+                % 1024
+                for i in range(3)
+            ]
+        )
+
+    bits = (
+        dim.select(F.explode(positions(F.col("p_partkey"))).alias("pos"))
+        .distinct()
+    )
+    fact = lineitem.select("l_partkey").distinct()
+    fpos = fact.select(
+        "l_partkey", F.explode(positions(F.col("l_partkey"))).alias("pos")
+    )
+    fpass = (
+        fpos.join(F.broadcast(bits), "pos")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == 3)
+        .select("l_partkey")
+    )
+    flags = (
+        fact.join(
+            F.broadcast(fpass.withColumn("bp", F.lit(1))), "l_partkey", "left"
+        )
+        .join(
+            F.broadcast(
+                dim.select(F.col("p_partkey").alias("l_partkey")).withColumn(
+                    "ex", F.lit(1)
+                )
+            ),
+            "l_partkey",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("bp"), F.lit(0)).alias("bloom_pass"),
+            F.coalesce(F.col("ex"), F.lit(0)).alias("exact_hit"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact_keys"),
+        F.sum("exact_hit").cast("long").alias("n_exact"),
+        F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+        (F.sum("bloom_pass") - F.sum("exact_hit"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            (F.sum("bloom_pass") - F.sum("exact_hit")).cast("double")
+            / (F.count(F.lit(1)) - F.sum("exact_hit")),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
