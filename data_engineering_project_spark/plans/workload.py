@@ -12176,6 +12176,154 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_weekday_decomposition",
+    """
+WITH daily AS (
+    SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+win AS (
+    SELECT day, n,
+           SUM(n) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fsum,
+           COUNT(*) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fcnt
+    FROM daily
+),
+det AS (
+    SELECT CAST(isodow(day) AS INTEGER) AS weekday, 7 * n - fsum AS sc
+    FROM win WHERE fcnt = 7
+),
+s AS (
+    SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(sc) AS BIGINT) AS s1,
+           CAST(SUM(sc * sc) AS BIGINT) AS s2
+    FROM det GROUP BY 1
+)
+SELECT weekday, n_days,
+       ROUND(CAST(s1 AS DOUBLE) / (7 * n_days), 4) AS seasonal_idx,
+       ROUND((CAST(s2 AS DOUBLE) / n_days
+              - (CAST(s1 AS DOUBLE) / n_days) * (CAST(s1 AS DOUBLE) / n_days))
+             / 49.0, 4) AS resid_var
+FROM s
+""",
+)
+def q_orders_weekday_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition of the daily order-count series: trend
+    = centered 7-day moving average, seasonal = per-ISO-weekday mean
+    of the detrended series, residual variance = what's left — the
+    trend/season/noise split behind every seasonality dashboard. The
+    detrended value is kept EXACT by scaling through the window
+    denominator (sc = 7·n − window_sum, a BIGINT; only full 7-day
+    windows are used), so seasonal and residual stats divide doubles
+    exactly once per output cell. One group-by to the daily grain
+    (the only data-sized shuffle), then a single-partition window
+    over the date spine — bounded by calendar days, control-plane at
+    any data scale."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day", "n",
+        F.sum("n").over(w).alias("fsum"),
+        F.count(F.lit(1)).over(w).alias("fcnt"),
+    )
+    det = win.filter(F.col("fcnt") == 7).select(
+        (((F.dayofweek("day") + 5) % 7) + 1).cast("int").alias("weekday"),
+        (7 * F.col("n") - F.col("fsum")).alias("sc"),
+    )
+    s = det.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("sc").cast("long").alias("s1"),
+        F.sum(F.col("sc") * F.col("sc")).cast("long").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    return s.select(
+        "weekday", "n_days",
+        F.round(s1d / (7 * F.col("n_days")), 4).alias("seasonal_idx"),
+        F.round(
+            (
+                F.col("s2").cast("double") / F.col("n_days")
+                - (s1d / F.col("n_days")) * (s1d / F.col("n_days"))
+            )
+            / 49.0,
+            4,
+        ).alias("resid_var"),
+    )
+
+
+@register(
+    "qq_priority_value",
+    """
+WITH o AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+rk AS (
+    SELECT g1, v, ROW_NUMBER() OVER (PARTITION BY g1 ORDER BY v) AS r,
+           COUNT(*) OVER (PARTITION BY g1) AS n
+    FROM o
+),
+dec AS (
+    SELECT g1, CAST(p AS INTEGER) AS p, v
+    FROM rk CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS p)
+    WHERE r = CAST(ceil(p * n / 10.0) AS BIGINT)
+)
+SELECT p AS decile,
+       MAX(CASE WHEN g1 = 1 THEN v END) AS v_urgent,
+       MAX(CASE WHEN g1 = 0 THEN v END) AS v_low,
+       ROUND(MAX(CASE WHEN g1 = 1 THEN v END)
+             / MAX(CASE WHEN g1 = 0 THEN v END), 4) AS qq_ratio
+FROM dec GROUP BY 1
+""",
+)
+def q_qq_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile–quantile table: exact order-statistic deciles
+    (PERCENTILE_DISC semantics — the value at rank ceil(p·n/10), so
+    no interpolation and no float averaging) of URGENT vs LOW order
+    values side by side, with the per-decile ratio. Complements
+    ks_priority_value: KS gives one max-gap number, the QQ table
+    shows WHERE the distributions diverge. Rank selection is exact
+    integer; the only doubles are the raw parquet values and one
+    rounded ratio. The per-group window is the documented order-stat
+    serialization; approx_percentile is the lake-scale variant
+    (operators/robust.py pattern)."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    wg = Window.partitionBy("g1")
+    rk = o.select(
+        "g1", "v",
+        F.row_number().over(wg.orderBy("v")).alias("r"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    ps = spark.range(1, 10).select(F.col("id").cast("int").alias("p"))
+    dec = rk.crossJoin(F.broadcast(ps)).filter(
+        F.col("r")
+        == F.ceil(F.col("p") * F.col("n") / 10.0).cast("long")
+    )
+    return dec.groupBy(F.col("p").alias("decile")).agg(
+        F.max(F.when(F.col("g1") == 1, F.col("v"))).alias("v_urgent"),
+        F.max(F.when(F.col("g1") == 0, F.col("v"))).alias("v_low"),
+        F.round(
+            F.max(F.when(F.col("g1") == 1, F.col("v")))
+            / F.max(F.when(F.col("g1") == 0, F.col("v"))),
+            4,
+        ).alias("qq_ratio"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
