@@ -12324,6 +12324,136 @@ def q_qq_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "brand_geomean_price",
+    """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(EXP(SUM(LN(l_extendedprice)) / COUNT(*)), 2) AS geomean_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38, 6))) / COUNT(*), 2)
+            AS DOUBLE) AS mean_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def q_brand_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric vs arithmetic mean price per brand — the right
+    central tendency for multiplicative quantities (prices span two
+    orders of magnitude, so the arithmetic mean over-weights big
+    tickets; the gap between the two columns IS the skew signal).
+    log-sum-exp stays in doubles with a final 2-dp round (the
+    user_decayed_score convention for transcendental aggregates);
+    the arithmetic mean uses the exact DECIMAL accumulator. One
+    broadcast dim join + one aggregate."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem["l_partkey"] == part["p_partkey"],
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.exp(F.sum(F.log("l_extendedprice")) / F.count(F.lit(1))), 2
+        ).alias("geomean_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            / F.count(F.lit(1)),
+            2,
+        )
+        .cast("double")
+        .alias("mean_price"),
+    )
+
+
+@register(
+    "events_count_value_crosscorr",
+    """
+WITH od AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ed AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+j AS (
+    SELECT l.lag, od.x, ed.y
+    FROM lags l
+    JOIN od ON TRUE
+    JOIN ed ON ed.day = od.day + CAST(l.lag AS INTEGER)
+),
+s AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM j GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag_days, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             4) AS pearson_r
+FROM s
+""",
+)
+def q_events_count_value_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between two daily series from the
+    event stream: Pearson r of (event count on day d, total event
+    value on day d+lag) for lags 0–3 — does activity volume lead
+    spend? All six sufficient statistics are exact BIGINTs (counts,
+    and value summed as floored whole units — cents would overflow
+    the BIGINT sum of squares at the ×10 sweep), so the correlation
+    divides doubles exactly once per lag. Two daily aggregates (the only
+    data-sized shuffles), a 4-row lag spine broadcast against the
+    date-keyed join, then a 4-row reduce — the join input is the
+    calendar-day grain, bounded at any data scale."""
+    events = load(spark, sf_dir, "events")
+    od = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ed = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value")).cast("long")).cast("long").alias("y")
+    )
+    lags = spark.range(0, 4).select(F.col("id").cast("int").alias("lag"))
+    j = (
+        od.crossJoin(F.broadcast(lags))
+        .join(
+            ed.select(F.col("day").alias("eday"), "y"),
+            F.col("eday")
+            == F.date_add(F.col("day"), F.col("lag")),
+        )
+        .select("lag", "x", "y")
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return s.select(
+        F.col("lag").cast("int").alias("lag_days"),
+        "n",
+        F.round(
+            (nd * F.col("sxy") - sxd * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - sxd * F.col("sx"))
+                * (nd * F.col("syy") - syd * F.col("sy"))
+            ),
+            4,
+        ).alias("pearson_r"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
