@@ -11826,11 +11826,11 @@ c AS (
 )
 SELECT digit, n_orders,
        ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 5) AS obs_share,
-       CASE digit
+       CAST(CASE digit
            WHEN 1 THEN 0.30103 WHEN 2 THEN 0.17609 WHEN 3 THEN 0.12494
            WHEN 4 THEN 0.09691 WHEN 5 THEN 0.07918 WHEN 6 THEN 0.06695
            WHEN 7 THEN 0.05799 WHEN 8 THEN 0.05115 ELSE 0.04576
-       END AS benford_share
+       END AS DOUBLE) AS benford_share
 FROM c
 """,
 )
@@ -12471,7 +12471,8 @@ c AS (
 ),
 f AS (
     SELECT day, cn, ck,
-           ck * 0.223144 + (cn - ck) * (-0.064539) AS llr
+           ck * CAST(0.223144 AS DOUBLE)
+               + (cn - ck) * CAST(-0.064539 AS DOUBLE) AS llr
     FROM c
 ),
 g AS (
