@@ -12016,8 +12016,10 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; each round is one degree aggregate + two broadcastable
     semi-joins (the surviving-node set shrinks monotonically, so the
     semi-join side only gets smaller). Fixed-round peel keeps the
-    plan static and cross-engine exact; a full fixpoint loop is the
-    same body iterated with a convergence check."""
+    plan static and cross-engine exact in non-recursive SQL; the
+    full fixpoint loop is operators/graph.k_core (pytest-proven on
+    planted clique/tail graphs), which this entry deliberately
+    truncates so the DuckDB oracle can mirror it round for round."""
     edges = (
         _copurchase_pair_counts(spark, sf_dir)
         .filter(F.col("n_both") >= 2)

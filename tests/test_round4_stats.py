@@ -1,0 +1,98 @@
+"""Round-4 batch: invariant tests for the statistical/graph additions.
+
+Cross-engine value equality is covered by test_oracle_parity; these
+tests pin the MATHEMATICAL invariants each query's semantics promise,
+so a future edit that stays hash-consistent between engines but breaks
+the statistic itself still fails loudly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from data_engineering_project_spark.plans import workload
+
+
+def test_benford_shares_partition_the_orders(spark, sf_dir):
+    rows = workload.QUERIES["benford_price_digits"](spark, sf_dir).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
+    # Benford reference shares are a fixed distribution summing to 1
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 2e-2
+
+
+def test_ks_statistic_is_a_probability_gap(spark, sf_dir):
+    (row,) = workload.QUERIES["ks_priority_value"](spark, sf_dir).collect()
+    assert 0.0 <= row["d_stat"] <= 1.0
+    assert row["d_num"] <= row["n1"] * row["n2"]
+    assert row["z_stat"] >= 0.0
+
+
+def test_kcore_peel_is_monotone(spark, sf_dir):
+    rows = sorted(
+        workload.QUERIES["copurchase_kcore"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
+    (row,) = workload.QUERIES["bloom_prefilter_stats"](spark, sf_dir).collect()
+    # every exact hit passes the filter by construction
+    assert row["n_bloom_pass"] >= row["n_exact"]
+    assert row["n_false_pos"] == row["n_bloom_pass"] - row["n_exact"]
+    assert 0.0 <= row["fp_rate"] <= 1.0
+
+
+def test_qq_deciles_are_monotone_within_each_group(spark, sf_dir):
+    rows = sorted(
+        workload.QUERIES["qq_priority_value"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["v_urgent"] >= prev["v_urgent"]
+        assert cur["v_low"] >= prev["v_low"]
+
+
+def test_weekday_decomposition_covers_the_week(spark, sf_dir):
+    rows = workload.QUERIES["orders_weekday_decomposition"](
+        spark, sf_dir
+    ).collect()
+    assert {r["weekday"] for r in rows} == set(range(1, 8))
+    assert all(r["resid_var"] >= 0.0 for r in rows)
+
+
+def test_geomean_never_exceeds_arithmetic_mean(spark, sf_dir):
+    rows = workload.QUERIES["brand_geomean_price"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:  # AM-GM inequality, strict for non-constant prices
+        assert r["geomean_price"] <= r["mean_price"] + 0.01
+
+
+def test_crosscorr_is_a_correlation(spark, sf_dir):
+    rows = workload.QUERIES["events_count_value_crosscorr"](
+        spark, sf_dir
+    ).collect()
+    assert {r["lag_days"] for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r["n"] > 0
+        assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_sprt_reports_a_consistent_decision_row(spark, sf_dir):
+    (row,) = workload.QUERIES["sprt_urgent_share"](spark, sf_dir).collect()
+    assert row["decision"] in {"accept_h0", "accept_h1", "continue"}
+    assert 0 <= row["k_urgent"] <= row["n_trials"]
+    recomputed = row["k_urgent"] * 0.223144 + (
+        row["n_trials"] - row["k_urgent"]
+    ) * (-0.064539)
+    assert math.isclose(recomputed, row["llr"], abs_tol=1e-4)
+    if row["decision"] == "accept_h0":
+        assert row["llr"] <= -2.944439
+    elif row["decision"] == "accept_h1":
+        assert row["llr"] >= 2.944439
