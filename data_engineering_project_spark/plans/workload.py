@@ -12552,6 +12552,271 @@ def q_sprt_urgent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "promo_did_revenue",
+    """
+WITH j AS (
+    SELECT CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treat,
+           CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                THEN 1 ELSE 0 END AS post,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38, 6)) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+g AS (
+    SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(rev) / COUNT(*), 4) AS DOUBLE) AS avg_rev
+    FROM j GROUP BY 1, 2
+),
+p AS (
+    SELECT MAX(CASE WHEN treat = 1 AND post = 0 THEN avg_rev END) AS treat_pre,
+           MAX(CASE WHEN treat = 1 AND post = 1 THEN avg_rev END) AS treat_post,
+           MAX(CASE WHEN treat = 0 AND post = 0 THEN avg_rev END) AS ctrl_pre,
+           MAX(CASE WHEN treat = 0 AND post = 1 THEN avg_rev END) AS ctrl_post,
+           CAST(SUM(n) AS BIGINT) AS n_items
+    FROM g
+)
+SELECT treat_pre, treat_post, ctrl_pre, ctrl_post, n_items,
+       ROUND((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 4) AS did
+FROM p
+""",
+)
+def q_promo_did_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: did PROMO-type parts' per-item
+    discounted revenue move differently from non-promo parts after
+    the 1998 cut — the workhorse quasi-experimental estimator when
+    randomization isn't available. Cell means accumulate in exact
+    DECIMAL (the brand_geomean_price division pattern) and are
+    rounded BEFORE the DiD contrast, so the final subtraction is
+    over identical doubles in both engines. One broadcast dim join
+    + a 4-cell aggregate + a 1-row pivot."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        lineitem["l_partkey"] == part["p_partkey"],
+    ).select(
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("treat"),
+        F.when(
+            F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .cast("decimal(38,6)")
+        .alias("rev"),
+    )
+    g = j.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("rev") / F.count(F.lit(1)), 4)
+        .cast("double")
+        .alias("avg_rev"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p),
+                F.col("avg_rev"),
+            )
+        )
+
+    pvt = g.agg(
+        cell(1, 0).alias("treat_pre"),
+        cell(1, 1).alias("treat_post"),
+        cell(0, 0).alias("ctrl_pre"),
+        cell(0, 1).alias("ctrl_post"),
+        F.sum("n").cast("long").alias("n_items"),
+    )
+    return pvt.select(
+        "treat_pre", "treat_post", "ctrl_pre", "ctrl_post", "n_items",
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("ctrl_post") - F.col("ctrl_pre")),
+            4,
+        ).alias("did"),
+    )
+
+
+@register(
+    "seasonal_adjusted_anomalies",
+    """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+win AS (
+    SELECT day, n,
+           SUM(n) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fsum,
+           COUNT(*) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fcnt
+    FROM daily
+),
+det AS (
+    SELECT day, n, CAST(isodow(day) AS INTEGER) AS weekday,
+           CAST(7 * n - fsum AS BIGINT) AS sc
+    FROM win WHERE fcnt = 7
+),
+seas AS (
+    SELECT weekday, CAST(COUNT(*) AS BIGINT) AS nw,
+           CAST(SUM(sc) AS BIGINT) AS s1,
+           CAST(SUM(sc * sc) AS BIGINT) AS s2
+    FROM det GROUP BY 1
+),
+sig AS (
+    SELECT sqrt(SUM(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nw)
+                / (49.0 * SUM(nw))) AS sigma
+    FROM seas
+),
+r AS (
+    SELECT det.day, det.n,
+           (CAST(det.sc AS DOUBLE) / 7.0
+            - CAST(seas.s1 AS DOUBLE) / (7.0 * seas.nw)) AS resid,
+           sig.sigma AS sigma
+    FROM det JOIN seas ON det.weekday = seas.weekday CROSS JOIN sig
+)
+SELECT day, n AS n_orders, ROUND(resid, 4) AS resid,
+       ROUND(resid / sigma, 4) AS z
+FROM r
+WHERE abs(resid) > 2.5 * sigma
+""",
+)
+def q_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly days: residuals of the daily
+    order-count series after removing the 7-day trend AND the
+    weekday seasonal mean (the orders_weekday_decomposition model),
+    flagged beyond 2.5 global sigma — trend-aware anomaly detection
+    rather than the raw z-score of events_hourly_anomalies. The
+    residual variance is assembled from exact per-weekday BIGINT
+    sums (Σsc, Σsc², n), so sigma and every flagged comparison are
+    the same double arithmetic in both engines. All joins are
+    calendar-grain broadcasts (7-row seasonal table, 1-row sigma)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day", "n",
+        F.sum("n").over(w).alias("fsum"),
+        F.count(F.lit(1)).over(w).alias("fcnt"),
+    )
+    det = win.filter(F.col("fcnt") == 7).select(
+        "day", "n",
+        (((F.dayofweek("day") + 5) % 7) + 1).cast("int").alias("weekday"),
+        (7 * F.col("n") - F.col("fsum")).cast("long").alias("sc"),
+    )
+    seas = det.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("sc").cast("long").alias("s1"),
+        F.sum(F.col("sc") * F.col("sc")).cast("long").alias("s2"),
+    )
+    sig = seas.agg(
+        F.sqrt(
+            F.sum(
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("nw")
+            )
+            / (49.0 * F.sum("nw"))
+        ).alias("sigma")
+    )
+    r = (
+        det.join(F.broadcast(seas), "weekday")
+        .crossJoin(F.broadcast(sig))
+        .select(
+            "day", "n",
+            (
+                F.col("sc").cast("double") / 7.0
+                - F.col("s1").cast("double") / (7.0 * F.col("nw"))
+            ).alias("resid"),
+            "sigma",
+        )
+    )
+    return r.filter(F.abs(F.col("resid")) > 2.5 * F.col("sigma")).select(
+        "day",
+        F.col("n").alias("n_orders"),
+        F.round("resid", 4).alias("resid"),
+        F.round(F.col("resid") / F.col("sigma"), 4).alias("z"),
+    )
+
+
+@register(
+    "score_decile_lift",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+           ROUND((CASE WHEN len(string_split(text, ' '))
+                           BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                  + CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE) / len(string_split(text, ' '))
+                  + CASE WHEN CAST(length(text) AS DOUBLE)
+                              / len(string_split(text, ' ')) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS score
+    FROM documents
+),
+deciled AS (
+    SELECT pos,
+           NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+    FROM scored
+),
+g AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM deciled GROUP BY 1
+)
+SELECT decile, n_docs, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / n_docs, 4) AS pos_rate,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+             / SUM(n_pos) OVER (), 4) AS cum_capture
+FROM g
+""",
+)
+def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the standard evaluation of a ranking
+    score against a binary outcome (here: does the C4-style quality
+    score rank English docs to the top?): rank by score, cut into 10
+    equal buckets, report per-decile positive rate and cumulative
+    capture. Rank and tie-break (score DESC, doc_id) are fully
+    deterministic; every statistic is a BIGINT count with one
+    rounded division. The global NTILE is the documented order-stat
+    serialization (deciles by approx-quantile cutpoints at lake
+    scale); the final window runs over 10 rows."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        text_fns.quality_score("text").alias("score"),
+    )
+    deciled = scored.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    g = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "decile", "n_docs", "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 4).alias(
+            "pos_rate"
+        ),
+        F.round(
+            F.sum("n_pos").over(w_cum).cast("double")
+            / F.sum("n_pos").over(w_all),
+            4,
+        ).alias("cum_capture"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
