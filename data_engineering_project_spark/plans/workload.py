@@ -12817,6 +12817,226 @@ def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "poisson_bootstrap_ci",
+    """
+WITH reps AS (SELECT unnest(generate_series(0, 99)) AS r),
+u AS (
+    SELECT reps.r,
+           CAST(('0x' || substring(md5('boot' || CAST(reps.r AS VARCHAR)
+                                       || '|' || CAST(o_orderkey AS VARCHAR)),
+                                   1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u,
+           o_totalprice AS v
+    FROM orders CROSS JOIN reps
+),
+ww AS (
+    SELECT r, v,
+           CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+                WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+                WHEN u < 0.996340153 THEN 4 ELSE 5 END AS w
+    FROM u
+),
+m AS (
+    SELECT r, CAST(SUM(CAST(w * v AS DECIMAL(38, 6))) AS DOUBLE)
+                  / SUM(w) AS mv
+    FROM ww GROUP BY r
+),
+rk AS (SELECT mv, ROW_NUMBER() OVER (ORDER BY mv) AS rk FROM m),
+s AS (
+    SELECT CAST(SUM(CAST(mv AS DECIMAL(38, 6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(mv * mv AS DECIMAL(38, 6))) AS DOUBLE) AS s2,
+           MAX(CASE WHEN rk = 3 THEN mv END) AS lo,
+           MAX(CASE WHEN rk = 98 THEN mv END) AS hi
+    FROM rk
+),
+base AS (
+    SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+                      / COUNT(*), 4) AS DOUBLE) AS point_est
+    FROM orders
+)
+SELECT base.point_est,
+       ROUND(sqrt((s.s2 / 100.0 - (s.s1 / 100.0) * (s.s1 / 100.0))
+                  * 100.0 / 99.0), 4) AS boot_sd,
+       ROUND(s.lo, 4) AS ci_lo,
+       ROUND(s.hi, 4) AS ci_hi
+FROM s CROSS JOIN base
+""",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (100 replicates) for the mean order value —
+    THE bootstrap variant that scales: instead of resampling n rows
+    with replacement (impossible to coordinate across partitions),
+    each row independently gets a Poisson(1) weight per replicate,
+    which converges to the multinomial bootstrap and needs only one
+    pass per replicate. Weights come from a portable md5-derived
+    uniform pushed through LITERAL Poisson CDF cutpoints, so both
+    engines draw the IDENTICAL pseudo-randomness; replicate means
+    accumulate in exact DECIMAL. The 100-row replicate frame then
+    yields the percentile CI by exact order statistics (ranks 3/98)
+    and the bootstrap SD from decimal-exact moment sums. The
+    100× row fan-out is map-side (broadcast spine) and collapses in
+    the same shuffle as the group-by — at lake scale the replicate
+    loop rides the one aggregation pass, the whole point of the
+    Poisson formulation."""
+    orders = load(spark, sf_dir, "orders")
+    reps = spark.range(0, 100).select(F.col("id").cast("int").alias("r"))
+    u = orders.crossJoin(F.broadcast(reps)).select(
+        "r",
+        (
+            dedup.portable_hash60(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            )
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+        F.col("o_totalprice").alias("v"),
+    )
+    ww = u.select(
+        "r", "v",
+        F.when(F.col("u") < 0.367879441, 0)
+        .when(F.col("u") < 0.735758882, 1)
+        .when(F.col("u") < 0.919698603, 2)
+        .when(F.col("u") < 0.981011843, 3)
+        .when(F.col("u") < 0.996340153, 4)
+        .otherwise(5)
+        .alias("w"),
+    )
+    m = ww.groupBy("r").agg(
+        (
+            F.sum((F.col("w") * F.col("v")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.sum("w")
+        ).alias("mv")
+    )
+    rk = m.select(
+        "mv", F.row_number().over(Window.orderBy("mv")).alias("rk")
+    )
+    s = rk.agg(
+        F.sum(F.col("mv").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((F.col("mv") * F.col("mv")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+        F.max(F.when(F.col("rk") == 3, F.col("mv"))).alias("lo"),
+        F.max(F.when(F.col("rk") == 98, F.col("mv"))).alias("hi"),
+    )
+    base = orders.agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("point_est")
+    )
+    return s.crossJoin(F.broadcast(base)).select(
+        "point_est",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2") / 100.0
+                    - (F.col("s1") / 100.0) * (F.col("s1") / 100.0)
+                )
+                * 100.0
+                / 99.0
+            ),
+            4,
+        ).alias("boot_sd"),
+        F.round("lo", 4).alias("ci_lo"),
+        F.round("hi", 4).alias("ci_hi"),
+    )
+
+
+@register(
+    "cms_token_counts",
+    """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+exact_c AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+),
+top AS (SELECT tok, n FROM exact_c ORDER BY n DESC, tok LIMIT 10),
+rows_i AS (SELECT unnest([0, 1, 2]) AS i),
+cells AS (
+    SELECT i,
+           CAST(('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || '|'
+                                       || tok), 1, 15)) AS BIGINT)
+               % 32 AS cell,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks CROSS JOIN rows_i
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT t.tok, t.n, CAST(MIN(c.c) AS BIGINT) AS cms_est
+    FROM top t
+    CROSS JOIN rows_i ii
+    JOIN cells c
+      ON c.i = ii.i
+     AND c.cell = CAST(('0x' || substring(md5('cms' || CAST(ii.i AS VARCHAR)
+                                              || '|' || t.tok), 1, 15))
+                       AS BIGINT) % 32
+    GROUP BY 1, 2
+)
+SELECT tok, n AS exact_n, cms_est,
+       CAST(cms_est - n AS BIGINT) AS overcount
+FROM est
+""",
+)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3 rows × w=32 cells, portable md5 hashes)
+    over the token stream, audited against exact counts for the top
+    10 tokens: cms_est >= exact always (one-sided error, the CMS
+    guarantee) and the min-over-rows shows how collisions shrink the
+    overcount. The sketch build is ONE group-by over (row, cell) —
+    3×32 cells of state regardless of corpus size, the whole point
+    of a sketch at 100 TB; the probe side is a 30-row broadcast.
+    w=32 is deliberately small so the testdata vocabulary actually
+    collides and the overcount column is informative. Complements
+    the Misra-Gries heavy-hitters operator (operators/frequency.py),
+    which keeps exact candidates instead of hashed cells."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    exact_c = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = exact_c.orderBy(F.desc("n"), F.asc("tok")).limit(10)
+    rows_i = spark.range(0, 3).select(F.col("id").cast("int").alias("i"))
+
+    def cms_cell(i_col, tok_col):
+        return dedup.portable_hash60(
+            F.concat(
+                F.lit("cms"), i_col.cast("string"), F.lit("|"), tok_col
+            )
+        ) % 32
+
+    cells = (
+        toks.crossJoin(F.broadcast(rows_i))
+        .select("i", cms_cell(F.col("i"), F.col("tok")).alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    probes = top.crossJoin(F.broadcast(rows_i)).select(
+        "tok", "n", "i", cms_cell(F.col("i"), F.col("tok")).alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").alias("exact_n"),
+        "cms_est",
+        (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

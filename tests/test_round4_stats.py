@@ -84,6 +84,23 @@ def test_crosscorr_is_a_correlation(spark, sf_dir):
         assert -1.0 <= r["pearson_r"] <= 1.0
 
 
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    rows = workload.QUERIES["cms_token_counts"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:  # one-sided CMS error guarantee
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["overcount"] == r["cms_est"] - r["exact_n"]
+
+
+def test_poisson_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
+    (row,) = workload.QUERIES["poisson_bootstrap_ci"](spark, sf_dir).collect()
+    assert row["ci_lo"] <= row["ci_hi"]
+    assert row["boot_sd"] > 0.0
+    # 95% percentile CI of the mean should contain the full-sample mean
+    # comfortably at any tested SF
+    assert row["ci_lo"] <= row["point_est"] <= row["ci_hi"]
+
+
 def test_sprt_reports_a_consistent_decision_row(spark, sf_dir):
     (row,) = workload.QUERIES["sprt_urgent_share"](spark, sf_dir).collect()
     assert row["decision"] in {"accept_h0", "accept_h1", "continue"}
