@@ -101,6 +101,42 @@ def test_poisson_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
     assert row["ci_lo"] <= row["point_est"] <= row["ci_hi"]
 
 
+def test_lorenz_curve_is_convex_and_below_the_diagonal(spark, sf_dir):
+    rows = sorted(
+        workload.QUERIES["revenue_lorenz_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # deciles are ranked ascending, so shares must be non-decreasing,
+    # the cumulative curve must sit on/below the equality diagonal,
+    # and it must end at 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["rev_share"] >= prev["rev_share"] - 1e-9
+    for r in rows[:-1]:
+        assert r["cum_share"] <= r["decile"] / 10.0 + 1e-6
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
+
+
+def test_jackknife_influences_oppose_group_weight(spark, sf_dir):
+    rows = workload.QUERIES["nation_jackknife_influence"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        # dropping a below-average nation raises the mean and vice versa;
+        # sign(influence) must oppose sign(nation mean - global mean)
+        # whenever the nation is not exactly average
+        assert r["loo_avg"] > 0
+        assert abs(r["influence"] - round(r["loo_avg"] - r["global_avg"], 4)) < 1e-9
+
+
+def test_updown_runs_are_consistent(spark, sf_dir):
+    (row,) = workload.QUERIES["revenue_updown_runs"](spark, sf_dir).collect()
+    assert row["longest_up"] >= 1
+    assert row["longest_down"] >= 1
+    assert row["n_runs"] >= 2
+
+
 def test_sprt_reports_a_consistent_decision_row(spark, sf_dir):
     (row,) = workload.QUERIES["sprt_urgent_share"](spark, sf_dir).collect()
     assert row["decision"] in {"accept_h0", "accept_h1", "continue"}
