@@ -13261,6 +13261,80 @@ def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_trailing_7d_range",
+    """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(date_diff('day', DATE '1990-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+),
+w AS (
+    SELECT day, n,
+           CAST(SUM(n) OVER (ORDER BY dnum
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7d,
+           CAST(SUM(cents) OVER (ORDER BY dnum
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cents_7d
+    FROM daily
+)
+SELECT day, n AS n_orders, n_7d,
+       CAST(ROUND(cents_7d / 100.0, 2) AS DOUBLE) AS rev_7d
+FROM w
+ORDER BY day DESC
+LIMIT 30
+""",
+)
+def q_orders_trailing_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-calendar-day totals via a RANGE window frame — the
+    frame is bounded by the VALUE of the day number, not by row
+    offsets, so calendar gaps shorten the window automatically and
+    no gap-fill spine is needed (contrast revenue_7d_moving, the
+    ROWS-frame form over observed days). Counts and cents are exact
+    BIGINTs; the day-number ordinal makes the RANGE arithmetic
+    integer-exact and identical in both engines. Calendar-grain
+    window (control-plane at any scale), top-30 recent days out."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("dnum"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    wr = Window.orderBy("dnum").rangeBetween(-6, Window.currentRow)
+    w = daily.select(
+        "day", "n",
+        F.sum("n").over(wr).cast("long").alias("n_7d"),
+        F.sum("cents").over(wr).cast("long").alias("cents_7d"),
+    )
+    return (
+        w.select(
+            "day",
+            F.col("n").alias("n_orders"),
+            "n_7d",
+            F.round(F.col("cents_7d") / 100.0, 2)
+            .cast("double")
+            .alias("rev_7d"),
+        )
+        .orderBy(F.desc("day"))
+        .limit(30)
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
