@@ -13388,6 +13388,242 @@ def q_orders_trailing_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "granger_daily_events",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT n AS y,
+           LAG(n) OVER (ORDER BY day) AS a,
+           LAG(v) OVER (ORDER BY day) AS b
+    FROM daily
+),
+x AS (SELECT y, a, b FROM lagged WHERE a IS NOT NULL),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+           CAST(SUM(a * a) AS BIGINT) AS saa,
+           CAST(SUM(a * b) AS BIGINT) AS sab,
+           CAST(SUM(b * b) AS BIGINT) AS sbb,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(a * y) AS BIGINT) AS say,
+           CAST(SUM(b * y) AS BIGINT) AS sby,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM x
+),
+d AS (
+    SELECT m, sy, say, sby, syy,
+           CAST(m AS DOUBLE) * (CAST(saa AS DOUBLE) * sbb
+                                - CAST(sab AS DOUBLE) * sab)
+             - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) * sbb
+                                     - CAST(sab AS DOUBLE) * sb)
+             + CAST(sb AS DOUBLE) * (CAST(sa AS DOUBLE) * sab
+                                     - CAST(saa AS DOUBLE) * sb) AS det,
+           CAST(sy AS DOUBLE) * (CAST(saa AS DOUBLE) * sbb
+                                 - CAST(sab AS DOUBLE) * sab)
+             - CAST(sa AS DOUBLE) * (CAST(say AS DOUBLE) * sbb
+                                     - CAST(sab AS DOUBLE) * sby)
+             + CAST(sb AS DOUBLE) * (CAST(say AS DOUBLE) * sab
+                                     - CAST(saa AS DOUBLE) * sby) AS det0,
+           CAST(m AS DOUBLE) * (CAST(say AS DOUBLE) * sbb
+                                - CAST(sby AS DOUBLE) * sab)
+             - CAST(sy AS DOUBLE) * (CAST(sa AS DOUBLE) * sbb
+                                     - CAST(sab AS DOUBLE) * sb)
+             + CAST(sb AS DOUBLE) * (CAST(sa AS DOUBLE) * sby
+                                     - CAST(say AS DOUBLE) * sb) AS det1,
+           CAST(m AS DOUBLE) * (CAST(saa AS DOUBLE) * sby
+                                - CAST(sab AS DOUBLE) * say)
+             - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) * sby
+                                     - CAST(sy AS DOUBLE) * sab)
+             + CAST(say AS DOUBLE) * (CAST(sa AS DOUBLE) * sb)
+             - CAST(sy AS DOUBLE) * (CAST(saa AS DOUBLE) * sb) AS det2
+    FROM s
+),
+c AS (
+    SELECT m, sy, say, sby, syy,
+           det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+    FROM d
+)
+SELECT m AS n_days,
+       ROUND(b0, 6) AS beta_intercept,
+       ROUND(b1, 6) AS beta_lag_count,
+       ROUND(b2, 6) AS beta_lag_value,
+       ROUND(1.0 - (CAST(syy AS DOUBLE) - b0 * sy - b1 * say - b2 * sby)
+                   / (CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * sy / m), 6) AS r2
+FROM c
+""",
+)
+def q_granger_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS via exact normal equations: does yesterday's
+    event COUNT and yesterday's event VALUE predict today's count
+    (the Granger-style lagged regression behind lead-lag causality
+    screens)? The ten sufficient statistics are exact BIGINTs; the
+    3×3 system is solved by Cramer's rule with the determinant
+    expansions written ONCE and mirrored token for token in both
+    engines, so every double op happens in the same order. One daily
+    aggregate + a calendar-grain lag window + a 1-row solve.
+    Extends price_qty_regression (single-predictor) to the
+    multivariate case."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor("value").cast("long")).cast("long").alias("v"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("n").alias("y"),
+        F.lag("n").over(w).alias("a"),
+        F.lag("v").over(w).alias("b"),
+    )
+    x = lagged.filter(F.col("a").isNotNull())
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("a") * F.col("y")).cast("long").alias("say"),
+        F.sum(F.col("b") * F.col("y")).cast("long").alias("sby"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+
+    def D(c):
+        return F.col(c).cast("double")
+
+    det = (
+        D("m") * (D("saa") * F.col("sbb") - D("sab") * F.col("sab"))
+        - D("sa") * (D("sa") * F.col("sbb") - D("sab") * F.col("sb"))
+        + D("sb") * (D("sa") * F.col("sab") - D("saa") * F.col("sb"))
+    )
+    det0 = (
+        D("sy") * (D("saa") * F.col("sbb") - D("sab") * F.col("sab"))
+        - D("sa") * (D("say") * F.col("sbb") - D("sab") * F.col("sby"))
+        + D("sb") * (D("say") * F.col("sab") - D("saa") * F.col("sby"))
+    )
+    det1 = (
+        D("m") * (D("say") * F.col("sbb") - D("sby") * F.col("sab"))
+        - D("sy") * (D("sa") * F.col("sbb") - D("sab") * F.col("sb"))
+        + D("sb") * (D("sa") * F.col("sby") - D("say") * F.col("sb"))
+    )
+    det2 = (
+        D("m") * (D("saa") * F.col("sby") - D("sab") * F.col("say"))
+        - D("sa") * (D("sa") * F.col("sby") - D("sy") * F.col("sab"))
+        + D("say") * (D("sa") * F.col("sb"))
+        - D("sy") * (D("saa") * F.col("sb"))
+    )
+    d = s.select(
+        "m", "sy", "say", "sby", "syy",
+        det.alias("det"), det0.alias("det0"),
+        det1.alias("det1"), det2.alias("det2"),
+    )
+    c = d.select(
+        "m", "sy", "say", "sby", "syy",
+        (F.col("det0") / F.col("det")).alias("b0"),
+        (F.col("det1") / F.col("det")).alias("b1"),
+        (F.col("det2") / F.col("det")).alias("b2"),
+    )
+    return c.select(
+        F.col("m").alias("n_days"),
+        F.round("b0", 6).alias("beta_intercept"),
+        F.round("b1", 6).alias("beta_lag_count"),
+        F.round("b2", 6).alias("beta_lag_value"),
+        F.round(
+            1.0
+            - (
+                D("syy")
+                - F.col("b0") * F.col("sy")
+                - F.col("b1") * F.col("say")
+                - F.col("b2") * F.col("sby")
+            )
+            / (D("syy") - D("sy") * F.col("sy") / F.col("m")),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "user_path_edit_distance",
+    """
+WITH topu AS (
+    SELECT user_id FROM events
+    GROUP BY 1 ORDER BY COUNT(*) DESC, user_id LIMIT 20
+),
+seqs AS (
+    SELECT e.user_id,
+           string_agg(substring(e.event_type, 1, 1), ''
+                      ORDER BY e.ts, e.event_id) AS seq
+    FROM events e JOIN topu USING (user_id)
+    GROUP BY 1
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS edit_dist,
+       CAST(length(a.seq) AS BIGINT) AS len_a,
+       CAST(length(b.seq) AS BIGINT) AS len_b
+FROM seqs a JOIN seqs b ON a.user_id < b.user_id
+ORDER BY edit_dist ASC, user_a ASC, user_b ASC
+LIMIT 25
+""",
+)
+def q_user_path_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence similarity: Levenshtein distance between
+    the event-type paths (one character per event, time-ordered with
+    an event_id tiebreak so both engines build the identical string)
+    of the 20 most-active users — the edit-distance screen behind
+    bot-cohort and replay detection. The pair space is capped at the
+    top-k BEFORE the quadratic join (190 pairs of ~100-char strings,
+    driver-bounded regardless of corpus size — the similar_part_names
+    blocking discipline applied to sequences)."""
+    events = load(spark, sf_dir, "events")
+    topu = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(20)
+        .select("user_id")
+    )
+    seqs = (
+        events.join(F.broadcast(topu), "user_id")
+        .select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("rec")),
+                    lambda r: r["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    a, b = seqs.alias("a"), seqs.alias("b")
+    pairs = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.levenshtein(F.col("a.seq"), F.col("b.seq"))
+        .cast("long")
+        .alias("edit_dist"),
+        F.length("a.seq").cast("long").alias("len_a"),
+        F.length("b.seq").cast("long").alias("len_b"),
+    )
+    return pairs.orderBy(
+        F.asc("edit_dist"), F.asc("user_a"), F.asc("user_b")
+    ).limit(25)
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

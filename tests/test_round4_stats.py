@@ -137,6 +137,24 @@ def test_updown_runs_are_consistent(spark, sf_dir):
     assert row["n_runs"] >= 2
 
 
+def test_granger_regression_r2_is_a_fraction(spark, sf_dir):
+    (row,) = workload.QUERIES["granger_daily_events"](spark, sf_dir).collect()
+    assert row["n_days"] > 2
+    # OLS with an intercept cannot do worse than the mean model
+    assert -1e-6 <= row["r2"] <= 1.0
+
+
+def test_edit_distance_respects_length_bounds(spark, sf_dir):
+    rows = workload.QUERIES["user_path_edit_distance"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["len_a"] - r["len_b"]) <= r["edit_dist"]
+        assert r["edit_dist"] <= max(r["len_a"], r["len_b"])
+        assert r["user_a"] < r["user_b"]
+
+
 def test_sprt_reports_a_consistent_decision_row(spark, sf_dir):
     (row,) = workload.QUERIES["sprt_urgent_share"](spark, sf_dir).collect()
     assert row["decision"] in {"accept_h0", "accept_h1", "continue"}
