@@ -155,6 +155,25 @@ def test_edit_distance_respects_length_bounds(spark, sf_dir):
         assert r["user_a"] < r["user_b"]
 
 
+def test_runs_test_counts_are_consistent(spark, sf_dir):
+    (row,) = workload.QUERIES["runs_test_z"](spark, sf_dir).collect()
+    # runs of a two-symbol sequence: between 1 and n1+n2, and the
+    # above/below-median split is near-balanced by construction
+    assert 1 <= row["r_runs"] <= row["n1"] + row["n2"]
+    assert abs(row["n1"] - row["n2"]) <= 1
+
+
+def test_conformal_coverage_lands_near_nominal(spark, sf_dir):
+    (row,) = workload.QUERIES["conformal_price_interval"](
+        spark, sf_dir
+    ).collect()
+    assert row["n_train"] > 0 and row["n_cal"] > 0 and row["n_test"] > 0
+    assert row["q95_resid"] > 0
+    # split-conformal guarantee: coverage ~ 95%, generous slack for
+    # the small sf0.001 split
+    assert 0.85 <= row["coverage"] <= 1.0
+
+
 def test_sprt_reports_a_consistent_decision_row(spark, sf_dir):
     (row,) = workload.QUERIES["sprt_urgent_share"](spark, sf_dir).collect()
     assert row["decision"] in {"accept_h0", "accept_h1", "continue"}
