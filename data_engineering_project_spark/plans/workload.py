@@ -13874,6 +13874,231 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kendall_tau_nation_metrics",
+    """
+WITH per AS (
+    SELECT n_name,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+),
+pairs AS (
+    SELECT CASE WHEN a.cents > b.cents THEN 1
+                WHEN a.cents < b.cents THEN -1 ELSE 0 END AS sx,
+           CASE WHEN a.n_orders > b.n_orders THEN 1
+                WHEN a.n_orders < b.n_orders THEN -1 ELSE 0 END AS sy
+    FROM per a JOIN per b ON a.n_name < b.n_name
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+           CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+           CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+    FROM pairs
+)
+SELECT n0 AS n_pairs, concordant, discordant,
+       ROUND((CAST(concordant AS DOUBLE) - discordant)
+             / sqrt(CAST(n0 - t1 AS DOUBLE) * (n0 - t2)), 4) AS tau_b
+FROM agg
+""",
+)
+def q_kendall_tau_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between two nation-level metrics (total
+    revenue vs order count): the rank-concordance complement to the
+    existing Spearman entry — tau counts concordant/discordant PAIRS
+    rather than correlating rank differences, so it's exact integer
+    arithmetic end to end with one mirrored double formula for the
+    tie-adjusted denominator. The pair join runs over the 25-row
+    nation aggregate (group-first, then O(groups²) — never
+    row-level-quadratic)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    a, b = per.alias("a"), per.alias("b")
+    sx = (
+        F.when(F.col("a.cents") > F.col("b.cents"), 1)
+        .when(F.col("a.cents") < F.col("b.cents"), -1)
+        .otherwise(0)
+    )
+    sy = (
+        F.when(F.col("a.n_orders") > F.col("b.n_orders"), 1)
+        .when(F.col("a.n_orders") < F.col("b.n_orders"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("a.n_name") < F.col("b.n_name")).select(
+        sx.alias("sx"), sy.alias("sy")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    return agg.select(
+        F.col("n0").alias("n_pairs"), "concordant", "discordant",
+        F.round(
+            (F.col("concordant").cast("double") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n0") - F.col("t1")).cast("double")
+                * (F.col("n0") - F.col("t2"))
+            ),
+            4,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "effect_size_priority_value",
+    """
+WITH o AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+s AS (
+    SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+           CAST(SUM(1 - g1) AS BIGINT) AS n2,
+           CAST(SUM(g1 * c) AS BIGINT) AS s1,
+           CAST(SUM((1 - g1) * c) AS BIGINT) AS s2,
+           CAST(SUM(g1 * c * c) AS DOUBLE) AS q1,
+           CAST(SUM((1 - g1) * c * c) AS DOUBLE) AS q2
+    FROM o
+),
+d AS (
+    SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+           CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+           (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / 10000.0 AS v1,
+           (q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / 10000.0 AS v2
+    FROM s
+),
+e AS (
+    SELECT n1, n2, m1, m2,
+           (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                            / (n1 + n2 - 2)) AS cohen_d
+    FROM d
+)
+SELECT n1, n2, ROUND(m1, 2) AS mean_urgent, ROUND(m2, 2) AS mean_low,
+       ROUND(cohen_d, 6) AS cohen_d,
+       ROUND(cohen_d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+           AS hedges_g
+FROM e
+""",
+)
+def q_effect_size_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size (Cohen's d with the Hedges small-
+    sample correction) for URGENT vs LOW order values — the
+    magnitude companion to the significance answers the KS /
+    Mann-Whitney / z-test entries give. Sufficient statistics are
+    exact half-up-cent BIGINTs; the sum of squared cents is carried
+    as a double from exact integer products (DuckDB sums it in
+    HUGEINT, Spark would overflow a long at 10× — both sides cast
+    identically before the variance formula). One aggregate, one
+    mirrored formula."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    s = o.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+        F.sum(F.col("g1") * F.col("c")).cast("long").alias("s1"),
+        F.sum((1 - F.col("g1")) * F.col("c")).cast("long").alias("s2"),
+        F.sum(
+            (F.col("g1") * F.col("c") * F.col("c")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("q1"),
+        F.sum(
+            ((1 - F.col("g1")) * F.col("c") * F.col("c")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("q2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    d = s.select(
+        "n1", "n2",
+        (s1d / F.col("n1") / 100.0).alias("m1"),
+        (s2d / F.col("n2") / 100.0).alias("m2"),
+        (
+            (F.col("q1") - s1d * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+            / 10000.0
+        ).alias("v1"),
+        (
+            (F.col("q2") - s2d * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1)
+            / 10000.0
+        ).alias("v2"),
+    )
+    e = d.select(
+        "n1", "n2", "m1", "m2",
+        (
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(
+                ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+                / (F.col("n1") + F.col("n2") - 2)
+            )
+        ).alias("cohen_d"),
+    )
+    return e.select(
+        "n1", "n2",
+        F.round("m1", 2).alias("mean_urgent"),
+        F.round("m2", 2).alias("mean_low"),
+        F.round("cohen_d", 6).alias("cohen_d"),
+        F.round(
+            F.col("cohen_d")
+            * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)),
+            6,
+        ).alias("hedges_g"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

@@ -174,6 +174,26 @@ def test_conformal_coverage_lands_near_nominal(spark, sf_dir):
     assert 0.85 <= row["coverage"] <= 1.0
 
 
+def test_kendall_tau_is_a_correlation(spark, sf_dir):
+    (row,) = workload.QUERIES["kendall_tau_nation_metrics"](
+        spark, sf_dir
+    ).collect()
+    assert row["n_pairs"] == 300  # C(25, 2) nation pairs
+    assert row["concordant"] + row["discordant"] <= row["n_pairs"]
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_effect_size_sign_matches_mean_order(spark, sf_dir):
+    (row,) = workload.QUERIES["effect_size_priority_value"](
+        spark, sf_dir
+    ).collect()
+    assert (row["cohen_d"] > 0) == (row["mean_urgent"] > row["mean_low"]) or (
+        row["cohen_d"] == 0
+    )
+    # Hedges correction shrinks toward zero
+    assert abs(row["hedges_g"]) <= abs(row["cohen_d"]) + 1e-9
+
+
 def test_sprt_reports_a_consistent_decision_row(spark, sf_dir):
     (row,) = workload.QUERIES["sprt_urgent_share"](spark, sf_dir).collect()
     assert row["decision"] in {"accept_h0", "accept_h1", "continue"}
