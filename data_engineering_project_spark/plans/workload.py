@@ -13610,7 +13610,9 @@ def q_user_path_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = seqs.alias("a"), seqs.alias("b")
-    pairs = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+    pairs = a.join(
+        F.broadcast(b), F.col("a.user_id") < F.col("b.user_id")
+    ).select(
         F.col("a.user_id").alias("user_a"),
         F.col("b.user_id").alias("user_b"),
         F.levenshtein(F.col("a.seq"), F.col("b.seq"))
@@ -13952,9 +13954,9 @@ def q_kendall_tau_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("a.n_orders") < F.col("b.n_orders"), -1)
         .otherwise(0)
     )
-    pairs = a.join(b, F.col("a.n_name") < F.col("b.n_name")).select(
-        sx.alias("sx"), sy.alias("sy")
-    )
+    pairs = a.join(
+        F.broadcast(b), F.col("a.n_name") < F.col("b.n_name")
+    ).select(sx.alias("sx"), sy.alias("sy"))
     agg = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n0"),
         F.sum(F.when(F.col("sx") * F.col("sy") == 1, 1).otherwise(0))
