@@ -192,8 +192,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Full per-query regression surface → file; compact line → stdout.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # SPARK_GRAFT_BENCH_DETAIL redirects the file (scripts_x10_bench.py
+    # uses it so a ×10 run can never clobber the committed sf0.1
+    # baseline it compares against).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     with open(detail_path, "w") as fh:
         json.dump(
             {

@@ -71,6 +71,14 @@ def pagerank(
     # the repeated n-count aggregate + nested-loop broadcast out of
     # every iteration's plan.
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # Empty edge frame: 1/N below would raise ZeroDivisionError at
+        # plan-build time; the in-engine contract is an empty result.
+        return deg.select(
+            F.col("src").alias("node"),
+            "deg",
+            F.lit(0.0).alias("pr"),
+        )
     pr = deg.select(
         F.col("src").alias("node"),
         "deg",

@@ -27,7 +27,8 @@ def recover_table(path: str) -> None:
     ``.__old__`` backup exists (died between the two renames), the
     backup is the authoritative table — rename it back. If both exist
     (died after the swap, before the backup delete), the new table
-    already validated its read, so the stale backup is dropped."""
+    was validated BEFORE the swap (erase_subjects counts the staging
+    parquet before any rename), so the stale backup is dropped."""
     backup = path.rstrip("/") + ".__old__"
     if os.path.exists(backup):
         if os.path.exists(path):
@@ -69,15 +70,18 @@ def erase_subjects(
         n_before = df.count()
         staging = path.rstrip("/") + ".__erase__"
         keep.write.mode("overwrite").parquet(staging)
+        # Validate the staged table READS before any rename — a torn or
+        # corrupt staged write must fail HERE, while the live table is
+        # still untouched. After this point every on-disk state is
+        # recoverable: recover_table()'s both-exist branch may safely
+        # drop the backup because the swapped-in table was already
+        # validated pre-swap. POSIX-rename semantics only; an
+        # object-store deployment would commit through sources/txlog.py
+        # instead.
+        n_after = spark.read.parquet(staging).count()
         backup = path.rstrip("/") + ".__old__"
         os.rename(path, backup)
         os.rename(staging, path)
-        # Validate the swapped-in table READS before destroying the
-        # backup — if this count throws, the backup survives and the
-        # next call's recover_table() restores service. POSIX-rename
-        # semantics only; an object-store deployment would commit
-        # through sources/txlog.py instead.
-        n_after = spark.read.parquet(path).count()
         shutil.rmtree(backup)
         dropped[path] = n_before - n_after
     if audit_dir is not None:

@@ -100,7 +100,13 @@ def main() -> int:
         from data_engineering_project_spark.session import get_spark
 
         build_replica(get_spark())
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=WORK)
+    detail_x10 = os.path.join(WORK, "BENCH_DETAIL_X10.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=WORK,
+        # keep the committed sf0.1 baseline in the working tree intact
+        SPARK_GRAFT_BENCH_DETAIL=detail_x10,
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -111,7 +117,7 @@ def main() -> int:
     if proc.returncode != 0:
         print("bench failed", proc.returncode, file=sys.stderr)
         return 1
-    x10 = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    x10 = json.load(open(detail_x10))
     base = json.loads(
         subprocess.run(
             ["git", "show", "HEAD:BENCH_DETAIL.json"],

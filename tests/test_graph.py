@@ -34,6 +34,13 @@ def test_star_center_dominates_and_mass_conserved(spark):
     assert rows[2] < 1 / 3 < rows[1]
 
 
+def test_empty_edge_frame_returns_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    pr = pagerank(empty, iterations=2)
+    assert pr.columns == ["node", "deg", "pr"]
+    assert pr.count() == 0
+
+
 def test_iteration_zero_is_uniform_init(spark):
     pr = pagerank(_edges(spark, [(1, 2), (3, 4)]), iterations=0)
     for r in pr.collect():
