@@ -23,7 +23,7 @@ Two percentile backends:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # consistency constant: MAD * 1.4826 estimates sigma under normality
@@ -51,6 +51,145 @@ def median_mad(
         mad_expr = f"approx_percentile({dev}, 0.5, {accuracy})"
     mad = df.agg(F.expr(mad_expr).alias("m")).collect()[0]["m"]
     return float(med), float(mad)
+
+
+_NEG_INF = float("-inf")
+
+
+def _kth_from_counts(counts: DataFrame, k: int) -> float:
+    """k-th smallest value from a (val, c) per-value count frame.
+
+    The frame is assumed SMALL (distinct values, not rows): the global
+    cumulative window here runs over thousands of rows, never the data.
+    """
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    row = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .filter(F.col("cum") >= k)
+        .orderBy("val")
+        .limit(1)
+        .collect()
+    )
+    return float(row[0]["val"])
+
+
+def exact_order_statistic(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    n: int,
+    accuracy: int = 10000,
+) -> float:
+    """Exact k-th smallest (1-based) of ``value_col`` — distributed.
+
+    The scalable replacement for ``ROW_NUMBER() OVER (ORDER BY v)``
+    rank selection: a global row sort puts the whole column on one
+    partition, which is exactly the shape that dies at lake scale.
+    Instead:
+
+    1. an ``approx_percentile`` sketch (rank error <= n/accuracy)
+       brackets rank ``k`` into a narrow value band — one pass,
+       map-side mergeable, constant memory;
+    2. one counting pass folds everything below the band into a single
+       sentinel row and keeps per-value counts inside the band — a
+       map-side-combinable groupBy whose result is tiny (the band is
+       ~4/accuracy of the data, collapsed to distinct values);
+    3. the k-th value reads off the band's cumulative counts.
+
+    If the sketch's bracket misses (tiny n, adversarial ties), falls
+    back to per-value counts over the FULL column — still distinct-
+    collapsed, always correct. ``n`` is the caller's row count (the
+    caller needs it to choose ``k`` anyway). NaN/null values are the
+    caller's job to filter; -inf is reserved as the sentinel."""
+    v = F.col(value_col)
+    if n <= 10 * accuracy:
+        # small column: distinct-counts path directly, no sketch pass
+        return _kth_from_counts(
+            df.groupBy(v.alias("val")).agg(F.count(F.lit(1)).alias("c")), k
+        )
+    q = k / n
+    m = 2.0 / accuracy
+    q_lo, q_hi = max(0.0, q - m), min(1.0, q + m)
+    t_lo, t_hi = df.agg(
+        F.expr(
+            f"approx_percentile({value_col}, array({q_lo!r}, {q_hi!r}),"
+            f" {accuracy})"
+        ).alias("b")
+    ).collect()[0]["b"]
+    return _band_select(df, value_col, k, t_lo, t_hi)
+
+
+def _band_select(
+    df: DataFrame, value_col: str, k: int, t_lo: float, t_hi: float
+) -> float:
+    """k-th smallest of ``value_col`` given a value band guaranteed (by
+    the caller's sketch bracket) to contain it: one counting pass folds
+    below-band mass into a -inf sentinel and keeps per-value counts in
+    the band; the answer reads off the tiny band frame. Falls back to
+    full distinct-counts if the bracket missed (tiny n, adversarial
+    ties) — always correct, just not one-pass."""
+    v = F.col(value_col)
+    g = (
+        df.select(
+            F.when(v < t_lo, F.lit(_NEG_INF))
+            .when(v > t_hi, F.lit(None))
+            .otherwise(v)
+            .alias("val")
+        )
+        .filter(F.col("val").isNotNull())
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # tiny; feeds two tiny jobs below
+    )
+    stats = g.agg(
+        F.sum(F.when(F.col("val") == _NEG_INF, F.col("c"))).alias("n_lt"),
+        F.sum(F.when(F.col("val") != _NEG_INF, F.col("c"))).alias("n_band"),
+    ).collect()[0]
+    n_lt = stats["n_lt"] or 0
+    n_band = stats["n_band"] or 0
+    if not (n_lt < k <= n_lt + n_band):
+        # sketch bracket missed: full distinct-counts fallback
+        return _kth_from_counts(
+            df.groupBy(v.alias("val")).agg(F.count(F.lit(1)).alias("c")), k
+        )
+    return _kth_from_counts(
+        g.filter(F.col("val") != _NEG_INF), k - n_lt
+    )
+
+
+def exact_quantile_disc(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    accuracy: int = 10000,
+) -> tuple[int, float | None]:
+    """→ (n, exact value at rank ``ceil(q*n)``) in TWO data passes.
+
+    The fused form of :func:`exact_order_statistic` for when the
+    quantile is known before the row count (the usual case): pass 1 is
+    one aggregation computing n AND the sketch bracket around ``q``
+    together; pass 2 is the band-count selection. The rank uses IEEE
+    ``ceil(q*n)`` — the same double arithmetic a SQL oracle's
+    ``ceil(0.95 * COUNT(*))`` performs, and for q with a short decimal
+    form that product rounds back to the exact rational rank for every
+    n < 2^52. Returns (0, None) on an empty frame."""
+    import math
+
+    m = 2.0 / accuracy
+    q_lo, q_hi = max(0.0, q - m), min(1.0, q + m)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"approx_percentile({value_col}, array({q_lo!r}, {q_hi!r}),"
+            f" {accuracy})"
+        ).alias("b"),
+    ).collect()[0]
+    n = row["n"]
+    if n == 0:
+        return 0, None
+    k = math.ceil(q * n)
+    t_lo, t_hi = row["b"]
+    return n, _band_select(df, value_col, k, t_lo, t_hi)
 
 
 def mad_outlier_flags(

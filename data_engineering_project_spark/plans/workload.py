@@ -13814,8 +13814,13 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     test split — the conformal guarantee says it lands near 95%
     regardless of the model. Residuals are rounded to 4dp BEFORE
     ranking and comparison so every boundary decision is the same
-    double in both engines. One broadcast model join per split;
-    the calibration rank is the documented order-stat serialization."""
+    double in both engines. One broadcast model join per split. The
+    calibration rank uses operators/robust.exact_order_statistic —
+    sketch-bracket + band counts, never a global row sort — so the
+    registered plan has no single-partition window; the oracle keeps
+    the explicit ROW_NUMBER serialization of the same order statistic
+    (IEEE ceil(0.95*n) rounds back to the exact integer rank for every
+    n < 2^52, so the two rank formulas agree everywhere)."""
     lineitem = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     base = lineitem.join(
@@ -13834,7 +13839,13 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % 10
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the hash-split table once (3 narrow columns): the
+    # model fit, the calibration count/sketch/band passes, the test
+    # coverage pass, and the train count otherwise EACH recompute the
+    # join plus one md5 per row — the query's real cost. This is the
+    # natural materialization point of a conformal pipeline (the split
+    # assignment must be frozen anyway).
     model = (
         base.filter(F.col("bucket") <= 3)
         .groupBy("p_brand")
@@ -13848,6 +13859,8 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_price")
         )
     )
+    from data_engineering_project_spark.operators import robust
+
     cal = (
         base.filter(F.col("bucket").between(4, 6))
         .join(F.broadcast(model), "p_brand")
@@ -13857,25 +13870,18 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    q = (
-        cal.select(
-            "resid",
-            F.row_number().over(Window.orderBy("resid")).alias("r"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
-        .filter(F.col("r") == F.ceil(0.95 * F.col("n")).cast("long"))
-        .select(F.col("resid").alias("q95"))
-    )
+    # one fused pass for (n_cal, sketch bracket) + one band pass; the
+    # IEEE ceil(0.95*n) rank inside matches the oracle's arithmetic
+    n_cal_val, q95_val = robust.exact_quantile_disc(cal, "resid", 0.95)
     test = (
         base.filter(F.col("bucket") >= 7)
         .join(F.broadcast(model), "p_brand")
-        .crossJoin(F.broadcast(q))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
             F.sum(
                 F.when(
                     F.round(F.abs(F.col("price") - F.col("mean_price")), 4)
-                    <= F.col("q95"),
+                    <= F.lit(q95_val),
                     1,
                 ).otherwise(0)
             )
@@ -13886,14 +13892,13 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_train = base.filter(F.col("bucket") <= 3).agg(
         F.count(F.lit(1)).cast("long").alias("n_train")
     )
-    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
     return (
         test.crossJoin(F.broadcast(n_train))
-        .crossJoin(F.broadcast(n_cal))
-        .crossJoin(F.broadcast(q))
         .select(
-            "n_train", "n_cal", "n_test", "n_covered",
-            F.col("q95").alias("q95_resid"),
+            "n_train",
+            F.lit(n_cal_val).cast("long").alias("n_cal"),
+            "n_test", "n_covered",
+            F.lit(q95_val).alias("q95_resid"),
             F.round(
                 F.col("n_covered").cast("double") / F.col("n_test"), 4
             ).alias("coverage"),

@@ -49,3 +49,49 @@ def test_workload_entry_uses_exact_path(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert 0 <= r["n_outliers"] <= r["n_orders"]
+
+
+def test_exact_order_statistic_small_path_matches_sorted(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 100), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = sorted(vals)
+    for k in (1, 17, 2500, 4750, 5000):
+        assert robust.exact_order_statistic(df, "v", k, len(vals)) == s[k - 1]
+
+
+def test_exact_order_statistic_sketch_path_matches_sorted(spark):
+    import random
+
+    rng = random.Random(11)
+    # ties on purpose: 2dp rounding collapses many values
+    vals = [round(rng.uniform(0, 50), 2) for _ in range(30000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(8)
+    s = sorted(vals)
+    n = len(vals)
+    # accuracy=1000 forces the sketch+band path (n > 10*accuracy)
+    for k in (1, n // 2, int(0.95 * n), n):
+        got = robust.exact_order_statistic(df, "v", k, n, accuracy=1000)
+        assert got == s[k - 1], k
+
+
+def test_exact_quantile_disc_matches_rank_formula(spark):
+    import math
+    import random
+
+    rng = random.Random(3)
+    vals = [round(rng.gauss(0, 10), 3) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = sorted(vals)
+    for q in (0.5, 0.95, 0.99):
+        n, got = robust.exact_quantile_disc(df, "v", q, accuracy=1000)
+        assert n == len(vals)
+        assert got == s[math.ceil(q * n) - 1], q
+
+
+def test_exact_quantile_disc_empty_frame(spark):
+    df = spark.createDataFrame([], "v double")
+    n, got = robust.exact_quantile_disc(df, "v", 0.95)
+    assert n == 0 and got is None
