@@ -244,19 +244,20 @@ def kmeans_fit(
     iteration: assign = broadcast-k cosine argmax per vector (map-side,
     no corpus shuffle), update = per-(cell, dim) mean via posexplode —
     one shuffle of k×dim rows. Init = the k lowest-id vectors
-    (deterministic; k-means++ would sample). Iterations are driver-side
-    loop over lazy plans with a localCheckpoint per round to stop plan
-    growth.
+    (deterministic; k-means++ would sample), fetched with one
+    TakeOrdered job and rebuilt as a k-row local frame — no window, no
+    checkpoint. Intermediate centroid frames stay LAZY: each is
+    consumed exactly once (the next assignment pass collects it to
+    inline the literals, which also cuts the lineage), so only the
+    final frame — which downstream consumers join repeatedly — is
+    checkpointed.
     """
-    init = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).alias("centroid"))
-        .withColumn("label", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
-        .select("label", F.transform("centroid", lambda x: x.cast("double")).alias("centroid"))
-        .localCheckpoint(eager=True)
+    spark = df.sparkSession
+    rows = df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("centroid")).collect()
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(rows)],
+        "label int, centroid array<double>",
     )
-    cents = init
     for _ in range(iters):
         assigned = assign_cells(df, cents, id_col, vec_col)
         cents = (
@@ -270,9 +271,8 @@ def kmeans_fit(
                     lambda s: s["mean_v"],
                 ).alias("centroid")
             )
-            .localCheckpoint(eager=True)
         )
-    return cents
+    return cents.localCheckpoint(eager=True)
 
 
 def _argmax_cell_exprs(cent_rows, vec_col: str) -> tuple[str, str]:
