@@ -1,0 +1,103 @@
+"""Persisted IVF index: build once, probe many — partition-pruned ANN.
+
+:func:`similarity.ivf_topk` assigns the corpus to cells on EVERY query
+batch — right for one-shot audits, wrong for a serving corpus probed
+repeatedly. At lake scale the index IS a table: the assigned corpus
+written hive-partitioned by cell (``cell=<i>/`` directories) plus the
+k centroids as a tiny sidecar. A probe then reads ONLY its ``n_probe``
+cell directories — partition pruning skips the rest of the corpus
+before a single byte is scanned, the same directory-skipping contract
+as a month-partitioned fact table. (FAISS calls this layout the
+inverted lists; Spark's version is just partitioned parquet, so it
+inherits snapshots, compaction, and schema evolution for free.)
+
+New vectors append through :func:`add_to_index` with the FROZEN
+centroids (standard IVF practice — re-train when drift accumulates,
+measured by the existing recall harness `ivf_recall_check`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.similarity import (
+    assign_cells,
+    kmeans_fit,
+    probe_assignments,
+    rerank_within_cells,
+)
+
+
+def _cells_dir(path: str) -> str:
+    return path.rstrip("/") + "/cells"
+
+
+def _cents_dir(path: str) -> str:
+    return path.rstrip("/") + "/centroids"
+
+
+def build_index(
+    corpus: DataFrame,
+    path: str,
+    k_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the coarse quantizer and materialize the inverted lists.
+
+    One kmeans fit + one assignment pass + one partitioned write; the
+    shuffle implied by ``partitionBy`` is the index-build cost paid
+    once. Each cell directory holds that cell's vectors contiguously,
+    so probes are sequential columnar reads."""
+    cents = kmeans_fit(corpus, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    cells = assign_cells(corpus, cents, id_col, vec_col)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(_cells_dir(path))
+    cents.write.mode("overwrite").parquet(_cents_dir(path))
+
+
+def add_to_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append vectors to an existing index under the FROZEN centroids:
+    assign (map-only — the centroids inline as literals) + append the
+    new rows into their cell directories. No existing file is
+    rewritten; dynamic partition overwrite is not needed for appends."""
+    cents = spark.read.parquet(_cents_dir(path))
+    assigned = assign_cells(new_vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(_cells_dir(path))
+
+
+def query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Probe the persisted index: top-k per query reading ONLY the
+    probed cell directories.
+
+    The probed cell set (bounded by k_cells — a control-plane scalar
+    list, like the centroid collect in assign_cells) is inlined as an
+    IN-list so the parquet scan carries a static PartitionFilter: at
+    n_probe=3 of 16 cells the probe reads ~3/16 of the corpus bytes,
+    and the fraction falls as k_cells grows. The per-cell re-rank is
+    identical to similarity.ivf_topk, so a persisted probe returns the
+    same rows as the on-the-fly operator over the same centroids."""
+    cents = spark.read.parquet(_cents_dir(path))
+    probes = probe_assignments(queries, cents, id_col, vec_col, n_probe)
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cells = spark.read.parquet(_cells_dir(path)).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    return rerank_within_cells(cells, probes, id_col, vec_col, k)

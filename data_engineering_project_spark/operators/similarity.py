@@ -341,25 +341,19 @@ def assign_cells(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def probe_assignments(
     queries: DataFrame,
     cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_probe: int = 3,
 ) -> DataFrame:
-    """IVF-style ANN: search only the ``n_probe`` nearest cells per query.
-
-    The scale path for corpus-sized search: the corpus is partitioned
-    into cells once (amortized over all queries); each query touches
-    ~``n_probe/k_cells`` of the corpus. Exact re-ranking happens inside
-    the probed cells, so precision within probed cells is exact and
-    recall is controlled by ``n_probe``.
-    """
-    cells = assign_cells(corpus, cents, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    """→ (query_id, q_vec, cell): each query's ``n_probe`` nearest
+    cells by centroid cosine. The centroid side is a broadcast of k
+    rows; the per-query rank windows over k rows, never the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
     q_scored = q.join(
         F.broadcast(cents.select(F.col("label").alias("cell"), "centroid"))
     ).select(
@@ -369,11 +363,24 @@ def ivf_topk(
         cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
-    probes = (
+    return (
         q_scored.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
+
+
+def rerank_within_cells(
+    cells: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine re-rank inside the probed cells → top-k per query
+    (rounded-cosine desc, neighbor-id asc — the repo's ranking
+    convention). Precision within probed cells is exact; recall is the
+    probe budget's job."""
     scored = (
         cells.join(probes, "cell")
         .filter(F.col("query_id") != F.col(id_col))
@@ -389,6 +396,31 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: search only the ``n_probe`` nearest cells per query.
+
+    The scale path for corpus-sized search: the corpus is partitioned
+    into cells once (amortized over all queries); each query touches
+    ~``n_probe/k_cells`` of the corpus. Exact re-ranking happens inside
+    the probed cells, so precision within probed cells is exact and
+    recall is controlled by ``n_probe``. For a corpus probed
+    repeatedly, operators/ann_index.py persists the assignment as a
+    cell-partitioned parquet index and probes it with partition
+    pruning — same probe/rerank helpers, same results.
+    """
+    cells = assign_cells(corpus, cents, id_col, vec_col)
+    probes = probe_assignments(queries, cents, id_col, vec_col, n_probe)
+    return rerank_within_cells(cells, probes, id_col, vec_col, k)
 
 
 def embedding_near_dups(
