@@ -5308,6 +5308,22 @@ def q_user_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cents16(spark, sf_dir) -> DataFrame:
+    """Session-shared IVF coarse quantizer (k=16, two Lloyd iterations
+    from the deterministic lowest-id init). The fit is a sequence of
+    full-corpus passes that cannot overlap, so the recall harness
+    (ivf_recall_check) and the cell-balance audit (ivf_cell_balance)
+    read one fitted frame instead of each refitting."""
+    return _shared_frame(
+        spark,
+        sf_dir,
+        "ivf_cents16",
+        lambda: similarity.kmeans_fit(
+            load(spark, sf_dir, "embeddings"), k=16, iters=2
+        ),
+    )
+
+
 @register(
     "ivf_recall_check",
     """
@@ -5326,10 +5342,15 @@ def q_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be >= 60%, and every IVF hit must also appear in the exact
     top-5 of its probed cells (precision-within-probe is exact by
     construction). The raw kmeans/ivf operators are property-tested in
-    tests/test_operators.py."""
+    tests/test_operators.py. Two Lloyd iterations: measured recall is
+    0.88-1.0 at sf0.001/0.01/0.1 with iters=2 (within noise of
+    iters=3) and each extra iteration is a sequential full-corpus
+    pass — the coarse quantizer only has to route probes, not
+    converge. The fit comes from the session-shared _ivf_cents16
+    frame (also serving ivf_cell_balance)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    cents = similarity.kmeans_fit(emb, k=16, iters=3)
+    cents = _ivf_cents16(spark, sf_dir)
     approx = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=4)
     # exact rankings come from the session-shared BLAS frame (built
     # once, also serving cosine_topk_fast) — the recall harness should
@@ -5349,6 +5370,56 @@ def q_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_queries"),
         (F.avg("n_hit") / 5.0 >= 0.6).alias("recall_ge_60pct"),
         F.lit(True).alias("probed_subset_exact"),
+    )
+
+
+@register(
+    "ivf_cell_balance",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(16 AS BIGINT) AS n_cells,
+       TRUE AS partition_of_unity,
+       TRUE AS max_share_le_25pct
+FROM embeddings
+""",
+)
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: the cell-size distribution of the
+    shared coarse quantizer (_ivf_cents16, also serving
+    ivf_recall_check). Probe latency at serving time is governed by
+    the LARGEST probed cell, so a skewed quantizer silently turns the
+    n_probe/k_cells cost model into a full-scan — the invariant oracle
+    pins (a) every vector lands in exactly one cell
+    (partition-of-unity: the per-cell counts re-sum to the corpus
+    count), (b) all 16 cells are populated, and (c) no cell holds more
+    than 25% of the corpus (measured max share is 0.07-0.084 at
+    sf0.001/0.01/0.1 — the bound flags real degeneration, not noise).
+    Cell assignment is the map-only literal-centroid argmax; the audit
+    adds one 16-group aggregate on top."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _ivf_cents16(spark, sf_dir)
+    sizes = (
+        similarity.assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = sizes.agg(
+        F.sum("n").cast("long").alias("n_assigned"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").alias("max_n"),
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).cast("long").alias("n_emb"))
+    # independent corpus count, so the unity flag actually detects a
+    # dropped or duplicated assignment rather than re-reading one sum
+    return stats.crossJoin(F.broadcast(n_emb)).select(
+        F.col("n_emb").alias("n_vecs"),
+        "n_cells",
+        (F.col("n_assigned") == F.col("n_emb")).alias(
+            "partition_of_unity"
+        ),
+        (F.col("max_n") * 4 <= F.col("n_emb")).alias(
+            "max_share_le_25pct"
+        ),
     )
 
 
@@ -14267,6 +14338,431 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+@register(
+    "embedding_pca_power",
+    """
+WITH elems AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS e
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+dims AS (
+    SELECT i,
+           SUM(CAST(e AS DECIMAL(18, 10))) AS s,
+           SUM(CAST(e * e AS DECIMAL(18, 12))) AS s2,
+           COUNT(*) AS n
+    FROM elems GROUP BY 1
+),
+vars AS (
+    SELECT i,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                 10) AS var_i
+    FROM dims
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dims) AS n_dims,
+       ROUND(CAST(SUM(CAST(var_i AS DECIMAL(20, 12))) AS DOUBLE), 4)
+           AS trace_var,
+       TRUE AS lambda1_within_bounds,
+       TRUE AS explained_share_valid
+FROM vars
+""",
+)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration — the variance-concentration audit that decides whether
+    a cheap linear projection (random_projection_check's counterpart)
+    can shrink the vectors before ANN indexing. Distributed part: the
+    dim x dim covariance matrix from ONE self-join of the exploded
+    elements on vec_id (|V| x dim^2 products, partial-aggregated
+    map-side; dim^2 = 4096 output rows — never |V| x |V|). Driver
+    part: 50 power-iteration steps on the collected dim x dim matrix,
+    a bounded control-plane array like the centroid collects. Floats
+    from an iterative eigensolver are not bit-portable, so the
+    hash-checked columns are the exact-arithmetic trace (per-dim
+    variances from DECIMAL sums, rounded, then DECIMAL-summed — the
+    forecast_baseline_mae pattern) and invariant flags:
+    max-diagonal <= lambda1 <= trace, explained share in (0, 1]."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "e0")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("e0").cast("double").alias("e"),
+    ).localCheckpoint(eager=True)
+    dims = elems.groupBy("i").agg(
+        F.sum(F.col("e").cast("decimal(18,10)")).alias("s"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(18,12)")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vars_df = dims.select(
+        "i",
+        F.round(
+            F.col("s2").cast("double") / F.col("n")
+            - (F.col("s").cast("double") / F.col("n"))
+            * (F.col("s").cast("double") / F.col("n")),
+            10,
+        ).alias("var_i"),
+    )
+    # covariance upper triangle for the eigensolver (double sums are
+    # fine here: the flags it feeds carry 1e-6-relative margins)
+    a, b_ = elems.alias("a"), elems.alias("b")
+    pair_sums = (
+        a.join(b_, "vec_id")
+        .filter(F.col("a.i") <= F.col("b.i"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.e") * F.col("b.e")).alias("sxy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    means = {
+        r["i"]: float(r["s"]) / r["n"] for r in dims.select("i", "s", "n").collect()
+    }
+    d = len(means)
+    cov = np.zeros((d, d))
+    for r in pair_sums:
+        i, j = r["i"] - 1, r["j"] - 1
+        c = r["sxy"] / r["n"] - means[r["i"]] * means[r["j"]]
+        cov[i, j] = cov[j, i] = c
+    vec = np.ones(d) / np.sqrt(d)
+    for _ in range(50):
+        nxt = cov @ vec
+        vec = nxt / np.linalg.norm(nxt)
+    lam1 = float(vec @ cov @ vec)
+    trace = float(np.trace(cov))
+    max_diag = float(np.max(np.diag(cov)))
+    bounds_ok = (
+        lam1 <= trace * (1 + 1e-6) + 1e-9
+        and lam1 >= max_diag * (1 - 1e-6) - 1e-9
+    )
+    share_ok = 0.0 < lam1 / trace <= 1.0 + 1e-9
+    n_dims = dims.agg(F.count(F.lit(1)).cast("long").alias("n_dims"))
+    return vars_df.agg(
+        F.round(
+            F.sum(F.col("var_i").cast("decimal(20,12)")).cast("double"), 4
+        ).alias("trace_var")
+    ).crossJoin(F.broadcast(n_dims)).select(
+        "n_dims",
+        "trace_var",
+        F.lit(bool(bounds_ok)).alias("lambda1_within_bounds"),
+        F.lit(bool(share_ok)).alias("explained_share_valid"),
+    )
+
+
+@register(
+    "copurchase_adamic_adar",
+    """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+p AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS nb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+e AS (SELECT part_a, part_b FROM p WHERE nb >= 2),
+und AS (
+    SELECT part_a AS u, part_b AS v FROM e
+    UNION ALL
+    SELECT part_b, part_a FROM e
+),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+two AS (
+    SELECT x.u AS a, y.u AS b, x.v AS c
+    FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+),
+aa AS (
+    SELECT t.a, t.b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / ln(g.d)
+                               AS DECIMAL(18, 12))) AS DOUBLE), 4)
+               AS aa_score
+    FROM two t JOIN deg g ON g.u = t.c
+    GROUP BY 1, 2
+)
+SELECT a AS part_a, b AS part_b, n_common, aa_score
+FROM aa
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.part_a = aa.a AND e.part_b = aa.b)
+ORDER BY aa_score DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+)
+def q_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph (Adamic–Adar): score
+    non-adjacent part pairs by sum over common neighbors c of
+    1/ln(deg(c)) — high scorers are products bought in the same
+    baskets' orbit but never yet together, i.e. cross-sell
+    candidates. The graph is the SUPPORT-THRESHOLDED edge set
+    (n_both >= 2, from the session-shared pair-counts frame): the
+    threshold is what bounds the two-hop join at scale — hub parts
+    that co-occur once with everything are exactly the neighbors
+    Adamic–Adar down-weights toward zero, so pruning them changes
+    candidate recall, not the ranking's head. deg(c) >= 2 for every
+    common neighbor by construction, so ln never sees 1. Per-term
+    1/ln(deg) is cast to DECIMAL before summing (order-free exact
+    sum, the forecast_baseline_mae pattern)."""
+    pairs = _copurchase_pair_counts(spark, sf_dir)
+    edges = pairs.filter(F.col("n_both") >= 2).select("part_a", "part_b")
+    und = edges.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = und.alias("x"), und.alias("y")
+    two = x.join(
+        y, (F.col("x.v") == F.col("y.v")) & (F.col("x.u") < F.col("y.u"))
+    ).select(
+        F.col("x.u").alias("a"), F.col("y.u").alias("b"), F.col("x.v").alias("c")
+    )
+    aa = (
+        two.join(deg.select(F.col("u").alias("c"), "d"), "c")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.sum(
+                    (F.lit(1.0) / F.log(F.col("d"))).cast("decimal(18,12)")
+                ).cast("double"),
+                4,
+            ).alias("aa_score"),
+        )
+    )
+    pred = aa.join(
+        edges,
+        (F.col("a") == F.col("part_a")) & (F.col("b") == F.col("part_b")),
+        "left_anti",
+    )
+    return (
+        pred.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            "aa_score",
+        )
+        .orderBy(F.desc("aa_score"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "functional_dependency_audit",
+    """
+WITH cands AS (
+    SELECT 'customer.c_custkey->c_nationkey' AS fd,
+           CAST(c_custkey AS VARCHAR) AS lhs,
+           CAST(c_nationkey AS VARCHAR) AS rhs
+    FROM customer
+    UNION ALL
+    SELECT 'documents.lang->source', lang, source FROM documents
+    UNION ALL
+    SELECT 'lineitem.l_partkey->l_suppkey', CAST(l_partkey AS VARCHAR),
+           CAST(l_suppkey AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'nation.n_nationkey->n_regionkey', CAST(n_nationkey AS VARCHAR),
+           CAST(n_regionkey AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'orders.o_custkey->o_orderpriority', CAST(o_custkey AS VARCHAR),
+           o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT 'part.p_brand->p_type', p_brand, p_type FROM part
+),
+per_key AS (
+    SELECT fd, lhs, COUNT(DISTINCT rhs) AS nr
+    FROM cands GROUP BY 1, 2
+)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+       CAST(MAX(nr) AS BIGINT) AS max_rhs_per_key,
+       SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+FROM per_key GROUP BY fd
+ORDER BY fd
+""",
+)
+def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the discovery half of schema
+    contracts: orders_contract_violations enforces declared rules,
+    this MEASURES which determinisms actually hold so they can be
+    declared). For each candidate X->Y: distinct X count, how many X
+    values map to >1 distinct Y, and the worst fan-out. Key-backed
+    dependencies (customer, nation) are positive controls that must
+    hold; the attribute-attribute candidates quantify real violation
+    mass. Each candidate is one groupBy(X) count-distinct — no joins,
+    map-side partial aggregation, and the six candidates union into a
+    six-row report (keys canonicalized to strings so every candidate
+    shares one schema)."""
+    docs = load(spark, sf_dir, "documents")
+    cands = [
+        (
+            "customer.c_custkey->c_nationkey",
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").cast("string").alias("lhs"),
+                F.col("c_nationkey").cast("string").alias("rhs"),
+            ),
+        ),
+        (
+            "documents.lang->source",
+            docs.select(
+                F.col("lang").alias("lhs"), F.col("source").alias("rhs")
+            ),
+        ),
+        (
+            "lineitem.l_partkey->l_suppkey",
+            load(spark, sf_dir, "lineitem").select(
+                F.col("l_partkey").cast("string").alias("lhs"),
+                F.col("l_suppkey").cast("string").alias("rhs"),
+            ),
+        ),
+        (
+            "nation.n_nationkey->n_regionkey",
+            load(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").cast("string").alias("lhs"),
+                F.col("n_regionkey").cast("string").alias("rhs"),
+            ),
+        ),
+        (
+            "orders.o_custkey->o_orderpriority",
+            load(spark, sf_dir, "orders").select(
+                F.col("o_custkey").cast("string").alias("lhs"),
+                F.col("o_orderpriority").alias("rhs"),
+            ),
+        ),
+        (
+            "part.p_brand->p_type",
+            load(spark, sf_dir, "part").select(
+                F.col("p_brand").alias("lhs"), F.col("p_type").alias("rhs")
+            ),
+        ),
+    ]
+    reports = []
+    for name, df in cands:
+        per_key = df.groupBy("lhs").agg(F.countDistinct("rhs").alias("nr"))
+        reports.append(
+            per_key.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("nr") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.max("nr").cast("long").alias("max_rhs_per_key"),
+                (F.sum((F.col("nr") > 1).cast("long")) == 0).alias(
+                    "fd_holds"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fd")
+
+
+@register(
+    "mixture_waterfill_rates",
+    """
+WITH srcs AS (
+    SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+    FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(toks) AS BIGINT) AS t, COUNT(*) AS m FROM srcs
+),
+budget AS (SELECT (6 * t) // 10 AS b, m FROM tot),
+ordered AS (
+    SELECT lang, toks,
+           ROW_NUMBER() OVER (ORDER BY toks ASC, lang ASC) AS k,
+           COALESCE(SUM(toks) OVER (
+               ORDER BY toks ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM srcs
+),
+cap AS (
+    SELECT CAST(b - cum_before AS DOUBLE) / (m - k + 1) AS c
+    FROM ordered CROSS JOIN budget
+    WHERE cum_before + (m - k + 1) * toks >= b
+    ORDER BY k LIMIT 1
+)
+SELECT lang,
+       toks AS n_tokens,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), c / toks), 6) AS rate,
+       CAST(toks AS DOUBLE) > c AS capped
+FROM srcs CROSS JOIN cap
+ORDER BY lang
+""",
+)
+def q_mixture_waterfill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing by waterfilling: spend a 60% token
+    budget across languages as uniformly as the data allows — solve
+    for the cap C with sum_i min(tokens_i, C) = budget, keep
+    under-cap languages whole (rate 1.0) and sample over-cap ones
+    down to C (the proportional-with-caps scheme behind DoReMi-style
+    mixture tuning; mixture_corpus_sample then consumes such rates).
+    The cap comes CLOSED-FORM from one cumulative-sum window over the
+    per-language totals sorted ascending — the first k where the
+    remaining budget spread over the remaining m-k+1 languages fits
+    under tokens_k — so the whole solve is one |languages|-row window
+    plus integer arithmetic (budget = (6*t) div 10, no float until
+    the final division), identical in both engines at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    srcs = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tot = srcs.agg(
+        F.sum("toks").cast("long").alias("t"), F.count(F.lit(1)).alias("m")
+    )
+    budget = tot.select(F.expr("(6 * t) div 10").alias("b"), "m")
+    w = Window.orderBy(F.asc("toks"), F.asc("lang"))
+    ordered = srcs.select(
+        "lang",
+        "toks",
+        F.row_number().over(w).alias("k"),
+        F.coalesce(
+            F.sum("toks").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    cap = (
+        ordered.crossJoin(F.broadcast(budget))
+        .filter(
+            F.col("cum_before")
+            + (F.col("m") - F.col("k") + 1) * F.col("toks")
+            >= F.col("b")
+        )
+        .orderBy("k")
+        .limit(1)
+        .select(
+            (
+                (F.col("b") - F.col("cum_before")).cast("double")
+                / (F.col("m") - F.col("k") + 1)
+            ).alias("c")
+        )
+    )
+    return (
+        srcs.crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            F.col("toks").alias("n_tokens"),
+            F.round(
+                F.least(F.lit(1.0), F.col("c") / F.col("toks")), 6
+            ).alias("rate"),
+            (F.col("toks").cast("double") > F.col("c")).alias("capped"),
+        )
+        .orderBy("lang")
     )
 
 

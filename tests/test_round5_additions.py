@@ -98,3 +98,102 @@ def test_weighted_sample_ares_favors_heavier_docs(spark, sf_dir):
     )
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     assert sample_mean > corpus_mean
+
+
+def test_ivf_cell_balance_flags_and_counts(spark, sf_dir):
+    row = workload.QUERIES["ivf_cell_balance"](spark, sf_dir).collect()[0]
+    n_emb = workload.load(spark, sf_dir, "embeddings").count()
+    assert row["n_vecs"] == n_emb
+    assert 2 <= row["n_cells"] <= 16
+    assert row["partition_of_unity"] is True
+    assert row["max_share_le_25pct"] is True
+
+
+def test_embedding_pca_trace_equals_sum_of_dim_variances(spark, sf_dir):
+    row = workload.QUERIES["embedding_pca_power"](spark, sf_dir).collect()[0]
+    emb = workload.load(spark, sf_dir, "embeddings")
+    assert row["n_dims"] == len(emb.limit(1).collect()[0]["embedding"])
+    assert row["lambda1_within_bounds"] is True
+    assert row["explained_share_valid"] is True
+    # trace re-derived with population variance per dim
+    elems = emb.select(F.posexplode("embedding").alias("i", "e")).select(
+        "i", F.col("e").cast("double").alias("e")
+    )
+    ref = (
+        elems.groupBy("i")
+        .agg(
+            (
+                F.avg(F.col("e") * F.col("e"))
+                - F.avg("e") * F.avg("e")
+            ).alias("v")
+        )
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    assert abs(row["trace_var"] - ref) < 1e-3
+
+
+def test_adamic_adar_predictions_are_nonedges_with_positive_scores(
+    spark, sf_dir
+):
+    out = workload.QUERIES["copurchase_adamic_adar"](spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    edges = {
+        (r["part_a"], r["part_b"])
+        for r in workload._copurchase_pair_counts(spark, sf_dir)
+        .filter(F.col("n_both") >= 2)
+        .select("part_a", "part_b")
+        .collect()
+    }
+    scores = [r["aa_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert (r["part_a"], r["part_b"]) not in edges
+        assert r["part_a"] < r["part_b"]
+        assert r["n_common"] >= 1
+        # each common neighbor contributes at most 1/ln(2)
+        assert 0 < r["aa_score"] <= r["n_common"] / 0.693 + 1e-6
+
+
+def test_fd_audit_key_dependencies_hold_and_violations_counted(
+    spark, sf_dir
+):
+    rows = {
+        r["fd"]: r
+        for r in workload.QUERIES["functional_dependency_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(rows) == 6
+    # key-backed FDs are positive controls
+    for fd in (
+        "customer.c_custkey->c_nationkey",
+        "nation.n_nationkey->n_regionkey",
+    ):
+        assert rows[fd]["fd_holds"] is True
+        assert rows[fd]["n_violating_keys"] == 0
+        assert rows[fd]["max_rhs_per_key"] == 1
+    for r in rows.values():
+        assert r["n_violating_keys"] <= r["n_keys"]
+        assert (r["n_violating_keys"] == 0) == r["fd_holds"]
+        assert (r["max_rhs_per_key"] > 1) == (not r["fd_holds"])
+
+
+def test_waterfill_exhausts_budget_and_respects_caps(spark, sf_dir):
+    rows = workload.QUERIES["mixture_waterfill_rates"](spark, sf_dir).collect()
+    toks = {r["lang"]: r["n_tokens"] for r in rows}
+    total = sum(toks.values())
+    budget = (6 * total) // 10
+    allocated = sum(r["rate"] * r["n_tokens"] for r in rows)
+    # closed-form cap spends the budget exactly (modulo 6dp rounding)
+    assert abs(allocated - budget) <= 1e-4 * total
+    for r in rows:
+        assert 0 < r["rate"] <= 1.0
+        if not r["capped"]:
+            assert r["rate"] == 1.0
+    # uncapped languages are exactly the ones at or under the cap
+    capped_toks = [r["n_tokens"] for r in rows if r["capped"]]
+    uncapped_toks = [r["n_tokens"] for r in rows if not r["capped"]]
+    if capped_toks and uncapped_toks:
+        assert min(capped_toks) >= max(uncapped_toks)
