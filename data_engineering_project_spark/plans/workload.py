@@ -14766,6 +14766,768 @@ def q_mixture_waterfill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_longest_dup_run",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+    FROM t, unnest(generate_series(1, len(w) - 4)) AS s(i)
+    WHERE len(w) >= 5
+),
+dfreq AS (
+    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1
+),
+dup AS (
+    SELECT g.doc_id, g.pos FROM g JOIN dfreq USING (gram) WHERE df >= 2
+),
+isl AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isle
+    FROM dup
+),
+runs AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY doc_id, isle
+)
+SELECT doc_id,
+       MAX(run_len) AS longest_run,
+       CAST(MAX(run_len) + 4 AS BIGINT) AS longest_dup_span_tokens
+FROM runs GROUP BY doc_id
+ORDER BY MAX(run_len) DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_boilerplate_longest_dup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate localization (the positional sequel to
+    duplicated_ngram_coverage's share): per document, the LONGEST run
+    of consecutive 5-gram positions whose gram also appears in another
+    document — a long run is one contiguous copied span (license
+    header, template, lyrics), which span-scrubbing can cut, where the
+    same mass scattered across the doc cannot be. Runs come from the
+    gaps-and-islands trick (pos - row_number is constant within a
+    consecutive block), so the whole query is the standard gram
+    pipeline plus one doc-partitioned window — no self-join, linear in
+    corpus size. Reference analog: the duplicate-detection intent of
+    scripts/esplosione_dati.py's file fingerprints, at copied-SPAN
+    grain."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
+    )
+    g = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 4)).alias("pos"),
+        "w",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("w", F.col("pos"), 5)).alias("gram"),
+    )
+    g = g.localCheckpoint(eager=True)
+    # ^ the gram frame feeds both the document-frequency aggregate and
+    # the position join below; one materialization, one gram shuffle
+    dfreq = (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup = g.join(dfreq.filter(F.col("df") >= 2).select("gram"), "gram").select(
+        "doc_id", "pos"
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn(
+            "isle", F.col("pos") - F.row_number().over(w_isl)
+        )
+        .groupBy("doc_id", "isle")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.max("run_len").alias("longest_run"),
+            (F.max("run_len") + 4).cast("long").alias(
+                "longest_dup_span_tokens"
+            ),
+        )
+        .orderBy(F.desc("longest_run"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "permutation_test_priority_value",
+    """
+WITH reps AS (
+    SELECT r,
+           (CAST(('0x' || substring(md5('pt-a-' || CAST(r AS VARCHAR)),
+                                    1, 7)) AS BIGINT) | 1) AS a,
+           (CAST(('0x' || substring(md5('pt-b-' || CAST(r AS VARCHAR)),
+                                    1, 7)) AS BIGINT) | 1) AS b,
+           CAST(('0x' || substring(md5('pt-c-' || CAST(r AS VARCHAR)),
+                                   1, 15)) AS BIGINT)
+               % 1152921504606846976 AS c
+    FROM (SELECT unnest(generate_series(0, 99)) AS r)
+),
+h AS (
+    SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 15)) AS BIGINT) AS base,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS grp
+    FROM orders
+),
+obs AS (
+    SELECT CAST(SUM(grp) AS BIGINT) AS n_a,
+           CAST(COUNT(*) - SUM(grp) AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END)
+                      AS DOUBLE) / 100.0 / SUM(grp)
+                 - CAST(SUM(CASE WHEN grp = 0 THEN cents ELSE 0 END)
+                        AS DOUBLE) / 100.0 / (COUNT(*) - SUM(grp)),
+                 4) AS obs_diff,
+           CAST(SUM(grp) AS DOUBLE) / COUNT(*) AS p_a
+    FROM h
+),
+perm AS (
+    SELECT reps.r,
+           CASE WHEN ((reps.a * (h.base // 1073741824)
+                       + reps.b * (h.base % 1073741824)
+                       + reps.c) % 1073741824) / 1073741824.0
+                     < (SELECT p_a FROM obs)
+                THEN 1 ELSE 0 END AS ga,
+           h.cents
+    FROM h CROSS JOIN reps
+),
+rep_diffs AS (
+    SELECT r,
+           CAST(SUM(CASE WHEN ga = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / 100.0 / NULLIF(SUM(ga), 0)
+           - CAST(SUM(CASE WHEN ga = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / 100.0 / NULLIF(COUNT(*) - SUM(ga), 0) AS diff
+    FROM perm GROUP BY r
+),
+pv AS (
+    SELECT CAST(SUM(CASE WHEN abs(diff) >= abs((SELECT obs_diff FROM obs))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+           CAST(COUNT(*) AS BIGINT) AS n_reps
+    FROM rep_diffs
+)
+SELECT obs.n_a, obs.n_b, obs.obs_diff, pv.n_reps,
+       ROUND(CAST(1 + pv.n_exceed AS DOUBLE) / (pv.n_reps + 1), 4)
+           AS p_value
+FROM obs CROSS JOIN pv
+""",
+)
+def q_permutation_test_priority_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomization test for the urgent-vs-other mean order value —
+    the distribution-free sibling of mannwhitney_priority_value (rank
+    test) and effect_size_priority_value (parametric d): re-assign
+    group labels 100 times with the observed group share, and report
+    the add-one p-value of the observed mean difference. Labels come
+    from the portable one-md5-per-row hi/lo odd-multiplier mix (the
+    poisson_bootstrap_ci family — a bijection mod 2^30, so replicate
+    uniforms cover (0,1) and the Bernoulli(p_a) assignment is honest);
+    Bernoulli label assignment approximates the exact
+    fixed-margin permutation to O(1/sqrt(n)) and keeps every replicate
+    one map-side pass (the 100x fan-out collapses in the map-side
+    combine of one group-by, exactly like the bootstrap). Group sums
+    accumulate as exact half-up-cent BIGINTs."""
+    import hashlib
+
+    orders = load(spark, sf_dir, "orders")
+    m60 = 1152921504606846976
+    m30 = 1073741824
+
+    def const(tag, r, n_hex, mod=None, force_odd=False):
+        v = int(
+            hashlib.md5(f"pt-{tag}-{r}".encode()).hexdigest()[:n_hex], 16
+        )
+        if mod is not None:
+            v %= mod
+        return v | 1 if force_odd else v
+
+    reps = spark.createDataFrame(
+        [
+            (
+                r,
+                const("a", r, 7, force_odd=True),
+                const("b", r, 7, force_odd=True),
+                const("c", r, 15, mod=m60),
+            )
+            for r in range(100)
+        ],
+        "r INT, a LONG, b LONG, c LONG",
+    )
+    h = orders.select(
+        dedup.portable_hash60(F.col("o_orderkey").cast("string")).alias(
+            "base"
+        ),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("grp"),
+    ).localCheckpoint(eager=True)
+    obs = h.agg(
+        F.sum("grp").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("grp")).cast("long").alias("n_b"),
+        F.round(
+            F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0))
+            .cast("double")
+            / 100.0
+            / F.sum("grp")
+            - F.sum(
+                F.when(F.col("grp") == 0, F.col("cents")).otherwise(0)
+            ).cast("double")
+            / 100.0
+            / (F.count(F.lit(1)) - F.sum("grp")),
+            4,
+        ).alias("obs_diff"),
+        (F.sum("grp").cast("double") / F.count(F.lit(1))).alias("p_a"),
+    )
+    ga = (
+        (
+            F.col("a") * F.shiftright("base", 30)
+            + F.col("b") * F.col("base").bitwiseAND(F.lit(m30 - 1))
+            + F.col("c")
+        )
+        % m30
+        / float(m30)
+        < F.col("p_a")
+    ).cast("int")
+    rep_diffs = (
+        h.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(obs.select("p_a")))
+        .select("r", "cents", ga.alias("ga"))
+        .groupBy("r")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("ga") == 1, F.col("cents")).otherwise(0)
+                ).cast("double")
+                / 100.0
+                / F.nullif(F.sum("ga"), F.lit(0))
+                - F.sum(
+                    F.when(F.col("ga") == 0, F.col("cents")).otherwise(0)
+                ).cast("double")
+                / 100.0
+                / F.nullif(F.count(F.lit(1)) - F.sum("ga"), F.lit(0))
+            ).alias("diff")
+        )
+    )
+    pv = rep_diffs.crossJoin(F.broadcast(obs.select("obs_diff"))).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exceed"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    return obs.select("n_a", "n_b", "obs_diff").crossJoin(
+        F.broadcast(pv)
+    ).select(
+        "n_a",
+        "n_b",
+        "obs_diff",
+        "n_reps",
+        F.round(
+            (1 + F.col("n_exceed")).cast("double")
+            / (F.col("n_reps") + 1),
+            4,
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "events_value_cusum",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE)
+                 / COUNT(*), 6) AS x
+    FROM events GROUP BY 1
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(20, 8))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(x * x AS DECIMAL(28, 12))) AS DOUBLE) AS s2
+    FROM daily
+),
+params AS (
+    SELECT ROUND(s1 / n, 6) AS mu0,
+           ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 2, 6) AS k,
+           ROUND(3 * sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS h
+    FROM stats
+),
+devs AS (
+    SELECT day, x, ROUND(x - mu0 - k, 6) AS d
+    FROM daily CROSS JOIN params
+),
+prefix AS (
+    SELECT day, x,
+           SUM(CAST(d AS DECIMAL(20, 8))) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS p
+    FROM devs
+),
+prefix2 AS (
+    SELECT day, x, p,
+           MIN(p) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS minp
+    FROM prefix
+)
+SELECT day,
+       ROUND(x, 4) AS day_mean,
+       ROUND(CAST(p - LEAST(minp, 0) AS DOUBLE), 4) AS cusum_stat,
+       CAST(p - LEAST(minp, 0) AS DOUBLE)
+           > (SELECT h FROM params) AS alarm
+FROM prefix2
+ORDER BY cusum_stat DESC, day ASC
+LIMIT 10
+""",
+)
+def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on the daily mean event value —
+    the SEQUENTIAL sibling of revenue_changepoint's retrospective
+    mean-shift scan and sprt_urgent_share's likelihood ratio: S_t =
+    max(0, S_{t-1} + (x_t - mu0 - k)) flags a sustained upward drift
+    the day it accumulates, the monitor a pipeline runs per batch. The
+    recursion is replaced by its closed form S_t = P_t - min(0,
+    min_{s<=t} P_s) (prefix sums and their running min), so the whole
+    detector is two cumulative windows over the BOUNDED daily frame —
+    no iteration, no driver loop. Deviations are rounded then summed
+    as DECIMAL, so both engines' running sums are exact and
+    order-free; reference mu0/k/h come from the same frame's exact
+    moment sums (in production they'd be frozen from a calibration
+    window)."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("x")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,8)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    params = stats.select(
+        F.round(F.col("s1") / F.col("n"), 6).alias("mu0"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / 2,
+            6,
+        ).alias("k"),
+        F.round(
+            3
+            * F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("h"),
+    )
+    devs = daily.crossJoin(F.broadcast(params)).select(
+        "day",
+        "x",
+        "h",
+        F.round(F.col("x") - F.col("mu0") - F.col("k"), 6).alias("d"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = devs.select(
+        "day",
+        "x",
+        "h",
+        F.sum(F.col("d").cast("decimal(20,8)")).over(w_cum).alias("p"),
+    ).select(
+        "day",
+        "x",
+        "h",
+        "p",
+        F.min("p").over(w_cum).alias("minp"),
+    )
+    s = (F.col("p") - F.least(F.col("minp"), F.lit(0))).cast("double")
+    return (
+        prefix.select(
+            "day",
+            F.round("x", 4).alias("day_mean"),
+            F.round(s, 4).alias("cusum_stat"),
+            (s > F.col("h")).alias("alarm"),
+        )
+        .orderBy(F.desc("cusum_stat"), F.asc("day"))
+        .limit(10)
+    )
+
+
+@register(
+    "quality_prune_tradeoff",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           ROUND((CASE WHEN len(string_split(text, ' '))
+                           BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                  + CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE)
+                    / len(string_split(text, ' '))
+                  + CASE WHEN CAST(length(text) AS DOUBLE)
+                              / len(string_split(text, ' '))
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS q
+    FROM documents
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_toks
+    FROM scored
+),
+thr AS (
+    SELECT CAST(i AS DOUBLE) / 10 AS threshold
+    FROM (SELECT unnest(generate_series(0, 9)) AS i)
+)
+SELECT threshold,
+       CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_kept,
+       CAST(SUM(CASE WHEN q >= threshold THEN toks ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       ROUND(CAST(SUM(CASE WHEN q >= threshold THEN toks ELSE 0 END)
+                  AS DOUBLE) / (SELECT n_toks FROM tot), 4)
+           AS token_share
+FROM scored CROSS JOIN thr
+GROUP BY threshold
+ORDER BY threshold
+""",
+)
+def q_quality_prune_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation knob curve: tokens retained at every quality-score
+    cutoff 0.0 .. 0.9 in one pass — the plot a data-mixture owner
+    reads before picking the C4/Gopher-style filter threshold
+    (quality_weighted_sample then applies the chosen one
+    probabilistically). Docs are scored once; the 10-threshold sweep
+    is a 10-row broadcast cross join collapsing in the map-side
+    combine — the threshold loop never rescans the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        text_fns.quality_score("text").alias("q"),
+    )
+    thr = spark.range(10).select(
+        (F.col("id").cast("double") / 10).alias("threshold")
+    )
+    n_toks = scored.agg(F.sum("toks").cast("long").alias("n_toks"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("q") >= F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.sum(
+                F.when(
+                    F.col("q") >= F.col("threshold"), F.col("toks")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(n_toks))
+        .select(
+            "threshold",
+            "n_docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept").cast("double") / F.col("n_toks"), 4
+            ).alias("token_share"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "ewma_daily_forecast",
+    """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 6))), 4)
+                AS DOUBLE) AS x
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT a.day, a.x,
+           b.x * (CAST(1.0 AS DOUBLE)
+                  / (CAST(1 AS BIGINT) << datediff('day', b.day, a.day)))
+               AS term,
+           CAST(1.0 AS DOUBLE)
+               / (CAST(1 AS BIGINT) << datediff('day', b.day, a.day)) AS w,
+           CASE WHEN datediff('day', b.day, a.day) = 1 THEN b.x END
+               AS prev_x
+    FROM daily a JOIN daily b
+      ON b.day >= a.day - 30 AND b.day < a.day
+),
+fc AS (
+    SELECT day, x,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28, 16))) AS DOUBLE)
+                 / CAST(SUM(CAST(w AS DECIMAL(28, 16))) AS DOUBLE),
+                 4) AS ewma,
+           MAX(prev_x) AS naive
+    FROM pairs GROUP BY day, x
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(CAST(ROUND(abs(x - ewma), 4) AS DECIMAL(28, 6)))
+                  AS DOUBLE) / COUNT(*), 4) AS mae_ewma,
+       ROUND(CAST(SUM(CAST(ROUND(abs(x - naive), 4) AS DECIMAL(28, 6)))
+                  AS DOUBLE) / COUNT(*), 4) AS mae_naive
+FROM fc WHERE naive IS NOT NULL
+""",
+)
+def q_ewma_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA nowcast of daily revenue vs the naive
+    carry-forward, scored by MAE on days where both are defined. The
+    decay is DYADIC (0.5^lag = exact powers of two, built by integer
+    shift then one exact division), so every weight and every weighted
+    term is the same IEEE double in both engines — the trick that
+    makes an exponential smoother cross-engine-exact where a 0.9^lag
+    weight would drift in the last ulp of pow(). The recursion is
+    replaced by its 30-day truncated direct form (0.5^30 ~ 1e-9 of
+    weight dropped): a range self-join of the BOUNDED daily frame
+    (|days| x 30 rows), never a scan-order dependency, so it
+    parallelizes like any join. Weighted sums accumulate in DECIMAL
+    (order-free exact)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("x")
+    ).localCheckpoint(eager=True)
+    a, b = daily.alias("a"), daily.alias("b")
+    lag = F.datediff(F.col("a.day"), F.col("b.day"))
+    joined = a.join(
+        b,
+        (F.col("b.day") >= F.date_sub(F.col("a.day"), 30))
+        & (F.col("b.day") < F.col("a.day")),
+    ).select(
+        F.col("a.day").alias("day"),
+        F.col("a.x").alias("x"),
+        F.col("b.x").alias("xb"),
+        lag.alias("lag"),
+    )
+    # dyadic weight by integer shift: 1/2^lag is exact in both engines
+    w = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), lag)")
+    pairs = joined.select(
+        "day",
+        "x",
+        (F.col("xb") * w).alias("term"),
+        w.alias("w"),
+        F.when(F.col("lag") == 1, F.col("xb")).alias("prev_x"),
+    )
+    fc = pairs.groupBy("day", "x").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,16)")).cast("double")
+            / F.sum(F.col("w").cast("decimal(28,16)")).cast("double"),
+            4,
+        ).alias("ewma"),
+        F.max("prev_x").alias("naive"),
+    )
+    return fc.filter(F.col("naive").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("x") - F.col("ewma")), 4).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mae_ewma"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("x") - F.col("naive")), 4).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mae_naive"),
+    )
+
+
+@register(
+    "hybrid_rank_fusion",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           ROUND((CASE WHEN len(string_split(text, ' '))
+                           BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                  + CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE)
+                    / len(string_split(text, ' '))
+                  + CASE WHEN CAST(length(text) AS DOUBLE)
+                              / len(string_split(text, ' '))
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS q,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS r_quality,
+           ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id ASC) AS r_length
+    FROM scored
+)
+SELECT doc_id, r_quality, r_length,
+       ROUND(CAST(1.0 AS DOUBLE) / (60 + r_quality)
+             + CAST(1.0 AS DOUBLE) / (60 + r_length), 6) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09, the
+    standard hybrid-search combiner): fuse two document rankings by
+    sum of 1/(60+rank) and keep the fused top-20 — how a RAG serving
+    stack merges its lexical (BM25) and semantic (ANN) candidate
+    lists without score calibration. Rankings here are the quality
+    score and token length (stand-ins with the same rank-only
+    contract; bm25_topk20 / cosine_topk_fast produce the real
+    inputs). RRF needs only integer ranks, so the fused score is a
+    two-term sum of identical doubles in both engines — no float
+    aggregation at all. The rank windows are global by nature of
+    ranking; they run over the BOUNDED per-doc score frame, not raw
+    tokens."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text_fns.quality_score("text").alias("q"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("q"), F.asc("doc_id")))
+        .alias("r_quality"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("toks"), F.asc("doc_id")))
+        .alias("r_length"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "r_quality",
+            "r_length",
+            F.round(
+                F.lit(1.0) / (F.lit(60) + F.col("r_quality"))
+                + F.lit(1.0) / (F.lit(60) + F.col("r_length")),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "order_value_tail_index",
+    """
+WITH topk AS (
+    SELECT o_totalprice AS x,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rk
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 101
+),
+thr AS (SELECT x AS x_thr FROM topk WHERE rk = 101),
+terms AS (
+    SELECT ROUND(ln(t.x / thr.x_thr), 8) AS lr
+    FROM topk t CROSS JOIN thr WHERE t.rk <= 100
+)
+SELECT CAST(100 AS BIGINT) AS k,
+       (SELECT ROUND(x_thr, 4) FROM thr) AS threshold,
+       ROUND(CAST(SUM(CAST(lr AS DECIMAL(20, 10))) AS DOUBLE) / 100, 4)
+           AS hill_mean_logratio,
+       ROUND(100 / CAST(SUM(CAST(lr AS DECIMAL(20, 10))) AS DOUBLE), 4)
+           AS tail_alpha
+FROM terms
+""",
+)
+def q_order_value_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail exponent (extreme-value
+    complement to zipf_fit's rank-frequency slope): alpha-hat =
+    k / sum ln(x_(i)/x_(k+1)) over the top k=100 order statistics. A
+    finite small alpha means revenue concentrates in a power-law tail
+    (sizing stop-losses, capping sampling weights); alpha large means
+    the tail is thin and mean-based planning is safe. The top-101
+    frame comes from one TakeOrdered (no global sort), the log-ratio
+    terms are rounded then DECIMAL-summed, and the threshold is the
+    exact 101st order statistic."""
+    orders = load(spark, sf_dir, "orders")
+    topk = (
+        orders.select(
+            F.col("o_totalprice").alias("x"), F.col("o_orderkey")
+        )
+        .orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(101)
+        .select(
+            "x",
+            F.row_number()
+            .over(Window.orderBy(F.desc("x"), F.asc("o_orderkey")))
+            .alias("rk"),
+        )
+    )
+    thr = topk.filter(F.col("rk") == 101).select(
+        F.col("x").alias("x_thr")
+    )
+    terms = (
+        topk.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.round(F.log(F.col("x") / F.col("x_thr")), 8).alias("lr"),
+            "x_thr",
+        )
+    )
+    return terms.agg(
+        F.lit(100).cast("long").alias("k"),
+        F.round(F.max("x_thr"), 4).alias("threshold"),
+        F.round(
+            F.sum(F.col("lr").cast("decimal(20,10)")).cast("double")
+            / 100,
+            4,
+        ).alias("hill_mean_logratio"),
+        F.round(
+            100
+            / F.sum(F.col("lr").cast("decimal(20,10)")).cast("double"),
+            4,
+        ).alias("tail_alpha"),
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked

@@ -197,3 +197,141 @@ def test_waterfill_exhausts_budget_and_respects_caps(spark, sf_dir):
     uncapped_toks = [r["n_tokens"] for r in rows if not r["capped"]]
     if capped_toks and uncapped_toks:
         assert min(capped_toks) >= max(uncapped_toks)
+
+
+def test_boilerplate_run_report_is_ranked_and_consistent(spark, sf_dir):
+    rows = workload.QUERIES["boilerplate_longest_dup_run"](
+        spark, sf_dir
+    ).collect()
+    assert 0 < len(rows) <= 20
+    runs = [r["longest_run"] for r in rows]
+    assert runs == sorted(runs, reverse=True)
+    for r in rows:
+        assert r["longest_run"] >= 1
+        assert r["longest_dup_span_tokens"] == r["longest_run"] + 4
+
+
+def test_permutation_test_obs_diff_and_pvalue_shape(spark, sf_dir):
+    row = workload.QUERIES["permutation_test_priority_value"](
+        spark, sf_dir
+    ).collect()[0]
+    orders = workload.load(spark, sf_dir, "orders")
+    n = orders.count()
+    assert row["n_a"] + row["n_b"] == n
+    assert row["n_reps"] == 100
+    assert 0 < row["p_value"] <= 1
+    # add-one p-value granularity: k/101 for integer k in [1, 101]
+    k = row["p_value"] * 101
+    assert abs(k - round(k)) < 0.03
+    # obs_diff re-derived directly
+    from pyspark.sql import functions as F2
+
+    g = orders.groupBy(
+        F2.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("a")
+    ).agg(F2.avg("o_totalprice").alias("m"))
+    m = {r["a"]: r["m"] for r in g.collect()}
+    assert abs(row["obs_diff"] - (m[True] - m[False])) < 0.02
+
+
+def test_cusum_matches_sequential_recursion(spark, sf_dir):
+    rows = workload.QUERIES["events_value_cusum"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    stats = [r["cusum_stat"] for r in rows]
+    assert stats == sorted(stats, reverse=True)
+    assert all(s >= 0 for s in stats)
+    # replay the textbook recursion S_t = max(0, S_{t-1} + d_t)
+    events = workload.load(spark, sf_dir, "events")
+    daily = sorted(
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    xs = [r["x"] for r in daily]
+    n = len(xs)
+    mu = sum(xs) / n
+    sd = (sum((v - mu) ** 2 for v in xs) / (n - 1)) ** 0.5
+    k = sd / 2
+    s, by_day = 0.0, {}
+    for r, x in zip(daily, xs):
+        s = max(0.0, s + (x - mu - k))
+        by_day[r["day"]] = s
+    for r in rows:
+        assert abs(r["cusum_stat"] - by_day[r["day"]]) < 1e-2
+    # the reported rows are the global top-10 of the recursion
+    top10 = sorted(by_day.values(), reverse=True)[:10]
+    for got, want in zip(stats, top10):
+        assert abs(got - want) < 1e-2
+
+
+def test_quality_prune_curve_is_monotone_and_anchored(spark, sf_dir):
+    rows = workload.QUERIES["quality_prune_tradeoff"](spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == [i / 10 for i in range(10)]
+    docs = workload.load(spark, sf_dir, "documents")
+    assert rows[0]["n_docs_kept"] == docs.count()
+    assert rows[0]["token_share"] == 1.0
+    kept = [r["tokens_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    for r in rows:
+        assert 0 <= r["token_share"] <= 1
+
+
+def test_ewma_forecast_naive_mae_matches_lag_derivation(spark, sf_dir):
+    row = workload.QUERIES["ewma_daily_forecast"](spark, sf_dir).collect()[0]
+    assert row["n_days"] > 0
+    assert row["mae_ewma"] >= 0 and row["mae_naive"] >= 0
+    # naive MAE re-derived: |x_t - x_{t-1}| over consecutive-day pairs
+    from pyspark.sql import Window as W2
+
+    orders = workload.load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("x")
+    )
+    w = W2.orderBy("day")
+    cons = (
+        daily.select(
+            "day",
+            "x",
+            F.lag("x").over(w).alias("px"),
+            F.lag("day").over(w).alias("pd"),
+        )
+        .filter(F.datediff("day", "pd") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.abs(F.col("x") - F.col("px"))).alias("mae"),
+        )
+        .collect()[0]
+    )
+    assert cons["n"] == row["n_days"]
+    assert abs(cons["mae"] - row["mae_naive"]) < 1e-2
+
+
+def test_rrf_fusion_scores_are_consistent_with_ranks(spark, sf_dir):
+    rows = workload.QUERIES["hybrid_rank_fusion"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        want = 1.0 / (60 + r["r_quality"]) + 1.0 / (60 + r["r_length"])
+        assert abs(r["rrf_score"] - want) < 1e-6
+        assert r["r_quality"] >= 1 and r["r_length"] >= 1
+
+
+def test_hill_tail_index_threshold_and_identity(spark, sf_dir):
+    row = workload.QUERIES["order_value_tail_index"](spark, sf_dir).collect()[0]
+    assert row["k"] == 100
+    orders = workload.load(spark, sf_dir, "orders")
+    vals = [
+        r["o_totalprice"]
+        for r in orders.orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(101)
+        .collect()
+    ]
+    assert abs(row["threshold"] - vals[100]) < 1e-3
+    assert row["hill_mean_logratio"] > 0
+    assert row["tail_alpha"] > 0
+    assert abs(row["tail_alpha"] * row["hill_mean_logratio"] - 1) < 1e-2
