@@ -15528,6 +15528,196 @@ def q_order_value_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_transition_entropy",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM pairs),
+rowt AS (SELECT prev_type, SUM(n) AS n_prev FROM pairs GROUP BY 1),
+colt AS (SELECT next_type, SUM(n) AS n_next FROM pairs GROUP BY 1),
+hc AS (
+    SELECT ROUND((CAST(p.n AS DOUBLE) / t.big_n)
+                 * ln(CAST(p.n AS DOUBLE) / r.n_prev), 10) AS term
+    FROM pairs p JOIN rowt r USING (prev_type) CROSS JOIN tot t
+),
+hn AS (
+    SELECT ROUND((CAST(c.n_next AS DOUBLE) / t.big_n)
+                 * ln(CAST(c.n_next AS DOUBLE) / t.big_n), 10) AS term
+    FROM colt c CROSS JOIN tot t
+),
+sums AS (
+    SELECT CAST((SELECT SUM(CAST(term AS DECIMAL(20, 12))) FROM hn)
+                AS DOUBLE) AS sn,
+           CAST((SELECT SUM(CAST(term AS DECIMAL(20, 12))) FROM hc)
+                AS DOUBLE) AS sc
+)
+SELECT (SELECT big_n FROM tot) AS n_transitions,
+       ROUND(-sn, 6) AS h_next,
+       ROUND(-sc, 6) AS h_cond,
+       ROUND(sc - sn, 6) AS info_gain
+FROM sums
+""",
+)
+def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event stream: marginal next-event entropy
+    H(next), conditional entropy H(next | prev) over the first-order
+    transition matrix (same lag convention as event_type_transitions),
+    and their difference — the information the previous event carries
+    about the next one. Near-zero gain means sessions are memoryless
+    and Markov-based prefetch/recommendation adds nothing; a large gap
+    justifies sequence features. The entropy sums run over the
+    |types|^2 transition matrix (bounded), each p*ln(p) term rounded
+    then DECIMAL-summed so both engines add the same exact values; the
+    only corpus-size work is the per-user lag window the transition
+    family already pays."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = pairs.agg(F.sum("n").cast("long").alias("big_n"))
+    rowt = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    colt = pairs.groupBy("next_type").agg(F.sum("n").alias("n_next"))
+    hc = (
+        pairs.join(rowt, "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n").cast("double") / F.col("big_n"))
+                * F.log(F.col("n").cast("double") / F.col("n_prev")),
+                10,
+            ).alias("term")
+        )
+        .agg(
+            F.sum(F.col("term").cast("decimal(20,12)"))
+            .cast("double")
+            .alias("sc")
+        )
+    )
+    hn = (
+        colt.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_next").cast("double") / F.col("big_n"))
+                * F.log(F.col("n_next").cast("double") / F.col("big_n")),
+                10,
+            ).alias("term")
+        )
+        .agg(
+            F.sum(F.col("term").cast("decimal(20,12)"))
+            .cast("double")
+            .alias("sn")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(hn))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            F.col("big_n").alias("n_transitions"),
+            F.round(-F.col("sn"), 6).alias("h_next"),
+            F.round(-F.col("sc"), 6).alias("h_cond"),
+            F.round(F.col("sc") - F.col("sn"), 6).alias("info_gain"),
+        )
+    )
+
+
+@register(
+    "copurchase_transitivity",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+wed AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+    FROM deg
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT wed.n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       wed.n_wedges,
+       tri.n_triangles,
+       ROUND(CAST(3 * tri.n_triangles AS DOUBLE) / wed.n_wedges, 6)
+           AS transitivity
+FROM wed CROSS JOIN tri
+""",
+)
+def q_copurchase_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity = 3 x triangles /
+    wedges) of the support-thresholded co-purchase graph — the
+    one-number cohesion summary that contextualizes the per-node
+    triangle ranks (copurchase_triangles) and assortativity: high
+    transitivity means baskets form communities (bundle
+    recommendations transfer), low means the graph is hub-and-spoke.
+    Triangle total reuses the per-node counts from the shared edge
+    frame (each triangle credits 3 corners — the integer division
+    back to the triangle count is exact); wedges are a one-pass
+    degree aggregate."""
+    from data_engineering_project_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = (
+        _copurchase_pair_counts(spark, sf_dir)
+        .filter(F.col("n_both") >= 2)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = triangle_counts(edges, materialize=False).agg(
+        F.expr("CAST(sum(n_triangles) div 3 AS BIGINT)").alias(
+            "n_triangles"
+        )
+    )
+    return (
+        wed.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                (3 * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges"),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
@@ -15637,8 +15827,9 @@ _DRIVER_PROVEN_R04 = (
 # moved off the full-corpus driver collect onto a fixed-size
 # hash-sampled query set (exact kernel, linear corpus scan);
 # cosine_topk_fast and ivf_recall_check's exact arm were rewired onto
-# the session-shared _exact_topk5_q10 frame — so their earlier badges
-# no longer attest the current bodies.
+# the session-shared _exact_topk5_q10 frame, and ivf_recall_check's
+# quantizer onto the shared _ivf_cents16 fit (2 Lloyd iterations) — so
+# their earlier badges no longer attest the current bodies.
 _REVERIFY = frozenset(
     {
         "knn_label_agreement",

@@ -335,3 +335,32 @@ def test_hill_tail_index_threshold_and_identity(spark, sf_dir):
     assert row["hill_mean_logratio"] > 0
     assert row["tail_alpha"] > 0
     assert abs(row["tail_alpha"] * row["hill_mean_logratio"] - 1) < 1e-2
+
+
+def test_transition_entropy_information_identities(spark, sf_dir):
+    row = workload.QUERIES["event_transition_entropy"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_transitions"] > 0
+    # 0 <= H(next|prev) <= H(next) <= ln(|types|); gain = difference
+    n_types = (
+        workload.load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    import math
+
+    assert 0 <= row["h_cond"] <= row["h_next"] + 1e-9
+    assert row["h_next"] <= math.log(n_types) + 1e-9
+    assert abs(row["info_gain"] - (row["h_next"] - row["h_cond"])) < 2e-6
+
+
+def test_transitivity_bounds_and_wedge_identity(spark, sf_dir):
+    row = workload.QUERIES["copurchase_transitivity"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n_nodes"] > 0 and row["n_edges"] > 0
+    assert 0 <= row["transitivity"] <= 1
+    # every triangle closes 3 wedges
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
