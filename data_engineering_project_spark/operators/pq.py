@@ -1,0 +1,175 @@
+"""Product quantization (PQ) — compressed embeddings for ANN at scale.
+
+IVF (operators/similarity.py, operators/ann_index.py) prunes WHICH
+vectors a query touches; PQ shrinks WHAT each touched vector costs.
+The vector is split into ``m`` subvectors, each quantized to one of
+``k`` per-subspace codewords (Jegou/Douze/Schmid, TPAMI'11), so a
+64-dim float32 embedding (256 bytes) becomes ``m`` small codes (m
+bytes at k<=256) — the difference between an embedding table that
+spills to disk and one that sits in executor memory at 100 TB corpus
+scale. Search is asymmetric (ADC): the query stays full-precision,
+and each subspace contributes a codeword inner product read from a
+per-query lookup table, so scoring a corpus row is ``m`` array reads
+instead of ``dim`` multiply-adds.
+
+Spark shapes: training is ``m`` independent coarse-quantizer fits
+(:func:`similarity.kmeans_fit` on sliced vectors — same deterministic
+Lloyd's); encoding is ONE map-only pass (the m argmaxes inline their
+codeword literals exactly like ``assign_cells`` — zero exchanges, no
+Python); ADC scoring is map-only expression arithmetic with the
+per-query tables inlined as literal arrays (queries are bounded by
+contract, as in cosine_topk). Nothing here shuffles the corpus.
+
+Codewords are chosen by L2 argmin (minimum reconstruction error —
+what ADC's inner-product read actually approximates); ADC scores the
+reconstruction's inner product, which is exact for the reconstruction
+and approximate for the original vector — recall against exact search
+is the quality metric (tests/test_pq.py measures it alongside
+reconstruction error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.similarity import kmeans_fit
+
+
+def _subvec_sql(vec_col: str, j: int, d: int) -> str:
+    return f"slice({vec_col}, {j * d + 1}, {d})"
+
+
+def _argmin_l2_expr(cent_rows, vec_sql: str) -> str:
+    """L2 codeword argmin for one subspace, as an argmax over
+    (v.c - |c|^2/2, -label) structs: argmin |v_j - c|^2 equals that
+    argmax because |v_j|^2 is constant across codewords — so the
+    expression needs no per-row norm at all, just k inner products.
+    (assign_cells' cosine argmax picks the same cell only for
+    unit-norm codewords; ADC ranks by inner products of the
+    reconstruction, so the encoder must minimize reconstruction
+    error, i.e. L2.)"""
+    structs = []
+    for row in cent_rows:
+        vec = [float(x) for x in row["centroid"]]
+        vals = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec)
+        half_nc2 = sum(x * x for x in vec) / 2.0
+        dot = (
+            f"aggregate(zip_with(cast({vec_sql} as array<double>),"
+            f" array({vals}), (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        )
+        structs.append(
+            f"struct({dot} - CAST('{half_nc2!r}' AS DOUBLE) AS sim,"
+            f" {-int(row['label'])} AS negcell)"
+        )
+    return "array_max(array(" + ",".join(structs) + "))"
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[DataFrame]:
+    """Train the ``m`` per-subspace codebooks → list of (label,
+    centroid) frames. Each subspace is an independent
+    :func:`kmeans_fit` over the sliced vectors; the fits are
+    sequential full-corpus passes (like IVF training) and are paid at
+    index-build time, never per query."""
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.expr(_subvec_sql(vec_col, j, d)).alias(vec_col),
+        )
+        books.append(kmeans_fit(sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, codes array<int>): each vector's per-subspace codeword
+    ids, in ONE map-only projection — all m argmaxes run in the same
+    whole-stage-codegen pass with their codewords inlined as
+    literals, the assign_cells shape times m. At k<=256 the codes
+    array is the m-byte compressed representation."""
+    book_rows = [b.collect() for b in codebooks]
+    m = len(book_rows)
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    d = dim // m
+    code_cols = [
+        -F.expr(_argmin_l2_expr(rows, _subvec_sql(vec_col, j, d)))[
+            "negcell"
+        ]
+        for j, rows in enumerate(book_rows)
+    ]
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[DataFrame],
+    queries_pdf,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adc_ip).
+
+    Per query, the m x k_sub table of <query subvector, codeword>
+    inner products is computed driver-side (bounded: queries are small
+    by contract, codebooks are control-plane frames) and inlined as
+    literal arrays; scoring a corpus row is then m ``element_at``
+    reads + adds inside codegen — no vector arithmetic against the
+    corpus at all, which is the entire point of ADC. Ranking is
+    (rounded score desc, neighbor id asc), the repo's tiebreak
+    convention."""
+    from pyspark.sql import Window
+
+    book_arrays = []
+    for b in codebooks:
+        rows = sorted(b.collect(), key=lambda r: r["label"])
+        book_arrays.append([[float(x) for x in r["centroid"]] for r in rows])
+    m = len(book_arrays)
+    d = len(book_arrays[0][0])
+    per_query = []
+    for q in queries_pdf.itertuples(index=False):
+        qid = getattr(q, query_id_col)
+        qv = [float(x) for x in getattr(q, query_vec_col)]
+        score = None
+        for j, book in enumerate(book_arrays):
+            table = [
+                sum(qv[j * d + t] * c[t] for t in range(d)) for c in book
+            ]
+            lits = F.array(*[F.lit(v) for v in table])
+            term = F.element_at(lits, F.element_at("codes", j + 1) + 1)
+            score = term if score is None else score + term
+        per_query.append(
+            encoded.filter(F.col(id_col) != F.lit(qid)).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(score, 6).alias("adc_ip"),
+            )
+        )
+    scored = per_query[0]
+    for frame in per_query[1:]:
+        scored = scored.unionByName(frame)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_ip")
+    )

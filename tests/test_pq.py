@@ -1,0 +1,131 @@
+"""Product quantization (operators/pq.py): encode shape, planted-dup
+retrieval through ADC, above-chance recall, reconstruction error vs
+the trivial quantizer, and encode determinism.
+
+The synthetic embeddings are near-random — PQ's worst case — so the
+recall bound is deliberately loose (chance overlap for top-10 of ~500
+is ~0.02; measured 0.28-0.61 across m/k settings); the sharp checks
+are the planted duplicate (identical vector → identical codes →
+identical ADC score, must surface in the top-k) and the quantizer
+beating the global-mean reconstruction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import pq
+from data_engineering_project_spark.plans import workload
+
+M_SUB, K_SUB = 8, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return workload.load(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_train(emb, m=M_SUB, k=K_SUB, iters=2)
+
+
+@pytest.fixture(scope="module")
+def encoded(emb, books):
+    return pq.pq_encode(emb, books).localCheckpoint(eager=True)
+
+
+def test_encode_shape_and_code_range(emb, encoded):
+    rows = encoded.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == M_SUB
+        assert all(0 <= c < K_SUB for c in r["codes"])
+
+
+def test_encode_is_deterministic(emb, books, encoded):
+    again = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_encode(emb, books).collect()
+    }
+    first = {r["vec_id"]: list(r["codes"]) for r in encoded.collect()}
+    assert first == again
+
+
+def test_planted_duplicate_surfaces_through_adc(spark, emb, books, encoded):
+    v0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    planted = spark.createDataFrame(
+        [(10_000_000, list(v0))], "vec_id long, embedding array<float>"
+    )
+    enc_all = encoded.unionByName(pq.pq_encode(planted, books))
+    qp = (
+        emb.filter(F.col("vec_id") == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    hits = pq.pq_adc_topk(enc_all, books, qp, k=10).collect()
+    assert 10_000_000 in {r["neighbor_id"] for r in hits}
+    # the duplicate's codes are identical, so its ADC score ties the
+    # maximum over all rows sharing those codes
+    top = max(r["adc_ip"] for r in hits)
+    planted_score = [
+        r["adc_ip"] for r in hits if r["neighbor_id"] == 10_000_000
+    ][0]
+    assert planted_score == pytest.approx(top, abs=1e-9)
+
+
+def test_adc_recall_beats_chance(emb, books, encoded):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array([list(v) for v in pdf["embedding"]], dtype=float)
+    qp = (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    topk = pq.pq_adc_topk(encoded, books, qp, k=10).collect()
+    hits = 0
+    for q in qp.itertuples(index=False):
+        qv = np.array(list(q.embedding), dtype=float)
+        ips = mat @ qv
+        mask = ids != q.vec_id
+        exact = {
+            int(i)
+            for _, i in sorted(zip(-ips[mask], ids[mask]))[:10]
+        }
+        got = {
+            r["neighbor_id"] for r in topk if r["query_id"] == q.vec_id
+        }
+        hits += len(exact & got)
+    recall = hits / (10 * len(qp))
+    assert recall >= 0.15  # chance is ~0.02 on this corpus
+
+
+def test_reconstruction_beats_global_mean(emb, books, encoded):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.array([list(v) for v in pdf["embedding"]], dtype=float)
+    by_id = {int(i): mat[n] for n, i in enumerate(pdf["vec_id"])}
+    book_arrays = [
+        np.array(
+            [
+                [float(x) for x in r["centroid"]]
+                for r in sorted(b.collect(), key=lambda r: r["label"])
+            ]
+        )
+        for b in books
+    ]
+    d = book_arrays[0].shape[1]
+    sq_err = 0.0
+    for r in encoded.collect():
+        v = by_id[r["vec_id"]]
+        recon = np.concatenate(
+            [book_arrays[j][c] for j, c in enumerate(r["codes"])]
+        )
+        sq_err += float(((v - recon) ** 2).sum())
+    mean_vec = mat.mean(axis=0)
+    trivial = float(((mat - mean_vec) ** 2).sum())
+    assert sq_err < trivial
+    # and the compressed representation really is m small codes
+    assert M_SUB * np.ceil(np.log2(K_SUB)) / 8 < 4 * d * M_SUB
