@@ -129,3 +129,38 @@ def test_reconstruction_beats_global_mean(emb, books, encoded):
     assert sq_err < trivial
     # and the compressed representation really is m small codes
     assert M_SUB * np.ceil(np.log2(K_SUB)) / 8 < 4 * d * M_SUB
+
+
+def test_ivfpq_composition_finds_planted_duplicate(
+    spark, sf_dir, emb, books, encoded
+):
+    """The standard IVFPQ pipeline: IVF probe prunes the cells a query
+    touches, ADC ranks only the surviving (compressed) rows. A planted
+    exact duplicate must survive both stages: it lands in the query's
+    own cell and its identical codes tie the top ADC score."""
+    from data_engineering_project_spark.operators import similarity
+
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    cells = similarity.assign_cells(emb, cents)
+    planted_vec = emb.filter(F.col("vec_id") == 0).collect()[0][
+        "embedding"
+    ]
+    planted = spark.createDataFrame(
+        [(10_000_000, list(planted_vec))],
+        "vec_id long, embedding array<float>",
+    )
+    cells_all = cells.unionByName(
+        similarity.assign_cells(planted, cents)
+    )
+    enc_all = encoded.unionByName(pq.pq_encode(planted, books))
+    queries = emb.filter(F.col("vec_id") == 0)
+    probes = similarity.probe_assignments(queries, cents, n_probe=2)
+    survivors = cells_all.join(probes.select("cell"), "cell").select(
+        "vec_id"
+    )
+    pruned = enc_all.join(survivors, "vec_id")
+    # the probe really pruned: fewer candidates than the corpus
+    assert pruned.count() < enc_all.count()
+    qp = queries.select("vec_id", "embedding").toPandas()
+    hits = pq.pq_adc_topk(pruned, books, qp, k=10).collect()
+    assert 10_000_000 in {r["neighbor_id"] for r in hits}
