@@ -15819,24 +15819,43 @@ _DRIVER_PROVEN_R04 = (
     "referential_integrity_report", "date_spine_coverage",
 )
 
+# Green driver rows earned in round 5 (CORRECTNESS_r05.json, 50/50 all
+# three checks).  Includes fresh rows for the whole round-4 _REVERIFY set
+# (knn_label_agreement on the hash-sampled query set, cosine_topk_fast /
+# ivf_recall_check on the session-shared exact frame + _ivf_cents16),
+# which is why that set is empty again below.
+_DRIVER_PROVEN_R05 = (
+    "cosine_topk_fast", "ivf_recall_check", "ivf_cell_balance",
+    "knn_label_agreement", "cross_source_exact_dups",
+    "customer_revenue_gini", "user_activity_streaks",
+    "ranking_rank_correlation", "value_information_value",
+    "bounce_rate_by_entry", "user_value_twap", "embedding_fold_drift",
+    "curriculum_token_budget", "priority_weighted_topk",
+    "shipping_sla_compliance", "basket_size_revenue",
+    "reorder_interval_percentiles", "cohort_ltv_curve",
+    "new_vs_returning_revenue", "forecast_baseline_mae",
+    "ship_latency_by_year", "return_flag_mix", "part_rank_movers",
+    "weekly_rev_count_corr", "kwic_contexts", "span_scrub_stats",
+    "hourly_heatmap", "neardup_source_matrix", "ab_test_zscore",
+    "event_trigrams_top", "neyman_allocation_sample",
+    "event_type_overlap_sketch", "funnel_within_window",
+    "monthly_seasonality_index", "discount_elasticity", "zipf_fit",
+    "supplier_lead_time_consistency", "revenue_bridge",
+    "customer_migration_matrix", "peak_concurrent_sessions",
+    "hapax_ratio_by_source", "label_separation_score",
+    "order_count_dispersion", "copurchase_assortativity",
+    "littles_law_check", "daily_count_autocorrelation",
+    "reorder_survival_km", "position_weighted_attribution",
+    "event_markov_stationary", "parts_never_ordered",
+)
+
 # A proven badge only attests the body that earned it: names whose body
 # (or oracle) was rewritten AFTER their green row was recorded are forced
-# back into the checked window for a fresh row.  Round-3's reverify set
-# all earned fresh r03 rows; round-4's reverify set all earned fresh r04
-# rows.  Round-5 entries: knn_label_agreement's registered body was
-# moved off the full-corpus driver collect onto a fixed-size
-# hash-sampled query set (exact kernel, linear corpus scan);
-# cosine_topk_fast and ivf_recall_check's exact arm were rewired onto
-# the session-shared _exact_topk5_q10 frame, and ivf_recall_check's
-# quantizer onto the shared _ivf_cents16 fit (2 Lloyd iterations) — so
-# their earlier badges no longer attest the current bodies.
-_REVERIFY = frozenset(
-    {
-        "knn_label_agreement",
-        "cosine_topk_fast",
-        "ivf_recall_check",
-    }
-)
+# back into the checked window for a fresh row.  Round-3/4/5's reverify
+# sets all earned fresh rows the following round, which is why the set is
+# empty at round-5 close.  Add any name here the moment its registered
+# body or oracle changes.
+_REVERIFY = frozenset()
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py sweeps
 # the full QUERIES registry) and unit-tested with planted duplicates, but
@@ -15856,6 +15875,7 @@ def _rotated(names: list[str]) -> list[str]:
         | set(_DRIVER_PROVEN_R02)
         | set(_DRIVER_PROVEN_R03)
         | set(_DRIVER_PROVEN_R04)
+        | set(_DRIVER_PROVEN_R05)
     ) - _REVERIFY
     names = [n for n in names if n not in _LIBRARY_ONLY]
     return [n for n in names if n not in proven] + [
