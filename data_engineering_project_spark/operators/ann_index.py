@@ -93,7 +93,13 @@ def query_index(
     identical to similarity.ivf_topk, so a persisted probe returns the
     same rows as the on-the-fly operator over the same centroids."""
     cents = spark.read.parquet(_cents_dir(path))
-    probes = probe_assignments(queries, cents, id_col, vec_col, n_probe)
+    # probes feeds two consumers (the distinct-cell collect below and
+    # the re-rank join) — checkpoint so the per-query centroid scoring
+    # and its row_number window run once, not once per consumer, and
+    # the lineage stops re-reading the centroid parquet
+    probes = probe_assignments(
+        queries, cents, id_col, vec_col, n_probe
+    ).localCheckpoint(eager=True)
     probed_cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )

@@ -134,25 +134,42 @@ def pq_adc_topk(
     reads + adds inside codegen — no vector arithmetic against the
     corpus at all, which is the entire point of ADC. Ranking is
     (rounded score desc, neighbor id asc), the repo's tiebreak
-    convention."""
+    convention.
+
+    Lookup tables are keyed BY LABEL VALUE, not by sorted position:
+    :func:`similarity.kmeans_fit`'s Lloyd update drops cells that
+    empty mid-fit, so a codebook's labels need not be contiguous
+    0..k-1 — the table array is sized max(label)+1 with each
+    codeword's inner product placed at index ``label`` (gap slots
+    hold NULL and are unreachable: pq_encode only ever emits labels
+    that exist in the codebook)."""
     from pyspark.sql import Window
 
-    book_arrays = []
+    book_maps = []
     for b in codebooks:
-        rows = sorted(b.collect(), key=lambda r: r["label"])
-        book_arrays.append([[float(x) for x in r["centroid"]] for r in rows])
-    m = len(book_arrays)
-    d = len(book_arrays[0][0])
+        rows = b.collect()
+        book_maps.append(
+            {int(r["label"]): [float(x) for x in r["centroid"]] for r in rows}
+        )
+    m = len(book_maps)
+    d = len(next(iter(book_maps[0].values())))
     per_query = []
     for q in queries_pdf.itertuples(index=False):
         qid = getattr(q, query_id_col)
         qv = [float(x) for x in getattr(q, query_vec_col)]
         score = None
-        for j, book in enumerate(book_arrays):
-            table = [
-                sum(qv[j * d + t] * c[t] for t in range(d)) for c in book
-            ]
-            lits = F.array(*[F.lit(v) for v in table])
+        for j, book in enumerate(book_maps):
+            table = {
+                lbl: sum(qv[j * d + t] * c[t] for t in range(d))
+                for lbl, c in book.items()
+            }
+            slots = [table.get(i) for i in range(max(table) + 1)]
+            lits = F.array(
+                *[
+                    F.lit(v) if v is not None else F.lit(None).cast("double")
+                    for v in slots
+                ]
+            )
             term = F.element_at(lits, F.element_at("codes", j + 1) + 1)
             score = term if score is None else score + term
         per_query.append(

@@ -5395,7 +5395,15 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 25% of the corpus (measured max share is 0.07-0.084 at
     sf0.001/0.01/0.1 — the bound flags real degeneration, not noise).
     Cell assignment is the map-only literal-centroid argmax; the audit
-    adds one 16-group aggregate on top."""
+    adds one 16-group aggregate on top.
+
+    The oracle pins n_cells = 16 DELIBERATELY: kmeans_fit's Lloyd
+    update drops a cell that empties mid-fit, so a <16-cell fit (or
+    any unpopulated cell at assignment time) reds this row — that IS
+    the degeneration this audit exists to flag, surfaced through the
+    correctness gate rather than silently re-baselined (round-6
+    ADVICE, resolution (b)). Measured: all 16 cells populated at
+    every tested SF."""
     emb = load(spark, sf_dir, "embeddings")
     cents = _ivf_cents16(spark, sf_dir)
     sizes = (

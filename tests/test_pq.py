@@ -107,21 +107,21 @@ def test_reconstruction_beats_global_mean(emb, books, encoded):
     pdf = emb.select("vec_id", "embedding").toPandas()
     mat = np.array([list(v) for v in pdf["embedding"]], dtype=float)
     by_id = {int(i): mat[n] for n, i in enumerate(pdf["vec_id"])}
-    book_arrays = [
-        np.array(
-            [
-                [float(x) for x in r["centroid"]]
-                for r in sorted(b.collect(), key=lambda r: r["label"])
-            ]
-        )
+    # keyed by label value, not sorted position — kmeans_fit may drop
+    # an emptied cell, leaving a label gap (see pq_adc_topk docstring)
+    book_maps = [
+        {
+            int(r["label"]): np.array([float(x) for x in r["centroid"]])
+            for r in b.collect()
+        }
         for b in books
     ]
-    d = book_arrays[0].shape[1]
+    d = len(next(iter(book_maps[0].values())))
     sq_err = 0.0
     for r in encoded.collect():
         v = by_id[r["vec_id"]]
         recon = np.concatenate(
-            [book_arrays[j][c] for j, c in enumerate(r["codes"])]
+            [book_maps[j][c] for j, c in enumerate(r["codes"])]
         )
         sq_err += float(((v - recon) ** 2).sum())
     mean_vec = mat.mean(axis=0)
@@ -129,6 +129,53 @@ def test_reconstruction_beats_global_mean(emb, books, encoded):
     assert sq_err < trivial
     # and the compressed representation really is m small codes
     assert M_SUB * np.ceil(np.log2(K_SUB)) / 8 < 4 * d * M_SUB
+
+
+def test_adc_correct_with_noncontiguous_codebook_labels(spark):
+    """Regression (round-6 ADVICE): kmeans_fit's Lloyd update drops
+    cells that empty mid-fit, so a codebook can carry a label gap
+    (e.g. {0, 1, 3}). ADC lookup tables must be keyed by label VALUE —
+    a positional (sorted-order) table silently reads the wrong
+    codeword for every code above the gap and indexes past the array
+    for the max label. Hand-built gapped codebooks, scores checked
+    against the numpy reconstruction inner product."""
+    books = [
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (3, [2.0, 2.0])],
+            "label int, centroid array<double>",
+        ),
+        spark.createDataFrame(
+            [(0, [1.0, 1.0]), (2, [3.0, -1.0])],
+            "label int, centroid array<double>",
+        ),
+    ]
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1, 1.1, 0.8]),   # codes (0, 0)
+            (2, [2.1, 1.9, 2.9, -1.2]),  # codes (3, 2) — both above a gap
+            (3, [0.1, 1.2, 3.1, -0.9]),  # codes (1, 2)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    enc = pq.pq_encode(corpus, books)
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert codes == {1: [0, 0], 2: [3, 2], 3: [1, 2]}
+    book_maps = [
+        {int(r["label"]): np.array(r["centroid"]) for r in b.collect()}
+        for b in books
+    ]
+    qp = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    ).toPandas()
+    got = {
+        r["neighbor_id"]: r["adc_ip"]
+        for r in pq.pq_adc_topk(enc, books, qp, k=3).collect()
+    }
+    qv = np.array([1.0, 2.0, 3.0, 4.0])
+    for vid, (c0, c1) in codes.items():
+        recon = np.concatenate([book_maps[0][c0], book_maps[1][c1]])
+        assert got[vid] == pytest.approx(float(qv @ recon), abs=1e-6)
 
 
 def test_ivfpq_composition_finds_planted_duplicate(
