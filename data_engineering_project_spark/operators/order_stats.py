@@ -1,0 +1,203 @@
+"""Two-phase exact global ordering — rank / ntile / running sum with
+NO single-partition stage.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` (and NTILE, and a global running
+sum) is the one relational shape Spark executes by moving EVERYTHING
+to one partition: an empty window partition spec plans as Exchange
+SinglePartition + Sort + WindowExec, which serializes the whole frame
+through one task — correct at audit scale, dead at 100 TB. The
+classical fix (Goetz Graefe's range-rank; TeraSort's bookkeeping) is
+two-phase:
+
+1. **Range-partition** on the sort key — ``repartitionByRange`` samples
+   the key distribution and picks balanced boundaries (the same
+   machinery behind Spark's distributed ORDER BY), so partition *i*
+   holds a contiguous key range and partitions are ordered end to end.
+   One full-data shuffle, P-way parallel.
+2. **Local order + global offsets** — each partition sorts locally;
+   a P-row control-plane aggregate counts rows (and sums values) per
+   partition; the driver folds those into cumulative offsets and
+   inlines them as a literal array. A row's global rank is then
+   ``offset[pid] + local position`` — map-only arithmetic.
+
+The materialized frame is ``localCheckpoint``-ed between the two
+phases: range boundaries come from sampling, so the partition a row
+lands in is only deterministic WITHIN one materialization — the
+checkpoint pins it so the offsets job and the downstream consumer see
+the same layout (the final rank values are deterministic regardless,
+given a total order; the checkpoint is what makes the intermediate
+``_gpid`` consistent across the two jobs that read it).
+
+Local positions come from ``monotonically_increasing_id()`` read AFTER
+``sortWithinPartitions`` — Spark's documented id layout is
+``partition_id << 33 | row_index_within_partition``, so one map-only
+projection yields both the partition id and the 1-based local row
+number with zero additional shuffles. The running-sum variant needs a
+real local cumulative, so it alone adds a ``_gpid``-partitioned window
+(one hash exchange over balanced partitions — still never a
+single-partition stage).
+
+Callers MUST pass a total order (the repo's explicit-tiebreak
+convention): with duplicate sort keys the local tie order inside a
+partition is nondeterministic, exactly as it is for the single-window
+form.
+
+Used by the formerly global-window workload queries
+(order_value_deciles, rfm_segments, customer_revenue_gini,
+ranking_rank_correlation, zipf_fit, peak_concurrent_sessions) and
+guarded by tests/test_plan_audit.py, which rejects any registered plan
+carrying an unpartitioned WindowExec over an unbounded frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LOCAL_IDX_BITS = 33
+_LOCAL_IDX_MASK = (1 << _LOCAL_IDX_BITS) - 1
+
+
+def _cols(order_by) -> list[Column]:
+    return [c if isinstance(c, Column) else F.col(c) for c in order_by]
+
+
+def _default_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _ranged(df: DataFrame, order_by, num_partitions: int | None):
+    """Phase 1 + the per-partition census.
+
+    → (checkpointed frame + ``_gpid``/``_lrn`` columns, per-pid row
+    counts as a dense list of length P). ``_lrn`` is the 1-based local
+    row number in sort order; ``_gpid`` the range-partition index
+    (ascending = key order)."""
+    p = num_partitions or _default_partitions(df)
+    base = (
+        df.repartitionByRange(p, *_cols(order_by))
+        .sortWithinPartitions(*_cols(order_by))
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_gpid", F.shiftright("_mid", _LOCAL_IDX_BITS).cast("int")
+        )
+        .withColumn(
+            "_lrn",
+            (F.col("_mid").bitwiseAND(F.lit(_LOCAL_IDX_MASK)) + 1).cast(
+                "long"
+            ),
+        )
+        .drop("_mid")
+        .localCheckpoint(eager=True)
+    )
+    got = {
+        r["_gpid"]: r["c"]
+        for r in base.groupBy("_gpid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    counts = [got.get(i, 0) for i in range(p)]
+    return base, counts
+
+
+def _offsets_expr(counts: list[int], pid_col: str = "_gpid") -> Column:
+    """Literal cumulative-offset lookup: offsets[pid] = rows before
+    partition pid. A P-length array literal read with element_at —
+    pure map-side arithmetic."""
+    offs, cum = [], 0
+    for c in counts:
+        offs.append(cum)
+        cum += c
+    return F.element_at(
+        F.array(*[F.lit(int(o)).cast("long") for o in offs]),
+        F.col(pid_col) + 1,
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_by, out: str = "rn", num_partitions: int | None = None
+) -> DataFrame:
+    """``df`` + exact 1-based global row number in ``order_by`` order
+    (a total order — pass a tiebreak). One range shuffle, one P-row
+    census, map-only rank arithmetic; never a single-partition sort."""
+    base, counts = _ranged(df, order_by, num_partitions)
+    return base.withColumn(
+        out, (_offsets_expr(counts) + F.col("_lrn")).cast("long")
+    ).drop("_gpid", "_lrn")
+
+
+def _ntile_from_rn(rn: Column, n_rows: int, n_tiles: int) -> Column:
+    """SQL NTILE(n) from a global row number: the first ``n_rows % n``
+    tiles take ``ceil(n_rows/n)`` rows, the rest ``floor(n_rows/n)`` —
+    closed-form integer arithmetic, no second pass."""
+    q, r = divmod(n_rows, n_tiles)
+    if q == 0:
+        # fewer rows than tiles: tile i gets row i
+        return rn.cast("long")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    # double division then floor is exact here: operands stay far
+    # below 2^52, where IEEE correctly-rounded quotients floor cleanly
+    tile_small = F.floor((rn - 1) / F.lit(q + 1)) + 1
+    tile_large = F.lit(r) + F.floor((rn - 1 - F.lit(big)) / F.lit(q)) + 1
+    return (
+        F.when(rn <= F.lit(big), tile_small).otherwise(tile_large)
+    ).cast("long")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by,
+    n_tiles: int,
+    out: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + exact ``NTILE(n_tiles) OVER (ORDER BY order_by)`` —
+    global row number via the two-phase rank, then the SQL NTILE
+    bucket-size rule as closed-form integer arithmetic (total row
+    count comes free from the phase-2 census)."""
+    base, counts = _ranged(df, order_by, num_partitions)
+    n_rows = sum(counts)
+    rn = _offsets_expr(counts) + F.col("_lrn")
+    return base.withColumn(out, _ntile_from_rn(rn, n_rows, n_tiles)).drop(
+        "_gpid", "_lrn"
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by,
+    value_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + exact running ``SUM(value_col)`` in ``order_by`` order
+    (ROWS UNBOUNDED PRECEDING frame; pass a total order).
+
+    The local running sum needs a real window, so this variant runs
+    one ``_gpid``-partitioned window after the range phase — a hash
+    exchange over P balanced partitions, NOT a single-partition sort.
+    Per-partition value totals ride the same census aggregate as the
+    row counts; their cumulative offsets are inlined as literals."""
+    base, counts = _ranged(df, order_by, num_partitions)
+    p = len(counts)
+    got = {
+        r["_gpid"]: r["s"]
+        for r in base.groupBy("_gpid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    sum_dtype = base.select(F.sum(value_col).alias("s")).schema["s"].dataType
+    offs, cum = [], 0
+    for i in range(p):
+        offs.append(cum)
+        cum += got.get(i) or 0
+    off_expr = F.element_at(
+        F.array(*[F.lit(o).cast(sum_dtype) for o in offs]),
+        F.col("_gpid") + 1,
+    )
+    w = (
+        Window.partitionBy("_gpid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn(
+        out, off_expr + F.sum(value_col).over(w)
+    ).drop("_gpid", "_lrn")
