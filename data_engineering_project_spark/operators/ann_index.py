@@ -44,14 +44,20 @@ def build_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Train the coarse quantizer and materialize the inverted lists.
 
     One kmeans fit + one assignment pass + one partitioned write; the
     shuffle implied by ``partitionBy`` is the index-build cost paid
     once. Each cell directory holds that cell's vectors contiguously,
-    so probes are sequential columnar reads."""
-    cents = kmeans_fit(corpus, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    so probes are sequential columnar reads. Pass ``centroids`` (a
+    (label, centroid) frame) to build the lists under an
+    already-fitted quantizer — e.g. one shared with an in-memory
+    audit — skipping the fit entirely."""
+    cents = centroids
+    if cents is None:
+        cents = kmeans_fit(corpus, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     cells = assign_cells(corpus, cents, id_col, vec_col)
     cells.write.mode("overwrite").partitionBy("cell").parquet(_cells_dir(path))
     cents.write.mode("overwrite").parquet(_cents_dir(path))

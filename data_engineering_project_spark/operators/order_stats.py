@@ -164,40 +164,50 @@ def global_ntile(
 def global_cumsum(
     df: DataFrame,
     order_by,
-    value_col: str,
-    out: str = "cum",
+    value_col,
+    out="cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` + exact running ``SUM(value_col)`` in ``order_by`` order
     (ROWS UNBOUNDED PRECEDING frame; pass a total order).
+    ``value_col``/``out`` may be parallel lists to carry several
+    running sums through ONE range phase and ONE window (e.g. the two
+    ECDF counts of a KS statistic).
 
     The local running sum needs a real window, so this variant runs
     one ``_gpid``-partitioned window after the range phase — a hash
     exchange over P balanced partitions, NOT a single-partition sort.
     Per-partition value totals ride the same census aggregate as the
     row counts; their cumulative offsets are inlined as literals."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(value_cols) != len(outs):
+        raise ValueError("value_col and out must have equal length")
     base, counts = _ranged(df, order_by, num_partitions)
     p = len(counts)
-    got = {
-        r["_gpid"]: r["s"]
-        for r in base.groupBy("_gpid")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    sum_dtype = base.select(F.sum(value_col).alias("s")).schema["s"].dataType
-    offs, cum = [], 0
-    for i in range(p):
-        offs.append(cum)
-        cum += got.get(i) or 0
-    off_expr = F.element_at(
-        F.array(*[F.lit(o).cast(sum_dtype) for o in offs]),
-        F.col("_gpid") + 1,
-    )
+    sums = base.groupBy("_gpid").agg(
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)]
+    ).collect()
+    per_pid = {r["_gpid"]: r for r in sums}
+    agg_schema = base.select(
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)]
+    ).schema
     w = (
         Window.partitionBy("_gpid")
         .orderBy("_lrn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return base.withColumn(
-        out, off_expr + F.sum(value_col).over(w)
-    ).drop("_gpid", "_lrn")
+    result = base
+    for i, (vc, oc) in enumerate(zip(value_cols, outs)):
+        offs, cum = [], 0
+        for pid in range(p):
+            offs.append(cum)
+            row = per_pid.get(pid)
+            cum += (row[f"s{i}"] if row is not None else 0) or 0
+        dtype = agg_schema[f"s{i}"].dataType
+        off_expr = F.element_at(
+            F.array(*[F.lit(o).cast(dtype) for o in offs]),
+            F.col("_gpid") + 1,
+        )
+        result = result.withColumn(oc, off_expr + F.sum(vc).over(w))
+    return result.drop("_gpid", "_lrn")

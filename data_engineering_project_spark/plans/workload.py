@@ -45,6 +45,8 @@ from data_engineering_project_spark.operators import (
     similarity,
     terms,
 )
+from data_engineering_project_spark.operators import ann_index
+from data_engineering_project_spark.operators import pq as pq_ops
 from data_engineering_project_spark.operators.asof import asof_join
 from data_engineering_project_spark.operators.joins import anti_join, semi_join
 from data_engineering_project_spark.plans import analytics
@@ -4501,22 +4503,23 @@ def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts covering the first 80% of
     revenue are A, the next 15% B, the tail C. Class boundaries are
     exact decimal integer compares (cum*5 < total*4, cum*20 <
-    total*19). Scale note: like order_value_deciles, the ranking is
-    ONE global-order window over the per-part aggregate (not raw
-    lineitems); at lake scale replace with two approx-percentile
-    revenue cutpoints and a map-side CASE."""
+    total*19). Rewired round 6: the revenue cumulative runs as the
+    two-phase range prefix-sum (operators/order_stats.global_cumsum —
+    DECIMAL-exact through literal per-partition offsets) and the
+    grand total is a broadcast scalar, so the part-scale rollup never
+    plans a single-partition window."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("revenue")
     )
-    w_cum = Window.orderBy(F.desc("revenue"), F.asc("partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = order_stats.global_cumsum(
+        rev, [F.desc("revenue"), F.asc("partkey")], "revenue", out="cum"
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum"),
-        F.sum("revenue").over(w_all).alias("total"),
+    # grand total = the last cumulative value, read off the
+    # checkpointed cumsum frame instead of re-aggregating lineitem
+    tot = cum.agg(F.max("cum").alias("total"))
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
+        "revenue", "cum", "total"
     )
     before = F.col("cum") - F.col("revenue")
     cls = (
@@ -5431,6 +5434,186 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_n") * 4 <= F.col("n_emb")).alias(
             "max_share_le_25pct"
         ),
+    )
+
+
+_ANN_INDEX_PATHS: dict = {}
+
+
+def _ann_index_path(spark, sf_dir) -> str:
+    """Session-shared persisted IVF index (operators/ann_index) built
+    once per (application, sf_dir) under the SAME shared quantizer as
+    the in-memory audits (_ivf_cents16) — the parity check must
+    compare probe paths, not two different fits. Lives under the
+    system temp dir; rebuilt per session (overwrite mode)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ANN_INDEX_PATHS.get(key)
+    if path is None:
+        import os
+        import tempfile
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ann_index",
+            spark.sparkContext.applicationId,
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        ann_index.build_index(
+            load(spark, sf_dir, "embeddings"),
+            path,
+            centroids=_ivf_cents16(spark, sf_dir),
+        )
+        _ANN_INDEX_PATHS[key] = path
+    return path
+
+
+@register(
+    "ann_index_parity",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS persisted_equals_inmemory,
+       TRUE AS probe_scan_partition_pruned
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def q_ann_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index (operators/ann_index: cell-partitioned
+    parquet inverted lists + centroid sidecar) probed end-to-end on
+    the driver's gate — invariant oracle, pack_documents-style:
+
+    - persisted_equals_inmemory: the partition-pruned probe of the
+      on-disk index returns the IDENTICAL (query, neighbor, cosine)
+      row set as the on-the-fly similarity.ivf_topk over the same
+      shared quantizer (_ivf_cents16) — the lake index is a layout
+      change, never an answer change (checked both directions with
+      exceptAll).
+    - probe_scan_partition_pruned: the probe's physical plan carries
+      a static PartitionFilter on the cell directories, i.e. the scan
+      reads ~n_probe/k_cells of the corpus bytes and skips the rest
+      at the DIRECTORY level — the entire point of persisting the
+      index (FAISS's inverted lists as partitioned parquet).
+
+    Float centroids are not bit-portable across engines, so the
+    oracle pins the invariants (cf. ivf_recall_check at
+    workload.py:5336); the raw operators are property-tested in
+    tests/test_ann_index.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = _ivf_cents16(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir)
+    persisted = ann_index.query_index(
+        spark, path, queries, k=5, n_probe=4
+    )
+    inmem = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=4)
+    cols = ["query_id", "neighbor_id", "cosine"]
+    diff = (
+        persisted.select(*cols).exceptAll(inmem.select(*cols)).count()
+        + inmem.select(*cols).exceptAll(persisted.select(*cols)).count()
+    )
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    seg = (
+        plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        if "PartitionFilters" in plan
+        else ""
+    )
+    return queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(diff == 0).alias("persisted_equals_inmemory"),
+        F.lit("cell" in seg).alias("probe_scan_partition_pruned"),
+    )
+
+
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_books(spark, sf_dir) -> list:
+    """Session-shared PQ codebooks (m=8 subspaces, k=16 codewords, two
+    Lloyd iterations — the deterministic lowest-id init shared with
+    the IVF family). The m sequential subspace fits are the expensive
+    part of the PQ pipeline and are paid once per session; at lake
+    scale codebooks train on a bounded sample (FAISS practice), which
+    this cache models."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        books = pq_ops.pq_train(
+            load(spark, sf_dir, "embeddings"), m=8, k=16, iters=2
+        )
+        _PQ_BOOKS_CACHE[key] = books
+    return books
+
+
+@register(
+    "pq_adc_recall",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS planted_dup_in_top10,
+       TRUE AS recall_ge_10pct,
+       TRUE AS encode_deterministic
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end on the driver's gate
+    (operators/pq: m-subspace codebooks, map-only L2-argmin encode,
+    ADC top-k via literal lookup tables) — invariant oracle:
+
+    - planted_dup_in_top10: an exact copy of each probe vector,
+      appended under a fresh id, encodes to identical codes and must
+      surface in that probe's ADC top-10 — the sharp retrieval check
+      that survives any data distribution.
+    - recall_ge_10pct: |ADC top-10 ∩ exact top-5| / 50 over the
+      shared 10-query probe set (_exact_topk5_q10) must beat 0.10 —
+      measured 0.28-0.42 at sf0.001/0.01/0.1 on this near-random
+      corpus (PQ's worst case; chance is ~0.02), so the bound flags a
+      broken quantizer, not noise.
+    - encode_deterministic: re-encoding the corpus yields the
+      identical code table (exceptAll both ways) — codes are pure
+      literal-argmin expressions, no sampling anywhere.
+
+    Codebook floats are engine-specific (partial-agg sum order), so
+    the oracle pins invariants, same contract as ivf_recall_check."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    enc = _shared_frame(
+        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    qp = queries.select("vec_id", "embedding").toPandas()
+    # planted twins: same vectors, ids offset far beyond the corpus
+    planted = spark.createDataFrame(
+        [
+            (int(r.vec_id) + 10_000_000, [float(x) for x in r.embedding])
+            for r in qp.itertuples(index=False)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
+    top10 = pq_ops.pq_adc_topk(enc_all, books, qp, k=10).localCheckpoint(
+        eager=True
+    )
+    dup_hits = (
+        top10.filter(
+            F.col("neighbor_id") == F.col("query_id") + 10_000_000
+        ).count()
+    )
+    exact = _exact_topk5_q10(spark, sf_dir)
+    hits = top10.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    enc2 = pq_ops.pq_encode(emb, books)
+    det = (
+        enc2.exceptAll(enc).count() == 0
+        and enc.exceptAll(enc2).count() == 0
+    )
+    n_q = len(qp)
+    return queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(dup_hits == n_q).alias("planted_dup_in_top10"),
+        F.lit(hits / (5.0 * n_q) >= 0.10).alias("recall_ge_10pct"),
+        F.lit(bool(det)).alias("encode_deterministic"),
     )
 
 
@@ -11894,8 +12077,11 @@ def q_mannwhitney_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     `eq` ties, 2·midrank = 2·less + eq + 1, so the doubled rank sum
     and doubled U are exact BIGINTs; only the final normal
     approximation (no tie correction; documented) divides in double.
-    One group-by on value + a cumulative window over the distinct
-    value domain, then a scalar reduce."""
+    One group-by on value, then the strictly-below count derives from
+    an INCLUSIVE two-phase range prefix-sum minus the row's own tie
+    mass (rewired round 6: operators/order_stats.global_cumsum — the
+    continuous value domain scales with the data), then a scalar
+    reduce."""
     orders = load(spark, sf_dir, "orders")
     o = orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -11909,15 +12095,13 @@ def q_mannwhitney_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("long").alias("m1"),
         F.sum(1 - F.col("g1")).cast("long").alias("m2"),
     )
-    before = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    rk = vals.select(
+    with_tot = vals.withColumn("mt", F.col("m1") + F.col("m2"))
+    rk = order_stats.global_cumsum(
+        with_tot, [F.asc("v")], "mt", out="cum_incl"
+    ).select(
         "m1", "m2",
-        F.coalesce(
-            F.sum(F.col("m1") + F.col("m2")).over(before), F.lit(0)
-        ).alias("less"),
-        (F.col("m1") + F.col("m2")).alias("eq"),
+        (F.col("cum_incl") - F.col("mt")).alias("less"),
+        F.col("mt").alias("eq"),
     )
     s = rk.agg(
         F.sum("m1").cast("long").alias("n1"),
@@ -12051,10 +12235,12 @@ def q_ks_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     every comparison is done in exact integer space — the ECDF gap is
     maximized as |F1·n2 − F2·n1| over cumulative BIGINT counts, and
     only the final D and z statistics divide in double. One group-by
-    on the distinct value domain + a cumulative window; the global
-    window is the documented ECDF serialization point — at lake scale
-    the same statistic runs on a binned ECDF (value histogram), which
-    caps the window input at the bin count."""
+    on the distinct value domain, then BOTH cumulative ECDF counts
+    ride one two-phase range prefix-sum (rewired round 6:
+    operators/order_stats.global_cumsum multi-column form) — the
+    continuous-value domain scales with the data, so the ECDF
+    cumulative must never serialize; group totals are a broadcast
+    scalar pair."""
     orders = load(spark, sf_dir, "orders")
     o = orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -12068,16 +12254,13 @@ def q_ks_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("long").alias("c1"),
         F.sum(1 - F.col("g1")).cast("long").alias("c2"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    totals = vals.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
     )
-    w_all = Window.partitionBy()
-    cum = vals.select(
-        F.sum("c1").over(w_cum).alias("f1"),
-        F.sum("c2").over(w_cum).alias("f2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-    )
+    cum = order_stats.global_cumsum(
+        vals, [F.asc("v")], ["c1", "c2"], out=["f1", "f2"]
+    ).crossJoin(F.broadcast(totals))
     s = cum.agg(
         F.max("n1").cast("long").alias("n1"),
         F.max("n2").cast("long").alias("n2"),
@@ -12916,21 +13099,19 @@ def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal buckets, report per-decile positive rate and cumulative
     capture. Rank and tie-break (score DESC, doc_id) are fully
     deterministic; every statistic is a BIGINT count with one
-    rounded division. The global NTILE is the documented order-stat
-    serialization (deciles by approx-quantile cutpoints at lake
-    scale); the final window runs over 10 rows."""
+    rounded division. The document-scale NTILE runs as the two-phase
+    range-rank (rewired round 6: operators/order_stats.global_ntile);
+    the final capture windows run over the 10-row decile frame
+    (bounded by construction — allowlisted in test_plan_audit)."""
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         text_fns.quality_score("text").alias("score"),
     )
-    deciled = scored.select(
-        "pos",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("decile"),
-    )
+    deciled = order_stats.global_ntile(
+        scored, [F.desc("score"), F.asc("doc_id")], 10, out="decile"
+    ).select("pos", "decile")
     g = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("pos").cast("long").alias("n_pos"),
@@ -13412,9 +13593,10 @@ def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the customer_revenue_gini scalar (the Gini is twice the
     area between this curve and the diagonal). Counts and cent sums
     are exact BIGINTs with one rounded division per output cell; the
-    global NTILE is the documented order-stat serialization
-    (approx-quantile cutpoints at lake scale); the share window runs
-    over 10 rows."""
+    customer-scale NTILE runs as the two-phase range-rank (rewired
+    round 6: operators/order_stats.global_ntile); the remaining share
+    windows run over the 10-row decile frame (bounded by
+    construction — allowlisted in test_plan_audit)."""
     orders = load(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(
@@ -13423,12 +13605,9 @@ def q_revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    rk = per.select(
-        "cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
-        .alias("decile"),
-    )
+    rk = order_stats.global_ntile(
+        per, [F.asc("cents"), F.asc("o_custkey")], 10, out="decile"
+    ).select("cents", "decile")
     g = rk.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("s"),
@@ -15436,23 +15615,29 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract; bm25_topk20 / cosine_topk_fast produce the real
     inputs). RRF needs only integer ranks, so the fused score is a
     two-term sum of identical doubles in both engines — no float
-    aggregation at all. The rank windows are global by nature of
-    ranking; they run over the BOUNDED per-doc score frame, not raw
-    tokens."""
+    aggregation at all. Rewired round 6: each ranking is its own
+    two-phase range-rank (operators/order_stats.global_row_number)
+    re-joined on doc_id — document-scale rankings with zero
+    single-partition sorts; the scored rollup is checkpointed so the
+    text pass runs once."""
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         text_fns.quality_score("text").alias("q"),
         F.size(F.split("text", " ")).cast("long").alias("toks"),
+    ).localCheckpoint(eager=True)
+    rq = order_stats.global_row_number(
+        scored.select("doc_id", "q"),
+        [F.desc("q"), F.asc("doc_id")],
+        out="r_quality",
     )
-    ranked = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("q"), F.asc("doc_id")))
-        .alias("r_quality"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("toks"), F.asc("doc_id")))
-        .alias("r_length"),
+    rl = order_stats.global_row_number(
+        scored.select("doc_id", "toks"),
+        [F.desc("toks"), F.asc("doc_id")],
+        out="r_length",
+    )
+    ranked = rq.select("doc_id", "r_quality").join(
+        rl.select("doc_id", "r_length"), "doc_id"
     )
     return (
         ranked.select(
@@ -15871,13 +16056,17 @@ _DRIVER_PROVEN_R05 = (
 # (or oracle) was rewritten AFTER their green row was recorded are forced
 # back into the checked window for a fresh row.  Round-3/4/5's reverify
 # sets all earned fresh rows the following round.  Round-6 entries: the
-# seven global-window queries rewired onto the two-phase range-rank
+# eight global-window queries rewired onto the two-phase range-rank
 # (operators/order_stats) — oracles unchanged, outputs sim-verified
 # hash-identical at sf0.01, but the badges attest the old
-# single-partition bodies.  They queue BEHIND the never-proven names
-# (see _rotated): the 49-name round-4/5 statistical queue plus the new
-# ann-index entry fill round 6's 50-slot window exactly, so these seven
-# lead round 7's window.
+# single-partition bodies.  (The other four entity-scale rewires —
+# revenue_lorenz_deciles, score_decile_lift, hybrid_rank_fusion,
+# ks_priority_value, mannwhitney_priority_value — were never proven,
+# so their first rows this round already attest the new bodies.)
+# Reverify names queue BEHIND the never-proven names (see _rotated):
+# the 49-name round-4/5 statistical queue plus the new ann-index entry
+# fill round 6's 50-slot window exactly, so these eight lead round 7's
+# window.
 _REVERIFY = frozenset(
     {
         "order_value_deciles",
@@ -15887,6 +16076,7 @@ _REVERIFY = frozenset(
         "zipf_fit",
         "vocab_oov_rate",
         "peak_concurrent_sessions",
+        "part_abc_classes",
     }
 )
 
@@ -15900,6 +16090,14 @@ _REVERIFY = frozenset(
 _LIBRARY_ONLY = frozenset(
     {"minhash_lsh_pairs", "dedup_clusters", "simhash_signatures"}
 )
+
+# Queries first registered in round 6 (invariant-oracled entries for
+# the persisted ANN index and product quantization).  They joined the
+# registry AFTER the round-4/5 statistical batch had already waited
+# two rounds for its driver window, so _rotated queues them behind it:
+# ann_index_parity takes the window's 50th slot this round,
+# pq_adc_recall leads round 7's never-proven front.
+_REGISTERED_R06 = frozenset({"ann_index_parity", "pq_adc_recall"})
 
 
 def _rotated(names: list[str]) -> list[str]:
@@ -15917,6 +16115,11 @@ def _rotated(names: list[str]) -> list[str]:
     )
     names = [n for n in names if n not in _LIBRARY_ONLY]
     never = [n for n in names if n not in ever_proven]
+    # FIFO within the never-proven queue: names registered in earlier
+    # rounds have waited longest for the bounded window — new round-6
+    # registrations queue behind them regardless of file position
+    pos = {n: i for i, n in enumerate(never)}
+    never.sort(key=lambda n: (n in _REGISTERED_R06, pos[n]))
     revs = [n for n in names if n in ever_proven and n in _REVERIFY]
     attested = [
         n for n in names if n in ever_proven and n not in _REVERIFY

@@ -127,6 +127,54 @@ def test_global_cumsum_long_values_exact(spark):
     assert got == want
 
 
+def test_global_cumsum_multi_column(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    )
+    got = {
+        r["i"]: (r["ca"], r["cb"])
+        for r in order_stats.global_cumsum(
+            df, [F.asc("i")], ["a", "b"], out=["ca", "cb"], num_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["i"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "i", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_decimal_exact(spark):
+    from decimal import Decimal
+
+    df = spark.range(200).select(
+        F.col("id").alias("i"),
+        (F.col("id").cast("decimal(38,6)") / 7).cast("decimal(38,6)").alias("d"),
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in order_stats.global_cumsum(
+            df, [F.asc("i")], "d", out="c", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["i"]: r["c"]
+        for r in df.select("i", F.sum("d").over(w).alias("c")).collect()
+    }
+    assert got == want
+    assert all(isinstance(v, Decimal) for v in got.values())
+
+
 def test_empty_frame(spark):
     df = _frame(spark, n=0)
     assert order_stats.global_row_number(df, [F.asc("i")], num_partitions=4).count() == 0
