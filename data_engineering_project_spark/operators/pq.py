@@ -82,14 +82,24 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
-    books = []
-    for j in range(m):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit(j: int):
         sub = df.select(
             F.col(id_col),
             F.expr(_subvec_sql(vec_col, j, d)).alias(vec_col),
         )
-        books.append(kmeans_fit(sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col))
-    return books
+        return kmeans_fit(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+
+    # the m fits are independent jobs on disjoint column slices —
+    # submitting them from threads lets Spark's scheduler interleave
+    # their stages instead of paying m sequential job latencies
+    # (thread-safe: SparkSession job submission is, and kmeans_fit
+    # holds no shared state)
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(fit, range(m)))
 
 
 def pq_encode(
@@ -129,17 +139,20 @@ def pq_adc_topk(
 
     Per query, the m x k_sub table of <query subvector, codeword>
     inner products is computed driver-side (bounded: queries are small
-    by contract, codebooks are control-plane frames) and inlined as
-    literal arrays; scoring a corpus row is then m ``element_at``
-    reads + adds inside codegen — no vector arithmetic against the
-    corpus at all, which is the entire point of ADC. Ranking is
-    (rounded score desc, neighbor id asc), the repo's tiebreak
-    convention.
+    by contract, codebooks are control-plane frames) and shipped as a
+    BROADCAST (query_id, tables) frame; scoring is ONE
+    BroadcastNestedLoopJoin pass over the encoded corpus — each
+    (query, row) pair costs m nested ``element_at`` reads + adds
+    inside a single codegen stage (no per-query plan branches, no
+    unions: the per-query-union form paid the whole-stage-codegen
+    compiler once PER QUERY, which dwarfed the actual scoring).
+    Ranking is (rounded score desc, neighbor id asc), the repo's
+    tiebreak convention.
 
     Lookup tables are keyed BY LABEL VALUE, not by sorted position:
     :func:`similarity.kmeans_fit`'s Lloyd update drops cells that
     empty mid-fit, so a codebook's labels need not be contiguous
-    0..k-1 — the table array is sized max(label)+1 with each
+    0..k-1 — each table array is sized max(label)+1 with the
     codeword's inner product placed at index ``label`` (gap slots
     hold NULL and are unreachable: pq_encode only ever emits labels
     that exist in the codebook)."""
@@ -153,35 +166,37 @@ def pq_adc_topk(
         )
     m = len(book_maps)
     d = len(next(iter(book_maps[0].values())))
-    per_query = []
+    spark = encoded.sparkSession
+    q_rows = []
     for q in queries_pdf.itertuples(index=False):
         qid = getattr(q, query_id_col)
         qv = [float(x) for x in getattr(q, query_vec_col)]
-        score = None
+        tables = []
         for j, book in enumerate(book_maps):
             table = {
                 lbl: sum(qv[j * d + t] * c[t] for t in range(d))
                 for lbl, c in book.items()
             }
-            slots = [table.get(i) for i in range(max(table) + 1)]
-            lits = F.array(
-                *[
-                    F.lit(v) if v is not None else F.lit(None).cast("double")
-                    for v in slots
-                ]
-            )
-            term = F.element_at(lits, F.element_at("codes", j + 1) + 1)
-            score = term if score is None else score + term
-        per_query.append(
-            encoded.filter(F.col(id_col) != F.lit(qid)).select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                F.round(score, 6).alias("adc_ip"),
-            )
+            tables.append([table.get(i) for i in range(max(table) + 1)])
+        q_rows.append((int(qid), tables))
+    qdf = spark.createDataFrame(
+        q_rows, "query_id long, tabs array<array<double>>"
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("tabs", j + 1), F.element_at("codes", j + 1) + 1
         )
-    scored = per_query[0]
-    for frame in per_query[1:]:
-        scored = scored.unionByName(frame)
+        score = term if score is None else score + term
+    scored = (
+        encoded.join(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(score, 6).alias("adc_ip"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_ip"), F.asc("neighbor_id")
     )
