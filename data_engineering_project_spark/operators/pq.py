@@ -134,8 +134,16 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: (query_id, neighbor_id, adc_ip).
+
+    ``candidates`` (optional) is a (query_id, ``id_col``) pair frame
+    restricting which rows each query may rank — FAISS's
+    ``search_preassigned`` hook, i.e. the IVFPQ composition point: the
+    IVF probe emits per-query candidate pairs, ADC ranks only those
+    (a semi-join BEFORE the rank window, so pruned rows are never
+    scored into the top-k).
 
     Per query, the m x k_sub table of <query subvector, codeword>
     inner products is computed driver-side (bounded: queries are small
@@ -197,6 +205,12 @@ def pq_adc_topk(
             F.round(score, 6).alias("adc_ip"),
         )
     )
+    if candidates is not None:
+        scored = scored.join(
+            candidates.withColumnRenamed(id_col, "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_ip"), F.asc("neighbor_id")
     )

@@ -5616,6 +5616,97 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivfpq_recall",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS probe_pruned_candidates,
+       TRUE AS planted_dup_survives,
+       TRUE AS adc_subset_of_probed
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVFPQ serving pipeline on the driver's gate — the
+    standard two-stage ANN architecture (Jegou et al., FAISS): the
+    coarse quantizer prunes WHICH rows a query touches (IVF probe over
+    the shared _ivf_cents16 fit), then compressed codes rank only the
+    survivors (ADC over the shared _pq_books codebooks). Invariant
+    oracle, same contract as its two component entries
+    (ann_index_parity, pq_adc_recall):
+
+    - probe_pruned_candidates: the candidate set after the cell probe
+      is strictly smaller than the corpus for every query (pruning
+      really happened; at n_probe=4 of 16 cells a balanced quantizer
+      leaves ~25% of rows).
+    - planted_dup_survives: an exact copy of each probe vector lands
+      in the query's own best cell (same argmax), encodes to identical
+      codes, and must appear in the query's final ADC top-10 — the
+      end-to-end retrieval property the two-stage pipeline exists to
+      preserve.
+    - adc_subset_of_probed: every returned neighbor belongs to the
+      query's probed cells (the re-rank never leaks a row the probe
+      pruned away).
+
+    All heavy state is session-shared (quantizer, codebooks, encoded
+    corpus), so this entry pays only the probe join + one pruned ADC
+    pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = _ivf_cents16(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    enc = _shared_frame(
+        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
+    )
+    cells = similarity.assign_cells(emb, cents)
+    qp = queries.select("vec_id", "embedding").toPandas()
+    planted_rows = [
+        (int(r.vec_id) + 10_000_000, [float(x) for x in r.embedding])
+        for r in qp.itertuples(index=False)
+    ]
+    planted = spark.createDataFrame(
+        planted_rows, "vec_id long, embedding array<float>"
+    )
+    cells_all = cells.unionByName(similarity.assign_cells(planted, cents))
+    enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
+    probes = similarity.probe_assignments(
+        queries, cents, n_probe=4
+    ).localCheckpoint(eager=True)
+    # per-query candidate pairs: rows whose cell is among THAT query's
+    # probed cells — the search_preassigned input of the ADC stage
+    survivors = (
+        cells_all.select("vec_id", "cell")
+        .join(probes.select("query_id", "cell"), "cell")
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = enc_all.count()
+    cand_counts = (
+        survivors.groupBy("query_id").agg(F.count(F.lit(1)).alias("c"))
+    ).collect()
+    pruned = len(cand_counts) == len(qp) and all(
+        r["c"] < n_corpus for r in cand_counts
+    )
+    ranked = pq_ops.pq_adc_topk(
+        enc_all, books, qp, k=10, candidates=survivors
+    ).localCheckpoint(eager=True)
+    dup_hits = ranked.filter(
+        F.col("neighbor_id") == F.col("query_id") + 10_000_000
+    ).count()
+    leaked = ranked.join(
+        survivors.withColumnRenamed("vec_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    ).count()
+    n_q = len(qp)
+    return queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(bool(pruned)).alias("probe_pruned_candidates"),
+        F.lit(dup_hits == n_q).alias("planted_dup_survives"),
+        F.lit(leaked == 0).alias("adc_subset_of_probed"),
+    )
+
+
+@register(
     "doc_lm_score",
     """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -16095,7 +16186,9 @@ _LIBRARY_ONLY = frozenset(
 # two rounds for its driver window, so _rotated queues them behind it:
 # ann_index_parity takes the window's 50th slot this round,
 # pq_adc_recall leads round 7's never-proven front.
-_REGISTERED_R06 = frozenset({"ann_index_parity", "pq_adc_recall"})
+_REGISTERED_R06 = frozenset(
+    {"ann_index_parity", "pq_adc_recall", "ivfpq_recall"}
+)
 
 
 def _rotated(names: list[str]) -> list[str]:
