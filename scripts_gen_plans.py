@@ -56,6 +56,9 @@ SHOWCASE = {
     "span_scrub_stats": "span scrub: window hashes scan-side, cross-doc df on 60-bit hashes only, doc-keyed rewrite join — text never shuffles",
     "event_type_overlap_sketch": "HLL overlap: one scan builds per-type sketches; pairwise unions are sketch merges on a 5-row frame, no per-pair rescans",
     "revenue_bridge": "revenue bridge: per-part DECIMAL rollups, effects as DECIMAL-truncated term sums, anti-joins for new/lost parts",
+    "order_value_deciles": "two-phase global NTILE (order_stats): range exchange + census offsets — NO WindowExec, NO Exchange SinglePartition in the plan",
+    "ks_priority_value": "two-sample KS: both ECDF cumulatives ride ONE range prefix-sum (multi-column order_stats.global_cumsum), totals broadcast",
+    "ivfpq_recall": "composed IVFPQ: probe-pruned candidate pairs semi-join the broadcast-ADC scored pairs BEFORE the rank window",
 }
 
 
