@@ -16010,6 +16010,118 @@ def q_copurchase_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Round-6 batch 2: tokenizer-fertility and encoding-quality audits
+# (corpus-curation staples the SURVEY's LLM-pipeline mandate names
+# explicitly: "token counting (whitespace + a BPE-ish regex)").
+
+
+@register(
+    "subword_token_stats",
+    """
+WITH t AS (
+    SELECT lang,
+           len(string_split(text, ' ')) AS ws_toks,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+             + len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS sub_toks
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_toks) AS BIGINT) AS whitespace_tokens,
+       CAST(SUM(sub_toks) AS BIGINT) AS subword_tokens,
+       ROUND(CAST(SUM(sub_toks) AS DOUBLE) / SUM(ws_toks), 4)
+           AS fertility
+FROM t GROUP BY lang ORDER BY lang
+""",
+)
+def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit: whitespace token counts vs a BPE-ish
+    subword segmentation (word bodies as runs of [A-Za-z0-9_], every
+    other non-space character its own token — the GPT-2-pretokenizer
+    shape reduced to explicit character classes so BOTH engines'
+    RE2-based regex evaluate it identically; lookaround splits are
+    not RE2-expressible). Fertility (subword/whitespace ratio) is THE
+    sizing number for token budgets: it converts corpus word counts
+    into model token counts per language. One map-only projection
+    (two regexp_extract_all inside codegen) + a lang rollup."""
+    docs = load(spark, sf_dir, "documents")
+    word_runs = F.size(F.expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)"))
+    loose_punct = F.size(
+        F.expr("regexp_extract_all(text, '[^A-Za-z0-9_ ]', 0)")
+    )
+    t = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("ws_toks"),
+        (word_runs + loose_punct).alias("sub_toks"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws_toks").cast("long").alias("whitespace_tokens"),
+            F.sum("sub_toks").cast("long").alias("subword_tokens"),
+            F.round(
+                F.sum("sub_toks").cast("double") / F.sum("ws_toks"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "mojibake_audit",
+    """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN position(chr(65533) IN text) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+       CAST(SUM(CASE WHEN regexp_matches(text,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+       ROUND(CAST(SUM(CASE WHEN position(chr(65533) IN text) > 0
+                           OR regexp_matches(text,
+                              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bad_share
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality audit per source: documents carrying U+FFFD
+    replacement characters (the scar a lossy transcode leaves) or
+    bare C0 control bytes (NUL..US except tab/newline/CR — binary
+    junk that leaked into 'text'). The first gate a crawl shard
+    passes before tokenization; a nonzero bad_share flags a broken
+    extraction pipeline upstream. Pure codegen predicates (contains +
+    one character-class regex), one source rollup. The synthetic
+    corpus is clean — zeros here are the expected PASS, and the
+    operator is what's being proven (planted-junk behavior is
+    unit-tested in tests/test_text_functions.py)."""
+    docs = load(spark, sf_dir, "documents")
+    has_repl = F.col("text").contains("�")
+    has_ctrl = F.col("text").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(has_repl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_replacement"),
+            F.sum(F.when(has_ctrl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_control"),
+            F.round(
+                F.sum(F.when(has_repl | has_ctrl, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bad_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # Queries that already earned a green driver CORRECTNESS row (all three
 # checks) in round 1.  The driver oracle-checks only the FIRST 50 entries
 # of queries(), so proven names rotate to the back and the still-unchecked
@@ -16187,7 +16299,13 @@ _LIBRARY_ONLY = frozenset(
 # ann_index_parity takes the window's 50th slot this round,
 # pq_adc_recall leads round 7's never-proven front.
 _REGISTERED_R06 = frozenset(
-    {"ann_index_parity", "pq_adc_recall", "ivfpq_recall"}
+    {
+        "ann_index_parity",
+        "pq_adc_recall",
+        "ivfpq_recall",
+        "subword_token_stats",
+        "mojibake_audit",
+    }
 )
 
 

@@ -72,3 +72,42 @@ def test_char_entropy_of_uniform_alphabet_is_log2_k(spark, tmp_path):
     r = workload.QUERIES["char_entropy_by_lang"](spark, d).collect()[0]
     assert r["alphabet_size"] == 4
     assert r["entropy_bits"] == _pt.approx(2.0, abs=1e-9)
+
+
+def test_mojibake_audit_flags_planted_junk(spark, tmp_path):
+    from data_engineering_project_spark.plans import workload
+
+    d = str(tmp_path / "moji")
+    rows = [
+        (1, "clean text here", "en", "a", 15),
+        (2, "lossy transco�de", "en", "a", 15),   # U+FFFD
+        (3, "null byte \x00 leaked", "en", "b", 17),   # C0 control
+        (4, "tabs\tand\nnewlines are fine", "en", "b", 25),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in workload.QUERIES["mojibake_audit"](spark, d).collect()
+    }
+    assert got["a"]["n_replacement"] == 1 and got["a"]["n_control"] == 0
+    assert got["b"]["n_replacement"] == 0 and got["b"]["n_control"] == 1
+    assert got["a"]["bad_share"] == 0.5 and got["b"]["bad_share"] == 0.5
+
+
+def test_subword_token_stats_fertility(spark, tmp_path):
+    from data_engineering_project_spark.plans import workload
+
+    d = str(tmp_path / "fert")
+    # "don't stop, world!" -> ws=3; word runs {don,t,stop,world}=4 +
+    # loose punct {',',',','!'}=3 -> sub=7
+    spark.createDataFrame(
+        [(1, "don't stop, world!", "en", "s", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    r = workload.QUERIES["subword_token_stats"](spark, d).collect()[0]
+    assert r["whitespace_tokens"] == 3
+    assert r["subword_tokens"] == 7
+    assert r["fertility"] == round(7 / 3, 4)
