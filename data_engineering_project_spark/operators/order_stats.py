@@ -42,11 +42,14 @@ convention): with duplicate sort keys the local tie order inside a
 partition is nondeterministic, exactly as it is for the single-window
 form.
 
-Used by the formerly global-window workload queries
+Used by the twelve formerly global-window workload queries
 (order_value_deciles, rfm_segments, customer_revenue_gini,
-ranking_rank_correlation, zipf_fit, peak_concurrent_sessions) and
-guarded by tests/test_plan_audit.py, which rejects any registered plan
-carrying an unpartitioned WindowExec over an unbounded frame.
+ranking_rank_correlation, zipf_fit, peak_concurrent_sessions,
+part_abc_classes, revenue_lorenz_deciles, score_decile_lift,
+hybrid_rank_fusion, ks_priority_value, mannwhitney_priority_value)
+and guarded by tests/test_plan_audit.py, which rejects any registered
+plan carrying an unpartitioned WindowExec over an unbounded frame
+outside the justified BOUNDED_GLOBAL_WINDOWS allowlist.
 """
 
 from __future__ import annotations
