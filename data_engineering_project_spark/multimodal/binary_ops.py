@@ -202,7 +202,13 @@ def decode_and_featurize(df: DataFrame, dim: int = 8) -> DataFrame:
         px = decode_image(p)
         if px is None:
             return _hash_features(bytes(p), dim)
-        return pixel_features(resize_rgb(px, 16, 16))[:dim]
+        feats = pixel_features(resize_rgb(px, 16, 16))
+        # honor the dim contract on BOTH paths: the pixel descriptor
+        # is 8 floats, the hash fallback is dim floats — zero-pad or
+        # truncate so one column never mixes feature lengths
+        if len(feats) < dim:
+            feats = feats + [0.0] * (dim - len(feats))
+        return feats[:dim]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

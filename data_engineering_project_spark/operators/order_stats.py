@@ -180,8 +180,16 @@ def global_cumsum(
     The local running sum needs a real window, so this variant runs
     one ``_gpid``-partitioned window after the range phase — a hash
     exchange over P balanced partitions, NOT a single-partition sort.
-    Per-partition value totals ride the same census aggregate as the
-    row counts; their cumulative offsets are inlined as literals."""
+    Per-partition value totals (and non-null counts) ride the same
+    census aggregate as the row counts; their cumulative offsets are
+    inlined as literals.
+
+    NULL semantics match the single-window SQL form exactly: a row
+    whose global prefix holds zero non-null values yields NULL, any
+    other row yields the sum of the non-null prefix — even when a
+    whole range partition's local prefix is all NULL (the literal
+    offset carries the prior partitions' total; the non-null prefix
+    count decides NULL vs 0-start)."""
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     outs = [out] if isinstance(out, str) else list(out)
     if len(value_cols) != len(outs):
@@ -189,7 +197,8 @@ def global_cumsum(
     base, counts = _ranged(df, order_by, num_partitions)
     p = len(counts)
     sums = base.groupBy("_gpid").agg(
-        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)]
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
+        *[F.count(c).alias(f"n{i}") for i, c in enumerate(value_cols)],
     ).collect()
     per_pid = {r["_gpid"]: r for r in sums}
     agg_schema = base.select(
@@ -202,15 +211,31 @@ def global_cumsum(
     )
     result = base
     for i, (vc, oc) in enumerate(zip(value_cols, outs)):
-        offs, cum = [], 0
+        offs, noffs, cum, ncum = [], [], 0, 0
         for pid in range(p):
             offs.append(cum)
+            noffs.append(ncum)
             row = per_pid.get(pid)
-            cum += (row[f"s{i}"] if row is not None else 0) or 0
+            if row is not None:
+                cum += row[f"s{i}"] or 0
+                ncum += row[f"n{i}"] or 0
         dtype = agg_schema[f"s{i}"].dataType
         off_expr = F.element_at(
             F.array(*[F.lit(o).cast(dtype) for o in offs]),
             F.col("_gpid") + 1,
         )
-        result = result.withColumn(oc, off_expr + F.sum(vc).over(w))
+        noff_expr = F.element_at(
+            F.array(*[F.lit(int(n)).cast("long") for n in noffs]),
+            F.col("_gpid") + 1,
+        )
+        nonnull_prefix = noff_expr + F.count(vc).over(w)
+        running = off_expr + F.coalesce(
+            F.sum(vc).over(w), F.lit(0).cast(dtype)
+        )
+        result = result.withColumn(
+            oc,
+            F.when(nonnull_prefix > 0, running).otherwise(
+                F.lit(None).cast(dtype)
+            ),
+        )
     return result.drop("_gpid", "_lrn")

@@ -175,6 +175,16 @@ def pq_adc_topk(
     m = len(book_maps)
     d = len(next(iter(book_maps[0].values())))
     spark = encoded.sparkSession
+    # query_id keeps the caller's id type: integer-kind pandas dtypes
+    # ship as long, float as double, anything else as string — the
+    # broadcast frame's key must compare cleanly against id_col
+    kind = queries_pdf[query_id_col].dtype.kind
+    if kind in "iu":
+        qid_type, coerce = "long", int
+    elif kind == "f":
+        qid_type, coerce = "double", float
+    else:
+        qid_type, coerce = "string", str
     q_rows = []
     for q in queries_pdf.itertuples(index=False):
         qid = getattr(q, query_id_col)
@@ -186,9 +196,9 @@ def pq_adc_topk(
                 for lbl, c in book.items()
             }
             tables.append([table.get(i) for i in range(max(table) + 1)])
-        q_rows.append((int(qid), tables))
+        q_rows.append((coerce(qid), tables))
     qdf = spark.createDataFrame(
-        q_rows, "query_id long, tabs array<array<double>>"
+        q_rows, f"query_id {qid_type}, tabs array<array<double>>"
     )
     score = None
     for j in range(m):

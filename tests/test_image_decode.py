@@ -129,3 +129,33 @@ def test_kernel_routes_real_and_fallback(spark, img):
     # unsupported codec -> the declared deterministic hash fallback
     assert feats["j"] == pytest.approx(_hash_features(junk), abs=1e-6)
     assert feats["j"] != pytest.approx(feats["p"], abs=1e-3)
+
+
+def test_dim_contract_uniform_across_paths(spark, img):
+    """dim > 8 (ADVICE r06): decoded payloads zero-pad the 8-float
+    pixel descriptor to dim; the hash fallback is dim-long natively —
+    one column never mixes feature lengths."""
+    ppm = make_ppm(img)
+    junk = b"\x89PNG not really"
+    media = spark.createDataFrame(
+        [
+            ("p", "image/x-portable-pixmap", bytearray(ppm)),
+            ("j", "image/png", bytearray(junk)),
+        ],
+        "media_id string, mime string, payload binary",
+    )
+    feats = {
+        r["media_id"]: list(r["feature"])
+        for r in decode_and_featurize(media, dim=12).collect()
+    }
+    assert len(feats["p"]) == 12 and len(feats["j"]) == 12
+    assert feats["p"][:8] == pytest.approx(
+        pixel_features(resize_rgb(img, 16, 16)), abs=1e-6
+    )
+    assert feats["p"][8:] == [0.0] * 4
+    # truncation side of the contract
+    feats4 = {
+        r["media_id"]: list(r["feature"])
+        for r in decode_and_featurize(media, dim=4).collect()
+    }
+    assert len(feats4["p"]) == 4 and len(feats4["j"]) == 4

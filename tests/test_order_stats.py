@@ -199,3 +199,38 @@ def test_cumsum_plan_window_is_partitioned(spark):
     assert "Exchange SinglePartition" not in plan
     # the local-cumsum window partitions by _gpid
     assert "windowspecdefinition(_gpid" in plan
+
+
+def test_global_cumsum_null_values_match_window(spark):
+    """SQL NULL semantics (ADVICE r06): rows whose entire global
+    prefix is NULL stay NULL; an all-NULL prefix INSIDE a later range
+    partition still carries the prior partitions' running total."""
+    # first ~150 rows NULL (covers whole leading partitions at p=5),
+    # then alternating NULL/value so later partitions open with NULLs
+    df = spark.range(600).select(
+        F.col("id").alias("i"),
+        F.when(
+            (F.col("id") < 150) | (F.col("id") % 2 == 0), F.lit(None)
+        )
+        .otherwise(F.col("id").cast("double"))
+        .alias("x"),
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in order_stats.global_cumsum(
+            df, [F.asc("i")], "x", out="c", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["i"]: r["c"]
+        for r in df.select("i", F.sum("x").over(w).alias("c")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
