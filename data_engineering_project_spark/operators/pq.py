@@ -158,12 +158,14 @@ def pq_adc_topk(
     tiebreak convention.
 
     Lookup tables are keyed BY LABEL VALUE, not by sorted position:
-    :func:`similarity.kmeans_fit`'s Lloyd update drops cells that
-    empty mid-fit, so a codebook's labels need not be contiguous
-    0..k-1 — each table array is sized max(label)+1 with the
-    codeword's inner product placed at index ``label`` (gap slots
-    hold NULL and are unreachable: pq_encode only ever emits labels
-    that exist in the codebook)."""
+    a codebook's labels are not assumed contiguous 0..k-1 (since
+    round 7 :func:`similarity.kmeans_fit` carries empty cells
+    forward, so ITS labels are always dense, but this scorer accepts
+    any labeled codebook — e.g. one with pruned codewords) — each
+    table array is sized max(label)+1 with the codeword's inner
+    product placed at index ``label`` (gap slots hold NULL and are
+    unreachable: pq_encode only ever emits labels that exist in the
+    codebook)."""
     from pyspark.sql import Window
 
     book_maps = []

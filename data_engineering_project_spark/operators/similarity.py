@@ -243,24 +243,35 @@ def kmeans_fit(
     only a stand-in when the data happens to ship clusters). Per
     iteration: assign = broadcast-k cosine argmax per vector (map-side,
     no corpus shuffle), update = per-(cell, dim) mean via posexplode —
-    one shuffle of k×dim rows. Init = the k lowest-id vectors
-    (deterministic; k-means++ would sample), fetched with one
-    TakeOrdered job and rebuilt as a k-row local frame — no window, no
-    checkpoint. Intermediate centroid frames stay LAZY: each is
-    consumed exactly once (the next assignment pass collects it to
-    inline the literals, which also cuts the lineage), so only the
-    final frame — which downstream consumers join repeatedly — is
-    checkpointed.
+    one shuffle of k×dim rows collected to the driver (a k-row
+    control-plane frame; the next assignment inlines it as literals
+    anyway). Init = the k lowest-id vectors (deterministic; k-means++
+    would sample), fetched with one TakeOrdered job.
+
+    A cell that receives NO vectors in an assignment pass keeps its
+    previous centroid (the standard Lloyd empty-cluster fallback)
+    instead of vanishing from the codebook: the fit always returns
+    exactly k labeled centroids, so a downstream IVF index never
+    silently shrinks its cell count and ivf_cell_balance's
+    16-populated-cells audit measures assignment-time health, not
+    fit-time survivorship. (A carried-forward centroid can still own
+    zero vectors at assignment time — that residual degeneration is
+    exactly what the audit flags.)
     """
     spark = df.sparkSession
     rows = df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("centroid")).collect()
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(rows)],
-        "label int, centroid array<double>",
-    )
+    cent_map: dict[int, list[float]] = {
+        i: [float(x) for x in r["centroid"]] for i, r in enumerate(rows)
+    }
+
+    def as_frame():
+        return spark.createDataFrame(
+            sorted(cent_map.items()), "label int, centroid array<double>"
+        )
+
     for _ in range(iters):
-        assigned = assign_cells(df, cents, id_col, vec_col)
-        cents = (
+        assigned = assign_cells(df, as_frame(), id_col, vec_col)
+        updated = (
             assigned.select(F.col("cell").alias("label"), F.posexplode(vec_col).alias("dim", "v"))
             .groupBy("label", "dim")
             .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
@@ -271,8 +282,11 @@ def kmeans_fit(
                     lambda s: s["mean_v"],
                 ).alias("centroid")
             )
-        )
-    return cents.localCheckpoint(eager=True)
+        ).collect()
+        # labels absent from `updated` emptied this pass: carry forward
+        for r in updated:
+            cent_map[int(r["label"])] = [float(x) for x in r["centroid"]]
+    return as_frame().localCheckpoint(eager=True)
 
 
 def _argmax_cell_exprs(cent_rows, vec_col: str) -> tuple[str, str]:

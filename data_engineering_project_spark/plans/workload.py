@@ -5404,10 +5404,12 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cell assignment is the map-only literal-centroid argmax; the audit
     adds one 16-group aggregate on top.
 
-    The oracle pins n_cells = 16 DELIBERATELY: kmeans_fit's Lloyd
-    update drops a cell that empties mid-fit, so a <16-cell fit (or
-    any unpopulated cell at assignment time) reds this row — that IS
-    the degeneration this audit exists to flag, surfaced through the
+    The oracle pins n_cells = 16 DELIBERATELY: since round 7
+    kmeans_fit carries a centroid forward when its cell empties
+    mid-fit (the fit always returns 16 labels), so this row reds
+    only on ASSIGNMENT-time degeneration — a carried-forward
+    centroid that owns zero vectors when the corpus is assigned.
+    That is the real serving-health signal, surfaced through the
     correctness gate rather than silently re-baselined (round-6
     ADVICE, resolution (b)). Measured: all 16 cells populated at
     every tested SF."""
@@ -16169,6 +16171,14 @@ _REWIRED: dict[str, int] = {
     # round 7: grand total switched from MAX(cum) to SUM(revenue)
     # over the checkpointed cumsum frame (sign-robust, ADVICE r06)
     "part_abc_classes": 7,
+    # round 7: kmeans_fit now carries empty cells forward (the Lloyd
+    # empty-cluster fallback) — every consumer of the shared
+    # _ivf_cents16 quantizer / ann index re-attests on the new fit
+    # (outputs are identical at tested SFs where no cell empties,
+    # but the badge must attest the shipping body)
+    "ivf_recall_check": 7,
+    "ivf_cell_balance": 7,
+    "ann_index_parity": 7,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.

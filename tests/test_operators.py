@@ -397,3 +397,25 @@ def test_hll_sketch_rollup_partitioning_invariant(spark, sf_dir):
 
     for r in workload.QUERIES["reach_rollup_sketch"](spark, sf_dir).collect():
         assert r.rollup_within_5pct, r
+
+
+def test_kmeans_fit_retains_empty_cells(spark):
+    """Lloyd empty-cluster fallback (round-7): duplicate init vectors
+    make one cell lose every vector to its twin by tiebreak in the
+    first pass — the fit must still return exactly k centroids, with
+    the emptied cell carrying its init centroid forward."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),       # identical to vec 0 -> cell 1 empties
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]),
+        (4, [0.1, 0.9]),
+        (5, [0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(emb, k=3, iters=2).collect()
+    assert sorted(r.label for r in cents) == [0, 1, 2]
+    by_label = {r.label: list(r.centroid) for r in cents}
+    # the emptied cell keeps its (init) centroid instead of vanishing
+    assert by_label[1] == [1.0, 0.0]
+
