@@ -239,3 +239,45 @@ def global_cumsum(
             ),
         )
     return result.drop("_gpid", "_lrn")
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    key_cols,
+    specs,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several independent exact NTILEs over DIFFERENT orders of the
+    SAME frame — e.g. the R/F/M quartiles of an RFM cube — computed
+    CONCURRENTLY and joined back on ``key_cols`` (a unique key).
+
+    ``specs`` is a list of ``(order_by, n_tiles, out)`` triples.
+
+    The chained form pays three sequential range shuffles, three
+    eager checkpoints and three census collects — each a scheduler
+    round trip that idles the cluster while the driver folds a P-row
+    list. Here the base frame is checkpointed ONCE and each spec's
+    whole two-phase rank (range shuffle + census + literal offsets)
+    is submitted from its own driver thread: Spark's scheduler runs
+    the independent jobs simultaneously, so wall-clock is ~max, not
+    sum, of the per-spec phases. Each thread returns a slim
+    ``(key..., tile)`` frame; the final equi-joins on the unique key
+    are plain hash joins of narrow frames.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    keys = [k if isinstance(k, str) else k for k in key_cols]
+    base = df.localCheckpoint(eager=True)
+
+    def one(spec):
+        order_by, n_tiles, out = spec
+        return global_ntile(
+            base, order_by, n_tiles, out=out, num_partitions=num_partitions
+        ).select(*keys, out)
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+        tiles = list(ex.map(one, list(specs)))
+    result = base
+    for t in tiles:
+        result = result.join(t, keys)
+    return result

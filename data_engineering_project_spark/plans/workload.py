@@ -4034,11 +4034,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is deterministic cross-engine; monetary accumulates in
     DECIMAL so the quartile sort and the segment sums are exact.
 
-    Scale note (rewired round 6): each NTILE runs as the two-phase
-    range-rank (operators/order_stats.global_ntile) — three chained
-    range shuffles of the per-customer rollup, zero single-partition
-    stages; the global max(last_order) is a one-row scalar job inlined
-    as a literal instead of an unpartitioned window."""
+    Scale note (rewired round 6, batched round 7): the three NTILEs
+    run as two-phase range-ranks (operators/order_stats) over three
+    DIFFERENT orders of the same per-customer rollup — independent
+    jobs, so global_ntile_multi checkpoints the rollup once and
+    submits all three range-shuffle + census phases concurrently from
+    scheduler threads (wall-clock ~max instead of sum of the three),
+    joining the slim (custkey, quartile) frames back on the unique
+    key. Zero single-partition stages; the global max(last_order) is
+    a one-row scalar job inlined as a literal instead of an
+    unpartitioned window."""
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -4049,21 +4054,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = per_cust.withColumn(
         "recency_days", F.datediff(F.lit(max_last), F.col("last_order"))
     )
-    scored = order_stats.global_ntile(
-        order_stats.global_ntile(
-            order_stats.global_ntile(
-                per_cust,
-                [F.asc("recency_days"), F.asc("custkey")],
-                4,
-                out="r_quartile",
-            ),
-            [F.desc("frequency"), F.asc("custkey")],
-            4,
-            out="f_quartile",
-        ),
-        [F.desc("monetary"), F.asc("custkey")],
-        4,
-        out="m_quartile",
+    scored = order_stats.global_ntile_multi(
+        per_cust,
+        ["custkey"],
+        [
+            ([F.asc("recency_days"), F.asc("custkey")], 4, "r_quartile"),
+            ([F.desc("frequency"), F.asc("custkey")], 4, "f_quartile"),
+            ([F.desc("monetary"), F.asc("custkey")], 4, "m_quartile"),
+        ],
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count("*").alias("n_customers"),
@@ -16162,7 +16160,9 @@ _REWIRED: dict[str, int] = {
     # sf0.01, but their r03/r05 badges attest the old single-partition
     # window bodies)
     "order_value_deciles": 6,
-    "rfm_segments": 6,
+    # round 7: three chained global_ntile passes batched into the
+    # concurrent global_ntile_multi (checkpoint once, 3 threads)
+    "rfm_segments": 7,
     "customer_revenue_gini": 6,
     "ranking_rank_correlation": 6,
     "zipf_fit": 6,

@@ -234,3 +234,36 @@ def test_global_cumsum_null_values_match_window(spark):
             assert got[k] is None
         else:
             assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_global_ntile_multi_matches_chained(spark):
+    """Concurrent multi-NTILE == three chained single NTILEs (and
+    therefore == the single-window SQL form each already matches)."""
+    df = _frame(spark, n=503).withColumn(
+        "y", (F.xxhash64(F.col("i") * 7 + 1) % 321).cast("double")
+    )
+    multi = {
+        r["i"]: (r["a"], r["b"])
+        for r in order_stats.global_ntile_multi(
+            df,
+            ["i"],
+            [
+                ([F.asc("v"), F.asc("i")], 4, "a"),
+                ([F.desc("y"), F.asc("i")], 7, "b"),
+            ],
+            num_partitions=5,
+        ).collect()
+    }
+    chained = {
+        r["i"]: (r["a"], r["b"])
+        for r in order_stats.global_ntile(
+            order_stats.global_ntile(
+                df, [F.asc("v"), F.asc("i")], 4, out="a", num_partitions=5
+            ),
+            [F.desc("y"), F.asc("i")],
+            7,
+            out="b",
+            num_partitions=5,
+        ).collect()
+    }
+    assert multi == chained
