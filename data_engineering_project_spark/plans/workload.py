@@ -825,6 +825,78 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize",
+    """
+WITH flagged AS (
+    SELECT user_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the value gate: the events table
+    replayed as a REAL file-source stream (symlinked into a landing
+    directory — FileStreamSource wants a dir), sessionized with
+    ``session_window`` (streaming/events.session_counts_complete,
+    gap semantics proven identical to the batch lag/cumsum form),
+    drained with Trigger.AvailableNow in COMPLETE mode into a memory
+    sink, then rolled up per user. The oracle is the SAME DuckDB
+    lag/cumsum SQL as the batch ``sessionize`` entry — a green row
+    hash-proves streaming == batch == SQL on the full per-user
+    session/event counts, closing the one subsystem previously proven
+    only by pytest. One drain per (session, sf_dir): the rollup is a
+    checkpointed shared frame."""
+    import os as _os
+    import re as _sre
+
+    from data_engineering_project_spark.sources.parquet import (
+        normalize_nanos,
+    )
+    from data_engineering_project_spark.streaming import (
+        events as stream_ops,
+    )
+
+    def build() -> DataFrame:
+        src = _os.path.join(sf_dir, "events.parquet")
+        app = spark.sparkContext.applicationId
+        tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
+        land = f"/tmp/spark_graft_stream/{app}/{tag}/events"
+        _os.makedirs(land, exist_ok=True)
+        link = _os.path.join(land, "events.parquet")
+        if not _os.path.lexists(link):
+            _os.symlink(src, link)
+        raw_schema = spark.read.parquet(src).schema
+        stream = normalize_nanos(
+            spark.readStream.schema(raw_schema).parquet(land), "ts"
+        )
+        sess = stream_ops.session_counts_complete(stream, gap_seconds=3600)
+        name = f"stream_sess_{tag}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+
+    return _shared_frame(spark, sf_dir, "streaming_sessionize", build)
+
+
+@register(
     "cosine_topk",
     """
 WITH q AS (
@@ -16191,6 +16263,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "ivfpq_recall": 6,
     "subword_token_stats": 6,
     "mojibake_audit": 6,
+    "streaming_sessionize": 7,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

@@ -374,3 +374,42 @@ def topk_view_maintenance(
         )
 
     return merge
+
+
+def session_counts_complete(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Per-session event counts over a STREAM with gap semantics
+    IDENTICAL to the batch ``operators/sessionize.with_session_ids``:
+    event times floored to whole seconds (``date_trunc``, matching the
+    batch path's second-boundary ``date_diff``), and
+    ``session_window``'s inclusive merge (an event exactly ``gap``
+    seconds after the previous one extends the session — verified
+    empirically, tests/test_streaming.py) mirrors the batch rule "new
+    session iff floor-second delta > gap".
+
+    Intended for COMPLETE output mode on a bounded replay (no
+    watermark: nothing is declared late, no state is evicted, the
+    final emission is the full session set) — the cross-paradigm
+    equality harness behind the ``streaming_sessionize`` driver
+    entry. Production feeds should keep using
+    :func:`session_aggregates`, whose watermark bounds state.
+    """
+    return (
+        _as_instant(events, ts_col)
+        .withColumn("_ts_sec", F.date_trunc("second", F.col(ts_col)))
+        .groupBy(
+            F.session_window("_ts_sec", f"{gap_seconds} seconds").alias("sess"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
