@@ -16243,6 +16243,13 @@ _REWIRED: dict[str, int] = {
     # round 7: grand total switched from MAX(cum) to SUM(revenue)
     # over the checkpointed cumsum frame (sign-robust, ADVICE r06)
     "part_abc_classes": 7,
+    # round 7: global_cumsum's NULL semantics were rewired (non-null
+    # prefix census + coalesce); these two consume it through the
+    # priority-value rank pipeline, so their r06 badges attest the old
+    # cumsum body (outputs identical for the non-null inputs tested,
+    # but the badge must attest the shipping body -- ADVICE r07)
+    "ks_priority_value": 7,
+    "mannwhitney_priority_value": 7,
     # round 7: kmeans_fit now carries empty cells forward (the Lloyd
     # empty-cluster fallback) — every consumer of the shared
     # _ivf_cents16 quantizer / ann index re-attests on the new fit
@@ -16329,6 +16336,11 @@ def _rotated(names: list[str]) -> list[str]:
     attested = [
         n for n in names if n in proven and proven[n] >= _REWIRED.get(n, 0)
     ]
+    # Stalest proof first: with the registry closed every future window
+    # is re-proofs, so schedule the names whose green row is OLDEST
+    # (mostly round-1 badges) before recently re-attested ones.  Sort is
+    # stable, so ties keep registration order.
+    attested.sort(key=lambda n: proven[n])
     return never + revs + attested
 
 
