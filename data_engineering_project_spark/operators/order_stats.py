@@ -266,7 +266,11 @@ def global_ntile_multi(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    keys = [k if isinstance(k, str) else k for k in key_cols]
+    keys = list(key_cols)
+    if not all(isinstance(k, str) for k in keys):
+        # the final equi-joins are name-based; a Column object would
+        # resolve against the checkpointed frame ambiguously
+        raise TypeError("key_cols must be column names (str)")
     base = df.localCheckpoint(eager=True)
 
     def one(spec):

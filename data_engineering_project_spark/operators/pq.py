@@ -181,6 +181,18 @@ def pq_adc_topk(
     # ship as long, float as double, anything else as string — the
     # broadcast frame's key must compare cleanly against id_col
     kind = queries_pdf[query_id_col].dtype.kind
+    if kind == "O" and len(queries_pdf):
+        # object columns (e.g. Python ints read through pandas object
+        # dtype) would otherwise coerce to string and force implicit
+        # string/long -> double casts in the equi-join against id_col
+        # — inspect the first value and key by its real type instead
+        first = queries_pdf[query_id_col].iloc[0]
+        if isinstance(first, bool):
+            pass  # fall through to string: bool ids are caller error
+        elif isinstance(first, int):
+            kind = "i"
+        elif isinstance(first, float):
+            kind = "f"
     if kind in "iu":
         qid_type, coerce = "long", int
     elif kind == "f":

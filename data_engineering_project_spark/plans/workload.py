@@ -866,12 +866,19 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        src = _os.path.join(sf_dir, "events.parquet")
+        src = _os.path.abspath(_os.path.join(sf_dir, "events.parquet"))
         app = spark.sparkContext.applicationId
         tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
         land = f"/tmp/spark_graft_stream/{app}/{tag}/events"
         _os.makedirs(land, exist_ok=True)
         link = _os.path.join(land, "events.parquet")
+        # absolute target (a relative sf_dir would otherwise resolve
+        # against the landing dir -> broken link), and replace a stale
+        # link left by a previous run pointing somewhere else
+        if _os.path.lexists(link) and (
+            not _os.path.islink(link) or _os.readlink(link) != src
+        ):
+            _os.remove(link)
         if not _os.path.lexists(link):
             _os.symlink(src, link)
         raw_schema = spark.read.parquet(src).schema

@@ -454,3 +454,61 @@ def test_streaming_gold_aggregate_maintenance(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(gold_dir).collect()
     }
     assert got2 == expected
+
+
+def test_session_gap_boundary_inclusive_merge(spark, tmp_path):
+    """The exactly-gap boundary claim in session_counts_complete's
+    docstring, exercised directly: an event exactly gap seconds after
+    the previous one EXTENDS the session (session_window's inclusive
+    merge), gap+1 starts a new one — matching the batch rule
+    "new session iff floor-second delta > gap" on the same input."""
+    from datetime import datetime, timedelta
+
+    from data_engineering_project_spark.operators import (
+        sessionize as batch_sess,
+    )
+
+    gap = 60
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "u_merge", base),
+        (2, "u_merge", base + timedelta(seconds=gap)),  # exactly gap
+        (3, "u_split", base),
+        (4, "u_split", base + timedelta(seconds=gap + 1)),  # gap + 1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp"
+    )
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sess = stream_ops.session_counts_complete(stream, gap_seconds=gap)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("gap_boundary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.table("gap_boundary")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == {"u_merge": (1, 2), "u_split": (2, 2)}
+
+    # the batch lag/cumsum twin splits/merges identically on this input
+    tagged = batch_sess.with_session_ids(ev, gap_seconds=gap)
+    batch = {
+        r.user_id: r.n_sessions
+        for r in tagged.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .collect()
+    }
+    assert batch == {"u_merge": 1, "u_split": 2}
