@@ -413,3 +413,95 @@ def session_counts_complete(
             "n_events",
         )
     )
+
+
+def session_counts_closed(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 3600,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`session_counts_complete`: the
+    same floored-second ``session_window`` aggregation, but with a real
+    watermark bounding state, for APPEND output mode — a session row is
+    emitted exactly once, when the watermark passes its end and no
+    further event can extend or merge it.
+
+    Why append and not update: Spark rejects UPDATE output mode for
+    session-window aggregations (STREAMING_OUTPUT_MODE.UNSUPPORTED_
+    OPERATION) because sessions MERGE — a late bridging event collapses
+    two open sessions into one, so an update row could not name a
+    stable key it supersedes.  Closure-on-watermark is the supported
+    production semantics; the complete-mode harness remains the
+    value-equality proof on bounded replays.
+
+    Same row contract as the harness:
+    ``(user, session_start, session_end, n_events)``."""
+    return (
+        _as_instant(events, ts_col)
+        .withColumn("_ts_sec", F.date_trunc("second", F.col(ts_col)))
+        # the watermark must ride the aggregation's own event-time
+        # column (_ts_sec), or Spark sees an un-watermarked agg and
+        # rejects append mode
+        .withWatermark("_ts_sec", watermark)
+        .groupBy(
+            F.session_window("_ts_sec", f"{gap_seconds} seconds").alias("sess"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_upsert_sink(table, user_col: str = "user_id"):
+    """``foreachBatch`` sink folding emitted session rows into a
+    transactional table (sources/txlog.py): each incoming session row
+    REPLACES every stored session of the same user it overlaps.
+
+    Append-mode closed sessions are immutable, so a plain exactly-once
+    append (:func:`txlog_sink`) also works on one checkpoint lineage —
+    overlap-replace additionally makes REBUILDS idempotent: a new
+    checkpoint over the same (or backfilled) source re-emits sessions,
+    and replacement converges to the same table instead of doubling.
+    Replacement-by-overlap is the correct upsert key for sessions —
+    a session's start is not stable across rebuilds (a backfilled
+    bridging event merges two previously-stored sessions into one row
+    spanning both), so a plain (user, start) key would strand the
+    swallowed session.
+
+    Scale: the batch side is one micro-batch of session rows —
+    broadcast into the anti-join against the stored table, so the
+    stored side never shuffles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        try:
+            stored = table.read()
+        except FileNotFoundError:
+            table.append(batch_df)
+            return
+        spans = batch_df.select(
+            F.col(user_col).alias("_u"),
+            F.col("session_start").alias("_s"),
+            F.col("session_end").alias("_e"),
+        )
+        keep = stored.join(
+            broadcast(spans),
+            (stored[user_col] == F.col("_u"))
+            & (stored["session_start"] < F.col("_e"))
+            & (F.col("_s") < stored["session_end"]),
+            "left_anti",
+        )
+        table.overwrite(keep.unionByName(batch_df))
+
+    return merge

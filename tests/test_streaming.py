@@ -512,3 +512,81 @@ def test_session_gap_boundary_inclusive_merge(spark, tmp_path):
         .collect()
     }
     assert batch == {"u_merge": 1, "u_split": 2}
+
+
+def test_session_closed_append_upsert_matches_complete(spark, sf_dir, tmp_path):
+    """VERDICT r7 item: the production path — watermarked append-mode
+    session closure (session_counts_closed; Spark rejects UPDATE mode
+    for session windows since sessions merge) drained through
+    foreachBatch into the txlog table via overlap-replace upsert —
+    converges to the SAME session set as the complete-mode harness once
+    a sentinel event pushes the watermark past every real session.
+    maxFilesPerTrigger=1 exercises closure across micro-batches."""
+    from datetime import timedelta
+
+    from data_engineering_project_spark.sources.txlog import (
+        TransactionalTable,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .limit(1200)
+    )
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches; sessions close as later
+    # files advance the watermark
+    part1 = ev.limit(400)
+    part2 = ev.limit(800).subtract(part1)
+    part3 = ev.subtract(ev.limit(800))
+    for p in (part1, part2, part3):
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    table = TransactionalTable(spark, str(tmp_path / "sessions_tbl"))
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        sess = stream_ops.session_counts_closed(
+            stream, gap_seconds=3600, watermark="30 minutes"
+        )
+        q = (
+            sess.writeStream.foreachBatch(
+                stream_ops.session_upsert_sink(table)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    # a far-future sentinel event advances the global watermark past
+    # every real session end, closing (and emitting) all of them
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(days=30))],
+        "user_id long, ts timestamp",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in table.read().collect()
+        if r.user_id != -1
+    }
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in stream_ops.session_counts_complete(
+            ev, gap_seconds=3600
+        ).collect()
+    }
+    assert got == expected
+    # sessions really closed incrementally: multiple merge commits
+    assert len(table.history()) >= 2
