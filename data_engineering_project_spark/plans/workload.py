@@ -904,6 +904,128 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize_closed",
+    """
+WITH flagged AS (
+    SELECT user_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming shape through the value gate:
+    ``streaming_sessionize`` proves complete-mode == batch == SQL; this
+    entry proves the shape a real feed runs — watermarked APPEND-mode
+    closure (streaming/events.session_counts_closed; Spark rejects
+    update mode for session windows) drained via foreachBatch into the
+    exactly-once transactional table (session_upsert_sink over
+    sources/txlog.py, overlap-replace upsert). A sentinel event 30 days
+    past max(ts) (user_id = -1; real user_ids are non-negative)
+    advances the global watermark so every real session closes and
+    lands in the table; the per-user rollup then hash-matches the SAME
+    DuckDB lag/cumsum oracle. maxFilesPerTrigger=1 forces the events
+    file and the sentinel into separate micro-batches, so sessions
+    genuinely close incrementally across commits. One drain per
+    (session, sf_dir): the rollup is a checkpointed shared frame."""
+    import os as _os
+    import re as _sre
+
+    from data_engineering_project_spark.sources.parquet import (
+        normalize_nanos,
+    )
+    from data_engineering_project_spark.sources.txlog import (
+        TransactionalTable,
+    )
+    from data_engineering_project_spark.streaming import (
+        events as stream_ops,
+    )
+
+    def build() -> DataFrame:
+        src = _os.path.abspath(_os.path.join(sf_dir, "events.parquet"))
+        app = spark.sparkContext.applicationId
+        tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
+        land = f"/tmp/spark_graft_stream/{app}/{tag}/events_closed"
+        _os.makedirs(land, exist_ok=True)
+        link = _os.path.join(land, "events.parquet")
+        if _os.path.lexists(link) and (
+            not _os.path.islink(link) or _os.readlink(link) != src
+        ):
+            _os.remove(link)
+        if not _os.path.lexists(link):
+            _os.symlink(src, link)
+        raw = spark.read.parquet(src)
+        raw_schema = raw.schema
+        # sentinel with the RAW file dtypes (ts may be nanos-as-long):
+        # written as its own file so the stream sees it as a second
+        # micro-batch that pushes the watermark past every session end
+        ts_type = dict(raw.dtypes)["ts"]
+        mx = raw.agg(F.max("ts").alias("m"))
+        if ts_type == "bigint":
+            sent_ts = (F.col("m") + F.lit(30 * 86400 * 10**9)).cast("long")
+        else:
+            sent_ts = F.col("m") + F.expr("INTERVAL 30 DAYS")
+        sentinel = mx.select(
+            F.lit(-1).cast("long").alias("event_id"),
+            sent_ts.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("_wm").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).select(*[f.name for f in raw_schema])
+        # append the sentinel part-file into the landing dir itself
+        # (newer mtime than the symlinked table -> a later micro-batch)
+        if not any(
+            f.startswith("part-") for f in _os.listdir(land)
+        ):
+            sentinel.coalesce(1).write.mode("append").parquet(land)
+        stream = normalize_nanos(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land),
+            "ts",
+        )
+        sess = stream_ops.session_counts_closed(
+            stream, gap_seconds=3600, watermark="2 hours"
+        )
+        table = TransactionalTable(
+            spark, f"/tmp/spark_graft_stream/{app}/{tag}/sessions_closed_tbl"
+        )
+        q = (
+            sess.writeStream.foreachBatch(
+                stream_ops.session_upsert_sink(table)
+            )
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                f"/tmp/spark_graft_stream/{app}/{tag}/ckpt_closed",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            table.read()
+            .filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+
+    return _shared_frame(spark, sf_dir, "streaming_sessionize_closed", build)
+
+
+@register(
     "cosine_topk",
     """
 WITH q AS (
@@ -16278,6 +16400,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "subword_token_stats": 6,
     "mojibake_audit": 6,
     "streaming_sessionize": 7,
+    "streaming_sessionize_closed": 8,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

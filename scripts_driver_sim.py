@@ -7,6 +7,11 @@ formatting* (so a DuckDB HUGEINT->object/float column vs Spark int64 shows
 up, as it does in the driver's hasher).
 
 Usage: python scripts_driver_sim.py [query ...]   (default: first 50 window)
+       python scripts_driver_sim.py --all         (full registry sweep;
+           set SPARK_GRAFT_SIM_OUT=SIM_rNN.json to commit the result --
+           the once-per-round cadence closing the rotation gap: a
+           rotated-out name's rewire can otherwise rot ~6 rounds
+           between its driver re-attestation windows)
 """
 
 from __future__ import annotations
@@ -68,7 +73,11 @@ def _canon(df: pd.DataFrame) -> tuple[str, str]:
 
 
 def main() -> int:
-    names = sys.argv[1:] or list(workload.queries())[:50]
+    args = sys.argv[1:]
+    if args == ["--all"]:
+        names = list(workload.queries())
+    else:
+        names = args or list(workload.queries())[:50]
     spark = get_spark("driver-sim")
     con = duckdb.connect()
     for t in TABLES:
@@ -116,6 +125,22 @@ def main() -> int:
     print(f"\n{len(names) - len(bad)}/{len(names)} pass")
     for n, why in bad:
         print(f"  FAIL {n}: {why}")
+    out = os.environ.get("SPARK_GRAFT_SIM_OUT")
+    if out:
+        import json
+
+        fails = dict(bad)
+        with open(out, "w", encoding="ascii") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_checked": len(names),
+                    "n_pass": len(names) - len(bad),
+                    "fails": fails,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if bad else 0
 
 
