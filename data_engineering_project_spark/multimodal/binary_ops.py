@@ -12,14 +12,17 @@ Beyond-reference capability (BASELINE.json north star). The pattern a
 - partition sizing by *bytes not rows*: callers should repartition so a
   batch of payloads fits executor memory (see ``target_partitions``).
 
-Decoding: two uncompressed raster formats are decoded FOR REAL in
-pure numpy (PPM "P6" and 24-bit uncompressed BMP — see
-``decode_image``), so the decode→feature→resize path runs on actual
-pixels with zero native dependencies. Payloads in any other format
-(JPEG/PNG/audio/video need PIL/librosa/ffmpeg, absent here) fall back
-to the deterministic hash stub ``_hash_features`` — real Spark
-plumbing, declared fake features. Swap the fallback for a real codec
-in production; the kernel signature and batch shape don't change.
+Decoding: three raster formats are decoded FOR REAL in pure numpy —
+PPM "P6", 24-bit uncompressed BMP, and baseline sequential JPEG
+(Huffman, 4:2:0/4:2:2/4:4:4, restart markers; full codec in
+``multimodal/jpeg.py``) — so the decode→feature→resize path runs on
+actual pixels with zero native dependencies. Payloads in any other
+format (PNG needs zlib-inflate tuning; audio/video need
+librosa/ffmpeg, absent here) fall back to the deterministic hash stub
+``_hash_features`` — real Spark plumbing, declared fake features; the
+PNG/audio/video fallback is PERMANENT for this repo. Swap it for a
+real codec in production; the kernel signature and batch shape don't
+change.
 """
 
 from __future__ import annotations
@@ -142,7 +145,8 @@ def _decode_bmp(payload: bytes):
 
 def decode_image(payload: bytes):
     """Dispatch on magic bytes → HxWx3 uint8 RGB, or None when the
-    format isn't one of the two supported uncompressed rasters."""
+    format isn't a supported raster (PPM P6, 24-bit BMP, or baseline
+    JPEG — see multimodal/jpeg.py for the pure-numpy JPEG codec)."""
     if payload is None:
         return None
     payload = bytes(payload)
@@ -150,6 +154,10 @@ def decode_image(payload: bytes):
         return _decode_ppm(payload)
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from data_engineering_project_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return None
 
 

@@ -159,3 +159,139 @@ def test_dim_contract_uniform_across_paths(spark, img):
         for r in decode_and_featurize(media, dim=4).collect()
     }
     assert len(feats4["p"]) == 4 and len(feats4["j"]) == 4
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+@pytest.fixture
+def smooth_img():
+    """Gradient image — representative of JPEG's design domain, so
+    roundtrip error bounds are meaningful."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    return np.stack(
+        [(xx * 255 / 64), (yy * 255 / 48), ((xx + yy) * 255 / 112)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_near_lossless(smooth_img):
+    from data_engineering_project_spark.multimodal import jpeg
+
+    enc = jpeg.encode_jpeg(smooth_img, quality=95, subsample=False)
+    dec = jpeg.decode_jpeg(enc)
+    assert dec is not None and dec.shape == smooth_img.shape
+    err = np.abs(dec.astype(int) - smooth_img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12
+
+
+def test_jpeg_roundtrip_420_and_quality_ladder(smooth_img):
+    from data_engineering_project_spark.multimodal import jpeg
+
+    errs = {}
+    for q in (50, 75, 90):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth_img, quality=q))
+        assert dec is not None
+        errs[q] = np.abs(dec.astype(int) - smooth_img.astype(int)).mean()
+    # not strictly monotone pointwise (4:2:0 chroma quantization can
+    # cancel differently per step) but the endpoints must order and
+    # every level stays inside a sane band
+    assert errs[90] < errs[50]
+    assert max(errs.values()) < 8.0
+
+
+def test_jpeg_grayscale_and_odd_dimensions(smooth_img):
+    from data_engineering_project_spark.multimodal import jpeg
+
+    g = smooth_img[:, :, 1]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+    assert dec.shape == (48, 64, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+    # three channels identical for grayscale
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+
+    odd = smooth_img[:17, :13]  # forces MCU edge padding + crop
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(odd, quality=90))
+    assert dec.shape == (17, 13, 3)
+    assert np.abs(dec.astype(int) - odd.astype(int)).mean() < 6.0
+
+
+def test_jpeg_restart_markers(smooth_img):
+    from data_engineering_project_spark.multimodal import jpeg
+
+    enc = jpeg.encode_jpeg(smooth_img, quality=85, restart_interval=2)
+    assert b"\xff\xdd" in enc  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+    dec = jpeg.decode_jpeg(enc)
+    assert dec is not None
+    assert np.abs(dec.astype(int) - smooth_img.astype(int)).mean() < 7.0
+
+
+def test_jpeg_decoder_never_raises(smooth_img):
+    from data_engineering_project_spark.multimodal import jpeg
+
+    enc = jpeg.encode_jpeg(smooth_img, quality=85)
+    assert jpeg.decode_jpeg(enc[: len(enc) // 2]) is None  # truncated
+    assert jpeg.decode_jpeg(b"\xff\xd8\x00garbage") is None
+    assert jpeg.decode_jpeg(b"not a jpeg") is None
+    # progressive (SOF2) declared unsupported -> None, not an error
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg.decode_jpeg(prog) is None
+
+
+def test_jpeg_idct_matches_direct_sum():
+    """The matrix IDCT must equal the direct O(n^4) DCT-III sum — an
+    independent formulation, so encoder and decoder cannot share a
+    transform bug."""
+    from data_engineering_project_spark.multimodal import jpeg
+
+    rng = np.random.default_rng(11)
+    coef = rng.normal(scale=50, size=(8, 8))
+
+    def c(k):
+        return 1 / np.sqrt(2) if k == 0 else 1.0
+
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c(u) * c(v) * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = s / 4.0
+    assert np.allclose(jpeg._idct(coef), direct, atol=1e-9)
+    # and FDCT inverts it
+    assert np.allclose(jpeg._fdct(direct), coef, atol=1e-9)
+
+
+def test_jpeg_magnitude_coding_edges():
+    from data_engineering_project_spark.multimodal.jpeg import (
+        _extend,
+        _magnitude,
+    )
+
+    for v in (-255, -128, -2, -1, 0, 1, 2, 127, 255, 1023):
+        t, bits = _magnitude(v)
+        assert (v == 0 and t == 0) or _extend(bits, t) == v
+
+
+def test_jpeg_through_spark_featurize_kernel(spark, smooth_img):
+    """decode_and_featurize now runs REAL pixels for JPEG payloads:
+    the feature must equal pixel_features of the decoded thumbnail,
+    not the hash fallback."""
+    from data_engineering_project_spark.multimodal import jpeg
+
+    enc = jpeg.encode_jpeg(smooth_img, quality=90)
+    media = spark.createDataFrame(
+        [("j1", "image/jpeg", bytearray(enc))],
+        "media_id string, mime string, payload binary",
+    )
+    feats = {
+        r["media_id"]: list(r["feature"])
+        for r in decode_and_featurize(media, dim=8).collect()
+    }
+    expected = pixel_features(resize_rgb(jpeg.decode_jpeg(enc), 16, 16))
+    assert feats["j1"] == pytest.approx(expected, abs=1e-6)
