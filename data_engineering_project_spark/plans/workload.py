@@ -1026,6 +1026,70 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "value_quantile_sketch",
+    """
+SELECT CAST(7 AS BIGINT) AS n_quantiles,
+       CAST(7 AS BIGINT) AS n_within,
+       CAST(1 AS BIGINT) AS count_preserved,
+       CAST(1 AS BIGINT) AS sketch_bounded
+""",
+)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile sketch, invariant-oracle checked
+    (the quantile analogue of reach_rollup_sketch's persisted-HLL
+    pattern — operators/quantile_sketch.py): per-DAY digests over
+    events.value are rolled up to ONE global digest WITHOUT re-reading
+    raw values, then 7 quantile estimates (1/5/25/50/75/95/99 %) are
+    each required to land between the EXACT percentiles at q∓0.02
+    (rank-error band; delta=200 concentrates error as O(q(1−q)/δ),
+    far inside the band at every tested SF). Also asserted: the merge
+    is count-lossless (Σcounts == COUNT(*)) and the global digest
+    stays bounded (≤ 1500 centroids — O(δ·log n), independent of row
+    count). The oracle is the literal all-invariants-hold row, the
+    events_reach_approx pattern. Scale: the only data-sized shuffle is
+    the per-day groupBy; the rollup input is the digest table itself
+    (days × O(δ) rows)."""
+    from data_engineering_project_spark.operators import quantile_sketch as qsk
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    daily = qsk.digest_by_group(ev, "value", ["day"], delta=200)
+    top = qsk.rollup_digests(daily, [], delta=200).collect()[0]
+    means, counts = top["digest_means"], top["digest_counts"]
+    qs = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
+    est = qsk.tdigest_quantile(means, counts, qs)
+    lo_hi = ev.agg(
+        F.expr(
+            "percentile(value, array({}))".format(
+                ",".join(
+                    f"{max(q - 0.02, 0.0)},{min(q + 0.02, 1.0)}" for q in qs
+                )
+            )
+        ).alias("p"),
+        F.count("value").alias("n"),
+    ).collect()[0]
+    bounds, n_rows = lo_hi["p"], lo_hi["n"]
+    n_within = sum(
+        1
+        for i, e in enumerate(est)
+        if bounds[2 * i] <= float(e) <= bounds[2 * i + 1]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(qs),
+                n_within,
+                int(sum(counts) == n_rows),
+                int(len(means) <= 1500),
+            )
+        ],
+        "n_quantiles long, n_within long, count_preserved long, "
+        "sketch_bounded long",
+    )
+
+
+@register(
     "cosine_topk",
     """
 WITH q AS (
@@ -16401,6 +16465,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "mojibake_audit": 6,
     "streaming_sessionize": 7,
     "streaming_sessionize_closed": 8,
+    "value_quantile_sketch": 8,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

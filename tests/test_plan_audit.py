@@ -26,6 +26,9 @@ ARROW_KERNELS = {
     # Exact-KNN label audit: the BLAS top-k kernel with the corpus as
     # its own (bounded) query set.
     "knn_label_agreement",
+    # Mergeable t-digest: per-day applyInPandas digests (O(delta)
+    # output per calendar-bounded group) + one digest-table rollup.
+    "value_quantile_sketch",
 }
 
 # The one query whose JOB is a Python table function: doc_chunks_udtf
