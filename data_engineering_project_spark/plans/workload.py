@@ -824,6 +824,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_stream_source(src: str, land: str) -> None:
+    """Symlink a parquet table into a streaming landing dir.
+
+    FileStreamSource lists files; it does NOT recurse into a
+    non-partition subdirectory, so a Spark-written table (a DIRECTORY
+    of part-files, e.g. the ×10 replica) must be staged as one
+    symlink PER part-file — symlinking the directory itself makes the
+    stream silently read nothing. Single-file tables (the driver
+    testdata) stage as one file link. Absolute targets; stale links
+    whose target moved are replaced."""
+    import os as _os
+
+    def _link(target: str, name: str) -> None:
+        link = _os.path.join(land, name)
+        if _os.path.lexists(link) and (
+            not _os.path.islink(link) or _os.readlink(link) != target
+        ):
+            _os.remove(link)
+        if not _os.path.lexists(link):
+            _os.symlink(target, link)
+
+    src = _os.path.abspath(src)
+    if _os.path.isdir(src):
+        for f in sorted(_os.listdir(src)):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                _link(_os.path.join(src, f), f"src_{f}")
+    else:
+        _link(src, _os.path.basename(src))
+
+
+
 @register(
     "streaming_sessionize",
     """
@@ -871,16 +902,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
         land = f"/tmp/spark_graft_stream/{app}/{tag}/events"
         _os.makedirs(land, exist_ok=True)
-        link = _os.path.join(land, "events.parquet")
-        # absolute target (a relative sf_dir would otherwise resolve
-        # against the landing dir -> broken link), and replace a stale
-        # link left by a previous run pointing somewhere else
-        if _os.path.lexists(link) and (
-            not _os.path.islink(link) or _os.readlink(link) != src
-        ):
-            _os.remove(link)
-        if not _os.path.lexists(link):
-            _os.symlink(src, link)
+        _stage_stream_source(src, land)
         raw_schema = spark.read.parquet(src).schema
         stream = normalize_nanos(
             spark.readStream.schema(raw_schema).parquet(land), "ts"
@@ -932,9 +954,11 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
     past max(ts) (user_id = -1; real user_ids are non-negative)
     advances the global watermark so every real session closes and
     lands in the table; the per-user rollup then hash-matches the SAME
-    DuckDB lag/cumsum oracle. maxFilesPerTrigger=1 forces the events
-    file and the sentinel into separate micro-batches, so sessions
-    genuinely close incrementally across commits. One drain per
+    DuckDB lag/cumsum oracle. (Per-micro-batch incremental closure is
+    exercised by tests/test_streaming.py with maxFilesPerTrigger=1;
+    here the drain batches all files so the entry costs O(2 commits)
+    at any SF — at x10 the staged replica is 32 part-files and
+    one-batch-per-file would mean 33 table commits.) One drain per
     (session, sf_dir): the rollup is a checkpointed shared frame."""
     import os as _os
     import re as _sre
@@ -955,13 +979,7 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
         tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
         land = f"/tmp/spark_graft_stream/{app}/{tag}/events_closed"
         _os.makedirs(land, exist_ok=True)
-        link = _os.path.join(land, "events.parquet")
-        if _os.path.lexists(link) and (
-            not _os.path.islink(link) or _os.readlink(link) != src
-        ):
-            _os.remove(link)
-        if not _os.path.lexists(link):
-            _os.symlink(src, link)
+        _stage_stream_source(src, land)
         raw = spark.read.parquet(src)
         raw_schema = raw.schema
         # sentinel with the RAW file dtypes (ts may be nanos-as-long):
@@ -988,10 +1006,7 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
         ):
             sentinel.coalesce(1).write.mode("append").parquet(land)
         stream = normalize_nanos(
-            spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(land),
-            "ts",
+            spark.readStream.schema(raw_schema).parquet(land), "ts"
         )
         sess = stream_ops.session_counts_closed(
             stream, gap_seconds=3600, watermark="2 hours"
