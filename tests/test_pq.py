@@ -211,3 +211,38 @@ def test_ivfpq_composition_finds_planted_duplicate(
     qp = queries.select("vec_id", "embedding").toPandas()
     hits = pq.pq_adc_topk(pruned, books, qp, k=10).collect()
     assert 10_000_000 in {r["neighbor_id"] for r in hits}
+
+
+def test_object_dtype_int_query_ids_key_as_long(spark):
+    """ADVICE r7: query ids arriving as pandas OBJECT dtype (e.g.
+    Python ints via a dict-built frame) must key the broadcast ADC
+    table by their real type (long), not coerce to string and force
+    implicit casts in the id equi-join."""
+    import numpy as np
+    import pandas as pd
+
+    from data_engineering_project_spark.operators import pq
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(64, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq.pq_train(df, m=2, k=4, iters=1)
+    enc = pq.pq_encode(df, books)
+    queries = pd.DataFrame(
+        {
+            "vec_id": pd.array([0, 3], dtype=object),  # object-dtype ints
+            "embedding": [
+                list(map(float, base[0])),
+                list(map(float, base[3])),
+            ],
+        }
+    )
+    assert queries["vec_id"].dtype.kind == "O"
+    top = pq.pq_adc_topk(enc, books, queries, k=3)
+    assert dict(top.dtypes)["query_id"] == "bigint"
+    rows = top.collect()
+    assert len(rows) == 6
+    assert {r.query_id for r in rows} == {0, 3}
