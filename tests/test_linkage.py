@@ -1,0 +1,84 @@
+"""operators/linkage.py — blocked edit-distance record linkage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import linkage
+
+
+def _names(spark, rows):
+    return spark.createDataFrame(rows, "rec_id long, name string")
+
+
+def test_blocked_pairs_find_single_char_typos(spark):
+    df = _names(
+        spark,
+        [
+            (1, "acme corp 01"),
+            (2, "acme corp 02"),   # 1 sub from 01
+            (3, "acme corp 13"),   # 2 subs from 01 — excluded at d=1
+            (4, "zenith gmbh aa"),
+            (5, "zenith gmbh ab"),
+            (6, "unrelated name x"),
+        ],
+    )
+    pairs = linkage.blocked_edit_pairs(
+        df, "name", linkage.strip_suffix_block(2), max_dist=1
+    ).collect()
+    got = {(r.name_a, r.name_b, r.dist) for r in pairs}
+    assert got == {
+        ("acme corp 01", "acme corp 02", 1),
+        ("zenith gmbh aa", "zenith gmbh ab", 1),
+    }
+
+
+def test_dictionary_level_ignores_row_replication(spark):
+    """Replicated rows must not grow the quadratic stage: 100 copies
+    of each name produce the same pair set as 1 copy."""
+    base = [(i, f"widget v{d}") for i, d in enumerate("0123456789")]
+    many = [(i * 1000 + j, n) for i, n in base for j in range(100)]
+    p1 = linkage.blocked_edit_pairs(
+        _names(spark, base), "name", linkage.strip_suffix_block(1), 1
+    )
+    p2 = linkage.blocked_edit_pairs(
+        _names(spark, many), "name", linkage.strip_suffix_block(1), 1
+    )
+    s1 = {(r.name_a, r.name_b) for r in p1.collect()}
+    s2 = {(r.name_a, r.name_b) for r in p2.collect()}
+    assert s1 == s2 and len(s1) == 45  # C(10,2) single-digit variants
+
+
+def test_block_profile_exposes_mega_block(spark):
+    df = _names(
+        spark,
+        [(i, f"same prefix {i:04d}") for i in range(50)]
+        + [(100 + i, f"tail {i}x") for i in range(3)],
+    )
+    prof = {
+        r.bk: (r.n_names, r.n_pairs)
+        for r in linkage.block_profile(
+            df, "name", lambda c: F.substring(c, 1, 4)
+        ).collect()
+    }
+    assert prof["same"] == (50, 1225)  # the mega-block, visible up front
+    assert prof["tail"] == (3, 3)
+
+
+def test_link_ids_maps_pairs_back(spark):
+    df = _names(
+        spark,
+        [
+            (11, "acme corp 01"),
+            (12, "acme corp 01"),  # second record, same name
+            (21, "acme corp 02"),
+        ],
+    )
+    pairs = linkage.blocked_edit_pairs(
+        df, "name", linkage.strip_suffix_block(2), 1
+    )
+    linked = linkage.link_ids(pairs, df, "name", "rec_id").collect()
+    got = {(r.id_a, r.id_b) for r in linked}
+    # name pair expands to both id pairs for the duplicated name
+    assert got == {(11, 21), (12, 21)}
+    assert all(r.dist == 1 for r in linked)
