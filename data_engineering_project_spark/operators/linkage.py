@@ -98,3 +98,17 @@ def link_ids(
         .join(b, "name_b")
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def soundex_block() -> Callable[[Column], Column]:
+    """Phonetic block key (Soundex of the first token) — the classic
+    blocking for person/company names where typos change spelling but
+    not sound. Spark-side only: Soundex has no DuckDB twin here, so
+    pipelines using it are pytest-verified rather than oracle-checked
+    (the edit-distance stage downstream is engine-agnostic either
+    way)."""
+
+    def bk(name: Column) -> Column:
+        return F.soundex(F.split(name, " ").getItem(0))
+
+    return bk

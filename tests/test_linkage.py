@@ -82,3 +82,21 @@ def test_link_ids_maps_pairs_back(spark):
     # name pair expands to both id pairs for the duplicated name
     assert got == {(11, 21), (12, 21)}
     assert all(r.dist == 1 for r in linked)
+
+
+def test_soundex_block_groups_phonetic_variants(spark):
+    df = _names(
+        spark,
+        [
+            (1, "smith trading"),
+            (2, "smyth trading"),   # same soundex as smith
+            (3, "schmidt trading"),
+        ],
+    )
+    pairs = linkage.blocked_edit_pairs(
+        df, "name", linkage.soundex_block(), max_dist=2
+    ).collect()
+    got = {(r.name_a, r.name_b) for r in pairs}
+    assert ("smith trading", "smyth trading") in got
+    # different soundex -> never a candidate, regardless of distance
+    assert not any("schmidt" in a or "schmidt" in b for a, b in got)

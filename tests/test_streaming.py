@@ -590,3 +590,71 @@ def test_session_closed_append_upsert_matches_complete(spark, sf_dir, tmp_path):
     assert got == expected
     # sessions really closed incrementally: multiple merge commits
     assert len(table.history()) >= 2
+
+
+def test_streaming_digest_maintenance_folds_micro_batches(spark, sf_dir, tmp_path):
+    """Composition: a foreachBatch sink maintains a per-day t-digest
+    table by FOLDING each micro-batch's digests into the stored ones
+    (quantile_sketch.rollup_digests over digest rows only — history is
+    never rescanned). After draining both files, the maintained
+    digests are count-exact per day and their median estimates sit
+    inside the exact q±0.03 band of a full recompute."""
+    from data_engineering_project_spark.operators import (
+        quantile_sketch as qsk,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "value",
+    )
+    src, gold_dir = str(tmp_path / "src"), str(tmp_path / "gold")
+    part1 = ev.limit(600)
+    part2 = ev.limit(1200).subtract(part1)
+    part1.coalesce(1).write.mode("append").parquet(src)
+    part2.coalesce(1).write.mode("append").parquet(src)
+
+    def fold_batch(batch_df, batch_id):
+        fresh = qsk.digest_by_group(batch_df, "value", ["day"], delta=150)
+        try:
+            stored = spark.read.parquet(gold_dir)
+            merged = qsk.rollup_digests(
+                stored.unionByName(fresh), ["day"], delta=150
+            )
+        except Exception:  # first batch: nothing stored yet
+            merged = fresh
+        staged = merged.localCheckpoint(eager=True)  # read-before-overwrite
+        staged.write.mode("overwrite").parquet(gold_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    both = part1.unionByName(part2)
+    stored = {r["day"]: r for r in spark.read.parquet(gold_dir).collect()}
+    expected_counts = {
+        r["day"]: r["n"]
+        for r in both.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert {d: r["digest_n"] for d, r in stored.items()} == expected_counts
+    bands = {
+        r["day"]: r["p"]
+        for r in both.groupBy("day")
+        .agg(F.expr("percentile(value, array(0.47, 0.53))").alias("p"))
+        .collect()
+    }
+    for day, r in stored.items():
+        est = qsk.tdigest_quantile(
+            r["digest_means"], r["digest_counts"], [0.5]
+        )[0]
+        lo, hi = bands[day]
+        assert lo <= est <= hi, (day, est, lo, hi)
