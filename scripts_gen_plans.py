@@ -59,6 +59,7 @@ SHOWCASE = {
     "order_value_deciles": "two-phase global NTILE (order_stats): range exchange + census offsets — NO WindowExec, NO Exchange SinglePartition in the plan",
     "ks_priority_value": "two-sample KS: both ECDF cumulatives ride ONE range prefix-sum (multi-column order_stats.global_cumsum), totals broadcast",
     "ivfpq_recall": "composed IVFPQ: probe-pruned candidate pairs semi-join the broadcast-ADC scored pairs BEFORE the rank window",
+    "customer_name_linkage": "record linkage: distinct-name dictionary (rows never hit the quadratic stage), block-key equi-join with levenshtein riding post-join codegen — no cartesian anywhere",
 }
 
 
