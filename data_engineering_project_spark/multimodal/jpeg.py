@@ -425,7 +425,12 @@ class _BitReader:
         if self._n == 0 and not self._fill():
             return None
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        bit = (self._acc >> self._n) & 1
+        # discard the consumed bit: without this mask the accumulator
+        # grows by 8 bits per byte forever and every shift becomes
+        # O(stream), turning decode quadratic in payload size
+        self._acc &= (1 << self._n) - 1
+        return bit
 
     def read_bits(self, n: int) -> int | None:
         v = 0

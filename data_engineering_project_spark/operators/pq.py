@@ -185,13 +185,22 @@ def pq_adc_topk(
         # object columns (e.g. Python ints read through pandas object
         # dtype) would otherwise coerce to string and force implicit
         # string/long -> double casts in the equi-join against id_col
-        # — inspect the first value and key by its real type instead
-        first = queries_pdf[query_id_col].iloc[0]
-        if isinstance(first, bool):
-            pass  # fall through to string: bool ids are caller error
-        elif isinstance(first, int):
+        # — key by the values' real type instead. ALL non-null values
+        # must agree (first-value sniffing would mistype mixed
+        # columns); numpy scalar types count as their Python kind.
+        import numbers as _numbers
+
+        vals = [v for v in queries_pdf[query_id_col] if v is not None]
+        if vals and all(
+            isinstance(v, _numbers.Integral)
+            and not isinstance(v, bool)
+            for v in vals
+        ):
             kind = "i"
-        elif isinstance(first, float):
+        elif vals and all(
+            isinstance(v, _numbers.Real) and not isinstance(v, bool)
+            for v in vals
+        ):
             kind = "f"
     if kind in "iu":
         qid_type, coerce = "long", int

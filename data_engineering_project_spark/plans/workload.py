@@ -847,9 +847,19 @@ def _stage_stream_source(src: str, land: str) -> None:
 
     src = _os.path.abspath(src)
     if _os.path.isdir(src):
+        staged = 0
         for f in sorted(_os.listdir(src)):
             if f.endswith(".parquet") and not f.startswith("_"):
                 _link(_os.path.join(src, f), f"src_{f}")
+                staged += 1
+        if staged == 0:
+            # fail LOUDLY: an empty landing dir streams zero rows and
+            # returns a silently-wrong empty result (e.g. a source
+            # table written with partitionBy subdirectories, which
+            # this flat staging does not support)
+            raise FileNotFoundError(
+                f"no top-level *.parquet files to stage from {src}"
+            )
     else:
         _link(src, _os.path.basename(src))
 

@@ -92,7 +92,7 @@ def _table(headers: Sequence[str], rows: Sequence[Sequence]) -> str:
     body = "".join(
         "<tr>"
         + "".join(
-            f"<td>{_html.escape(_fmt(c) if isinstance(c, (int, float)) else str(c))}</td>"
+            f"<td>{_html.escape(_fmt(c) if isinstance(c, (int, float)) or c is None else str(c))}</td>"
             for c in r
         )
         + "</tr>"
@@ -229,26 +229,42 @@ def render_dashboard(
     sf_dir: str,
     states: Sequence[str] | None = None,
     out_path: str | None = None,
+    frames: dict | None = None,
 ) -> str:
     """Run the 7-query dashboard workload and render it to one
     self-contained HTML string (optionally written to ``out_path``).
 
     ``states`` is the reference dashboard's one dynamic parameter
     (customer-state IN-list) — passed to the SAME parameterized plans
-    the driver checks, not string-spliced."""
+    the driver checks, not string-spliced. ``frames`` overrides the
+    default testdata star schema with caller-built gold frames (keys
+    ``fact_sales``, ``dim_customers``, ``dim_products``) — the hook
+    the scheduled pipeline uses to render the lake it just built."""
     from data_engineering_project_spark.plans import analytics
-    from data_engineering_project_spark.plans.workload import gold
 
-    g = gold(spark, sf_dir)
-    fact, dc, dp = g["fact_sales"], g["dim_customers"], g["dim_products"]
+    if frames is None:
+        from data_engineering_project_spark.plans.workload import gold
 
-    kpi = analytics.kpis(fact, dc, states).collect()[0]
-    cats = analytics.top_categories(fact, dp, dc, states).collect()
-    by_state = analytics.orders_by_state(fact, dc, states).collect()
-    deliv = analytics.delivery_days_by_state(fact, dc, states).collect()
-    freight = analytics.freight_by_state(fact, dc, states).collect()
-    trend = analytics.monthly_trend(fact, dc, states).collect()
-    weekly = analytics.weekday_seasonality(fact, dc, states).collect()
+        frames = gold(spark, sf_dir)
+    fact = frames["fact_sales"]
+    dc, dp = frames["dim_customers"], frames["dim_products"]
+
+    # all seven charts read the same frames: one persisted lineage,
+    # seven cheap collects, instead of seven fact re-scans
+    fact = fact.persist()
+    dc, dp = dc.persist(), dp.persist()
+    try:
+        kpi = analytics.kpis(fact, dc, states).collect()[0]
+        cats = analytics.top_categories(fact, dp, dc, states).collect()
+        by_state = analytics.orders_by_state(fact, dc, states).collect()
+        deliv = analytics.delivery_days_by_state(fact, dc, states).collect()
+        freight = analytics.freight_by_state(fact, dc, states).collect()
+        trend = analytics.monthly_trend(fact, dc, states).collect()
+        weekly = analytics.weekday_seasonality(fact, dc, states).collect()
+    finally:
+        fact.unpersist()
+        dc.unpersist()
+        dp.unpersist()
 
     light = " ".join(
         f"--s{i + 1}:{lt};" for i, (lt, _) in enumerate(_PALETTE)
@@ -301,7 +317,7 @@ def render_dashboard(
             ),
             ["state", "avg days"],
             [
-                (r["customer_state"], float(r["avg_delivery_days"]))
+                (r["customer_state"], r["avg_delivery_days"])
                 for r in deliv
             ],
         ),
@@ -313,7 +329,7 @@ def render_dashboard(
                 4,
             ),
             ["state", "avg freight"],
-            [(r["customer_state"], float(r["avg_freight"])) for r in freight],
+            [(r["customer_state"], r["avg_freight"]) for r in freight],
         ),
         _figure(
             "Monthly revenue trend",

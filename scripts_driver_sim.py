@@ -74,7 +74,11 @@ def _canon(df: pd.DataFrame) -> tuple[str, str]:
 
 def main() -> int:
     args = sys.argv[1:]
-    if args == ["--all"]:
+    if "--all" in args and args != ["--all"]:
+        print("--all takes no other arguments", file=sys.stderr)
+        return 2
+    full_sweep = args == ["--all"]
+    if full_sweep:
         names = list(workload.queries())
     else:
         names = args or list(workload.queries())[:50]
@@ -126,6 +130,16 @@ def main() -> int:
     for n, why in bad:
         print(f"  FAIL {n}: {why}")
     out = os.environ.get("SPARK_GRAFT_SIM_OUT")
+    if out and not full_sweep:
+        # the committed SIM_rNN.json attests the FULL registry; a
+        # spot-check run must never overwrite it with a tiny n_checked
+        # that still looks authoritative
+        print(
+            f"SPARK_GRAFT_SIM_OUT={out} ignored: artifact is written "
+            "only by a --all sweep",
+            file=sys.stderr,
+        )
+        out = None
     if out:
         import json
 

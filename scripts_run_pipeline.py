@@ -63,6 +63,7 @@ def main() -> int:
     from data_engineering_project_spark.session import get_spark
 
     spark = get_spark("scheduled-pipeline")
+    frames = None
     if args.raw_dir:
         from data_engineering_project_spark.plans.flows import (
             FlowError,
@@ -94,9 +95,23 @@ def main() -> int:
             ),
             file=sys.stderr,
         )
+        # render the lake the flow JUST built, not the static testdata
+        frames = {
+            name: spark.read.parquet(os.path.join(lake, "gold", name))
+            for name in ("fact_sales", "dim_customers", "dim_products")
+        }
     states = args.states.split(",") if args.states else None
-    render_dashboard(spark, args.sf_dir, states=states, out_path=args.out)
-    print(json.dumps({"dashboard": args.out, "sf_dir": args.sf_dir}))
+    render_dashboard(
+        spark, args.sf_dir, states=states, out_path=args.out, frames=frames
+    )
+    print(
+        json.dumps(
+            {
+                "dashboard": args.out,
+                "source": "lake gold" if frames is not None else args.sf_dir,
+            }
+        )
+    )
     return 0
 
 

@@ -77,3 +77,15 @@ def test_dashboard_state_filter_parameterizes(spark, sf_dir):
     filtered = render_dashboard(spark, sf_dir, states=[some_state])
     assert filtered != full
     assert f"filter: {some_state}" in filtered
+
+
+def test_dashboard_frames_override(spark, sf_dir):
+    """The frames= hook (used by scripts_run_pipeline.py to render the
+    lake it just built) produces the same output as the default
+    testdata star when handed the same frames."""
+    from data_engineering_project_spark.plans.workload import gold
+
+    g = gold(spark, sf_dir)
+    default = render_dashboard(spark, sf_dir)
+    via_frames = render_dashboard(spark, sf_dir, frames=g)
+    assert via_frames == default
