@@ -503,6 +503,12 @@ def _decode_jpeg_inner(d: bytes):
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them so the marker code is the first non-0xFF byte.
+        while pos + 4 <= len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(d):
+            return None
         marker = d[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             return None
@@ -635,7 +641,11 @@ def _decode_scan(d, pos, h, w, comps, qtables, htables, restart_interval):
                                 return None
                             zz[k] = _extend(bits, size)
                             k += 1
-                        coef = (zz * qt)[_UNZIGZAG].reshape(8, 8)
+                        # de-zigzag FIRST, then dequantize: qt is stored in
+                        # natural order (see DQT parse) while zz is in zigzag
+                        # order — multiplying before reordering scales each AC
+                        # coefficient by the quant step of a different frequency.
+                        coef = (zz[_UNZIGZAG] * qt).reshape(8, 8)
                         block = _idct(coef) + 128.0
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8

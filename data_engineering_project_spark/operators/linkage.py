@@ -38,9 +38,21 @@ def strip_suffix_block(n_chars: int = 2) -> Callable[[Column], Column]:
     or checksum tail (serials, account codes)."""
 
     def bk(name: Column) -> Column:
-        return name.substr(F.lit(1), F.length(name) - F.lit(n_chars))
+        # clamp: names shorter than n_chars would otherwise produce a
+        # negative substr length (empty-string mega-block in Spark, an
+        # error in some engines) — short names block on themselves
+        return name.substr(
+            F.lit(1), F.greatest(F.length(name) - F.lit(n_chars), F.lit(0))
+        )
 
     return bk
+
+
+class BlockSizeExceeded(ValueError):
+    """A linkage block exceeds the declared bound — the quadratic
+    pair enumeration would blow up. Fix the block key (or raise the
+    bound deliberately); do not let one degenerate key turn a bounded
+    Σ|block|² join into an all-pairs straggler task."""
 
 
 def blocked_edit_pairs(
@@ -48,12 +60,37 @@ def blocked_edit_pairs(
     name_col: str,
     block: Callable[[Column], Column],
     max_dist: int,
+    max_block_names: int | None = None,
 ) -> DataFrame:
     """Candidate typo/variant pairs: ``(bk, name_a, name_b, dist)``
     with ``name_a < name_b`` and ``levenshtein <= max_dist``, enumerated
-    only within blocks of the distinct-name dictionary."""
+    only within blocks of the distinct-name dictionary.
+
+    ``max_block_names`` is the fail-loudly guard (same contract as
+    workload._stage_stream_source): when set, a cheap dictionary-side
+    census runs first and raises :class:`BlockSizeExceeded` naming the
+    offending keys if ANY block holds more than that many distinct
+    names — a degenerate key (empty string, constant prefix …) must
+    abort the job, not silently schedule a quadratic task."""
     d = df.select(F.col(name_col).alias("name")).distinct()
     b = d.withColumn("bk", block(F.col("name")))
+    if max_block_names is not None:
+        over = (
+            b.groupBy("bk")
+            .agg(F.count("*").alias("n_names"))
+            .filter(F.col("n_names") > max_block_names)
+            .orderBy(F.col("n_names").desc())
+            .limit(5)
+            .collect()
+        )
+        if over:
+            worst = ", ".join(f"{r['bk']!r}={r['n_names']}" for r in over)
+            raise BlockSizeExceeded(
+                f"block(s) exceed max_block_names={max_block_names}: "
+                f"{worst} — the Σ|block|² pair join would be quadratic "
+                "in the mega-block; choose a finer block key or raise "
+                "the bound explicitly"
+            )
     left = b.select("bk", F.col("name").alias("name_a"))
     right = b.select("bk", F.col("name").alias("name_b"))
     return (
@@ -98,6 +135,36 @@ def link_ids(
         .join(b, "name_b")
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def consonant_skeleton_block(max_len: int = 6) -> Callable[[Column], Column]:
+    """Portable phonetic-ish block key: first token, uppercased,
+    letters only, first letter kept, vowels + H/W/Y dropped from the
+    rest, truncated to ``max_len`` — the consonant skeleton that
+    Soundex reduces to before digit-coding. Unlike :func:`soundex_block`
+    this is a plain regexp_replace/substr chain BOTH Spark and DuckDB
+    evaluate identically (no backreferences — RE2-safe), so pipelines
+    blocking on it stay cross-engine hash-checkable. SQL twin::
+
+        substr(
+          upper(regexp_replace(split_part(name,' ',1),'[^A-Za-z]','','g')),
+          1, 1)
+        || substr(regexp_replace(substr(
+             upper(regexp_replace(split_part(name,' ',1),'[^A-Za-z]','','g')),
+             2), '[AEIOUHWY]', '', 'g'), 1, max_len-1)
+    """
+
+    def bk(name: Column) -> Column:
+        tok = F.upper(
+            F.regexp_replace(F.split(name, " ").getItem(0), "[^A-Za-z]", "")
+        )
+        head = tok.substr(F.lit(1), F.lit(1))
+        tail = F.regexp_replace(
+            tok.substr(F.lit(2), F.length(tok)), "[AEIOUHWY]", ""
+        )
+        return F.concat(head, tail).substr(1, max_len)
+
+    return bk
 
 
 def soundex_block() -> Callable[[Column], Column]:

@@ -230,6 +230,7 @@ def render_dashboard(
     states: Sequence[str] | None = None,
     out_path: str | None = None,
     frames: dict | None = None,
+    source_label: str | None = None,
 ) -> str:
     """Run the 7-query dashboard workload and render it to one
     self-contained HTML string (optionally written to ``out_path``).
@@ -239,13 +240,21 @@ def render_dashboard(
     the driver checks, not string-spliced. ``frames`` overrides the
     default testdata star schema with caller-built gold frames (keys
     ``fact_sales``, ``dim_customers``, ``dim_products``) — the hook
-    the scheduled pipeline uses to render the lake it just built."""
+    the scheduled pipeline uses to render the lake it just built.
+    ``source_label`` names the data source in the subtitle; it
+    defaults to ``sf_dir`` only when the frames were actually built
+    from it — a ``frames`` override MUST say where those frames came
+    from (ADVICE r08: the artifact must not misstate provenance)."""
     from data_engineering_project_spark.plans import analytics
 
     if frames is None:
         from data_engineering_project_spark.plans.workload import gold
 
         frames = gold(spark, sf_dir)
+        if source_label is None:
+            source_label = sf_dir
+    elif source_label is None:
+        source_label = "caller-provided gold frames"
     fact = frames["fact_sales"]
     dc, dp = frames["dim_customers"], frames["dim_products"]
 
@@ -358,7 +367,7 @@ def render_dashboard(
     body = (
         f"<h1>Sales dashboard</h1>"
         f'<div class="sub">filter: {_html.escape(filt)} · generated from '
-        f"{_html.escape(sf_dir)}</div>"
+        f"{_html.escape(source_label)}</div>"
         f'<div class="tiles">{tiles}</div>'
         f'<div class="grid2">{"".join(figures)}</div>'
     )

@@ -102,7 +102,14 @@ def main() -> int:
         }
     states = args.states.split(",") if args.states else None
     render_dashboard(
-        spark, args.sf_dir, states=states, out_path=args.out, frames=frames
+        spark,
+        args.sf_dir,
+        states=states,
+        out_path=args.out,
+        frames=frames,
+        source_label=(
+            os.path.join(lake, "gold") if frames is not None else None
+        ),
     )
     print(
         json.dumps(

@@ -82,10 +82,27 @@ def test_dashboard_state_filter_parameterizes(spark, sf_dir):
 def test_dashboard_frames_override(spark, sf_dir):
     """The frames= hook (used by scripts_run_pipeline.py to render the
     lake it just built) produces the same output as the default
-    testdata star when handed the same frames."""
+    testdata star when handed the same frames — once the provenance
+    label is pinned to the same value."""
     from data_engineering_project_spark.plans.workload import gold
 
     g = gold(spark, sf_dir)
     default = render_dashboard(spark, sf_dir)
-    via_frames = render_dashboard(spark, sf_dir, frames=g)
+    via_frames = render_dashboard(spark, sf_dir, frames=g, source_label=sf_dir)
     assert via_frames == default
+
+
+def test_dashboard_provenance_label(spark, sf_dir):
+    """ADVICE r08: a frames override must NOT claim the subtitle was
+    'generated from {sf_dir}' — the artifact states where its frames
+    actually came from."""
+    from data_engineering_project_spark.plans.workload import gold
+
+    g = gold(spark, sf_dir)
+    html = render_dashboard(spark, sf_dir, frames=g)
+    assert "caller-provided gold frames" in html
+    assert f"generated from {sf_dir}" not in html
+    labeled = render_dashboard(
+        spark, sf_dir, frames=g, source_label="/lake/gold"
+    )
+    assert "generated from /lake/gold" in labeled

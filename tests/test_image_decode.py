@@ -278,6 +278,132 @@ def test_jpeg_magnitude_coding_edges():
         assert (v == 0 and t == 0) or _extend(bits, t) == v
 
 
+def test_jpeg_roundtrip_high_frequency(smooth_img):
+    """ADVICE r08: smooth images have near-zero AC energy, which is
+    exactly how a dequantization-order bug can pass a smooth-only
+    suite. A checkerboard maximizes AC energy at the highest
+    frequency; with spec-correct dequant the q90 4:4:4 roundtrip
+    stays tight, while zigzag/natural-order confusion blows the mean
+    error past 25."""
+    from data_engineering_project_spark.multimodal import jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    checker = np.where((xx + yy) % 2 == 0, 208, 48).astype(np.uint8)
+    img = np.repeat(checker[:, :, None], 3, axis=2)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsample=False))
+    assert dec is not None
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 8.0
+
+    # stripes: energy concentrated in one mid-frequency row of the
+    # spectrum, where natural and zigzag quant steps differ most
+    stripes = np.where(xx % 2 == 0, 200, 55).astype(np.uint8)
+    img2 = np.repeat(stripes[:, :, None], 3, axis=2)
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(img2, quality=90, subsample=False))
+    err2 = np.abs(dec2.astype(int) - img2.astype(int))
+    assert err2.mean() < 8.0
+
+
+def _bits_to_stuffed_bytes(bitstring: str) -> bytes:
+    """Pack a '0'/'1' string MSB-first, pad with 1s, 0xFF-stuff."""
+    bitstring += "1" * (-len(bitstring) % 8)
+    out = bytearray()
+    for i in range(0, len(bitstring), 8):
+        b = int(bitstring[i : i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def test_jpeg_known_answer_decode_vector():
+    """Byte-level known-answer test, fully independent of the encoder:
+    a hand-assembled single-MCU grayscale baseline stream whose quant
+    table has a DISTINCT value at every natural position (1..64), so
+    any zigzag/natural ordering mistake in dequantization changes the
+    pixels. Expected output computed with a direct O(n^4) DCT-III sum
+    written inline here."""
+    from data_engineering_project_spark.multimodal import jpeg
+
+    qt_nat = np.arange(1, 65, dtype=np.int64)  # natural order 1..64
+    qt_zig = qt_nat[jpeg.ZIGZAG]  # stream stores zigzag order
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    # DC table: one symbol (category 6) with code "00"
+    dht_dc = bytes([0x00]) + bytes(
+        [0, 1] + [0] * 14
+    ) + bytes([6])
+    # AC table: 0x03 -> "00", 0x02 -> "01", EOB 0x00 -> "10"
+    dht_ac = bytes([0x10]) + bytes(
+        [0, 3] + [0] * 14
+    ) + bytes([0x03, 0x02, 0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # Block in zigzag order: zz[0]=40 (DC), zz[1]=+5, zz[2]=-3, rest 0.
+    # DC: code "00" + 6 magnitude bits of 40 = 101000
+    # AC k=1: (run0,size3)="00" + 101 (=+5)
+    # AC k=2: (run0,size2)="01" + 00  (=-3)
+    # EOB "10"
+    entropy = _bits_to_stuffed_bytes("00" + "101000" + "00" + "101" + "01" + "00" + "10")
+    stream = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qt_zig))
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    dec = jpeg.decode_jpeg(stream)
+    assert dec is not None and dec.shape == (8, 8, 3)
+
+    # expected: natural-order coefficients dequantized by qt_nat
+    coef = np.zeros(64)
+    coef[jpeg.ZIGZAG[0]] = 40 * qt_nat[jpeg.ZIGZAG[0]]
+    coef[jpeg.ZIGZAG[1]] = 5 * qt_nat[jpeg.ZIGZAG[1]]
+    coef[jpeg.ZIGZAG[2]] = -3 * qt_nat[jpeg.ZIGZAG[2]]
+    coef = coef.reshape(8, 8)
+
+    def c(k):
+        return 1 / np.sqrt(2) if k == 0 else 1.0
+
+    expect = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c(u) * c(v) * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            expect[x, y] = s / 4.0 + 128.0
+    expect = np.clip(expect, 0, 255)
+    assert np.abs(dec[:, :, 0].astype(float) - expect).max() <= 1.0
+
+
+def test_jpeg_fill_bytes_before_markers(smooth_img):
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; the decoder must skip them (ADVICE r08)."""
+    from data_engineering_project_spark.multimodal import jpeg
+
+    enc = jpeg.encode_jpeg(smooth_img, quality=90)
+    base = jpeg.decode_jpeg(enc)
+    # pad the DQT and SOF markers with fill bytes
+    padded = enc.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xc0", 1
+    )
+    dec = jpeg.decode_jpeg(padded)
+    assert dec is not None
+    assert np.array_equal(dec, base)
+
+
 def test_jpeg_through_spark_featurize_kernel(spark, smooth_img):
     """decode_and_featurize now runs REAL pixels for JPEG payloads:
     the feature must equal pixel_features of the decoded thumbnail,
