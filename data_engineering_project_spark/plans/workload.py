@@ -1079,7 +1079,9 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"), "value"
     )
-    daily = qsk.digest_by_group(ev, "value", ["day"], delta=200)
+    # partition-level partials + mergeable rollup (r9): no day ever
+    # materializes in one pandas batch, so a hot day cannot straggle
+    daily = qsk.digest_by_partition(ev, "value", ["day"], delta=200)
     top = qsk.rollup_digests(daily, [], delta=200).collect()[0]
     means, counts = top["digest_means"], top["digest_counts"]
     qs = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
@@ -16574,6 +16576,11 @@ _REWIRED: dict[str, int] = {
     # blocked_edit_pairs runs under the new max_block_names guard — the
     # r8 badge attests the unclamped, unguarded body
     "customer_name_linkage": 9,
+    # round 9: daily digest stage rewired from digest_by_group (whole
+    # group in one pandas batch) to digest_by_partition (per-batch
+    # partials + mergeable rollup) — the r8 badge attests the
+    # bounded-group body
+    "value_quantile_sketch": 9,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.

@@ -70,6 +70,58 @@ def test_edge_cases():
     assert len(m) < 150 and qsk.tdigest_quantile(m, c, [0.5])[0] == 7.0
 
 
+def test_digest_by_partition_equivalent_within_band(spark, sf_dir):
+    """r8 VERDICT item 3: the partition-partials path (mapInPandas +
+    mergeable rollup — no group ever in one pandas batch) must agree
+    with digest_by_group inside the rank-error band, preserve counts,
+    and stay size-bounded, per day AND after global rollup."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.sources.parquet import read_testdata
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "value")
+        .repartition(16)  # force groups to straddle many batches
+    )
+    by_group = {
+        r["day"]: r for r in qsk.digest_by_group(ev, "value", ["day"], 150).collect()
+    }
+    by_part = {
+        r["day"]: r
+        for r in qsk.digest_by_partition(ev, "value", ["day"], 150).collect()
+    }
+    assert set(by_part) == set(by_group)
+    for day, rp in by_part.items():
+        rg = by_group[day]
+        assert rp["digest_n"] == rg["digest_n"]  # count-lossless
+        assert len(rp["digest_means"]) <= 1500
+        eg = qsk.tdigest_quantile(rg["digest_means"], rg["digest_counts"], QS)
+        ep = qsk.tdigest_quantile(rp["digest_means"], rp["digest_counts"], QS)
+        spread = eg[-1] - eg[0] or 1.0
+        assert np.all(np.abs(eg - ep) <= 0.05 * spread + 1e-9), day
+
+    # global rollup from partition partials: same invariant contract
+    # the driver checks in value_quantile_sketch
+    top = qsk.rollup_digests(
+        qsk.digest_by_partition(ev, "value", ["day"], 200), [], 200
+    ).collect()[0]
+    n = ev.count()
+    assert top["digest_n"] == n and sum(top["digest_counts"]) == n
+    est = qsk.tdigest_quantile(top["digest_means"], top["digest_counts"], QS)
+    bounds = ev.agg(
+        F.expr(
+            "percentile(value, array({}))".format(
+                ",".join(
+                    f"{max(q - 0.02, 0)},{min(q + 0.02, 1)}" for q in QS
+                )
+            )
+        ).alias("p")
+    ).collect()[0]["p"]
+    for i, e in enumerate(est):
+        assert bounds[2 * i] <= float(e) <= bounds[2 * i + 1], QS[i]
+
+
 def test_spark_group_digest_and_rollup(spark, sf_dir):
     """The Spark surface: per-day digests, digest-only rollup, and the
     rolled-up estimate vs the exact percentile of the same frame."""
