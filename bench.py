@@ -91,6 +91,44 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _java_pids() -> list[int]:
+    """PIDs of running JVMs — competing Spark sessions are the known
+    confounder for wall-clock totals on this box (r7/r8 'drift')."""
+    pids = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/comm") as fh:
+                comm = fh.read().strip()
+        except OSError:
+            continue
+        if comm == "java":
+            pids.append(int(p))
+    return pids
+
+
+def _run_conditions(started: float) -> dict:
+    """Host-state snapshot taken at bench START — recorded so the
+    artifact adjudicates noise-vs-regression itself instead of a
+    PARITY.md narrative (r8 VERDICT item 2). load_avg is captured
+    before our own Spark JVM ramps, so nonzero load + foreign JVMs
+    mean a contended window."""
+    try:
+        la = os.getloadavg()
+    except OSError:
+        la = (None, None, None)
+    return {
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(started)),
+        "load_avg_1m": la[0],
+        "load_avg_5m": la[1],
+        "load_avg_15m": la[2],
+        "cpu_count": os.cpu_count(),
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "preexisting_jvms": len(_java_pids()),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -99,6 +137,8 @@ def main() -> None:
     # print (Spark, libraries, our own code) lands on stderr.
     contract_out = sys.stdout
     sys.stdout = sys.stderr
+    bench_started = time.time()
+    conditions = _run_conditions(bench_started)  # BEFORE our JVM ramps
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Local-mode scan parallelism: the sf0.1 tables are single ~30 MB
@@ -198,6 +238,25 @@ def main() -> None:
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        end_la = os.getloadavg()[0]
+    except OSError:
+        end_la = None
+    conditions["wall_sec"] = round(time.time() - bench_started, 1)
+    conditions["load_avg_1m_end"] = end_la
+    conditions["jvms_at_end"] = len(_java_pids())
+    # Operator-declared rerun context: when a noisy run is discarded
+    # and the bench re-run, export the discarded totals so the
+    # committed artifact carries the adjudication evidence, e.g.
+    #   SPARK_GRAFT_BENCH_DISCARDED='[445.8, 419.5]'
+    try:
+        discarded = json.loads(
+            os.environ.get("SPARK_GRAFT_BENCH_DISCARDED", "[]")
+        )
+    except ValueError:
+        discarded = []
+    conditions["n_runs"] = 1 + (len(discarded) if isinstance(discarded, list) else 0)
+    conditions["discarded_totals"] = discarded
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -207,6 +266,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "run_conditions": conditions,
             },
             fh,
             indent=1,
