@@ -16,12 +16,16 @@ clustering and merges concatenate-sort-recompress, so the same input
 always yields the same digest (the repo's cross-engine determinism
 convention).
 
-Spark surface: Arrow-batched ``applyInPandas`` per group (bounded
-calendar/source groups — each group's digest is O(δ), independent of
-row count), plain DataFrame rows ``(group…, means array<double>,
-counts array<long>)`` for storage, and numpy estimation on collected
-digests at the serving edge (a digest is ≤ δ centroids — driver-safe
-by construction).
+Spark surface: two builders with one output contract —
+``digest_by_group`` (Arrow-batched ``applyInPandas``, sorts the whole
+group in one task: simplest and bit-deterministic, for bounded
+calendar/source grains) and ``digest_by_partition`` (``mapInPandas``
+per-batch partials merged through ``rollup_digests``: no group ever
+materializes in one pandas frame — the 100 TB shape, where a hot group
+must not become one straggler task). Storage is plain DataFrame rows
+``(group…, means array<double>, counts array<long>)``; estimation is
+numpy on collected digests at the serving edge (a digest is ≤ δ
+centroids — driver-safe by construction).
 """
 
 from __future__ import annotations
