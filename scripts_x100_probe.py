@@ -31,6 +31,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 WORK = os.environ.get("SPARK_GRAFT_X100_DIR", "/tmp/spark_graft_x100")
 K = 100
 
+# sf10-equivalent intermediates (LSH band explosion, cluster edges)
+# overflow the 8g default local-JVM heap; the probe box has 128 GiB —
+# take a third of it unless the caller says otherwise. On a real
+# cluster this is per-executor memory, not one shared local heap.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
+
 PROBE = [
     # core anchors (linear references)
     "pricing_summary",

@@ -73,17 +73,44 @@ def build_replica(spark) -> None:
                 c, F.col(c) + F.col("rep") * offsets[OFFSET_KEY[c]]
             )
         if table == "documents":
-            # salt per replica: cross-replica docs must NOT be exact
-            # near-duplicates of each other
+            # Salt per replica so cross-replica docs are NOT near-dups.
+            # A suffix-only salt does NOT work: 4 changed chars leave
+            # 8-shingle Jaccard at ~0.99, so each base doc's K replicas
+            # formed a K-clique and the dedup families inflated
+            # quadratically BY CONSTRUCTION (exactly what the ×100
+            # probe flagged in round 9). Interleaving the rep token
+            # after every 2nd word breaks ~2/3 of shingles between
+            # replicas (measured J≈0.2–0.3 < the 0.5 verify threshold)
+            # while within-replica pairs get the SAME insertion
+            # pattern, preserving the planted near-dup structure.
             out = out.withColumn(
-                "text", F.concat("text", F.lit(" zr"), F.col("rep"))
+                "text",
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), (w, i) -> "
+                        "IF(i % 2 = 1, concat(w, ' zr', rep), w))"
+                    ),
+                    " ",
+                ),
             ).withColumn("n_chars", F.length("text"))
         if table == "embeddings":
+            # Per-replica ORTHOGONAL transform: cyclic shift by
+            # (rep % dim) plus a sign flip on odd indices for
+            # rep >= dim. Orthogonal => within-replica pairwise
+            # cosines are EXACTLY the base corpus's (the workload's
+            # subject matter is preserved); cross-replica cosines
+            # decorrelate to ~N(0, 1/sqrt(dim)), far below the 0.35
+            # near-dup threshold. The old multiplicative perturbation
+            # was a scalar on the whole vector — cosine-invariant, so
+            # cross-replica copies were EXACT duplicates by
+            # construction.
             out = out.withColumn(
                 "embedding",
                 F.expr(
-                    "transform(embedding, x -> CAST(x * (1.0 + rep * 1e-4)"
-                    " AS FLOAT))"
+                    "transform(sequence(0, size(embedding) - 1), i -> "
+                    "element_at(embedding, CAST((i + rep) % size(embedding)"
+                    " AS INT) + 1) * IF(rep >= size(embedding) AND i % 2 = 1,"
+                    " CAST(-1.0 AS FLOAT), CAST(1.0 AS FLOAT)))"
                 ),
             )
         (
