@@ -44,12 +44,18 @@ PROBE = [
     # ANN family
     "ivf_recall_check",
     "ivfpq_recall",
-    # dedup / fingerprint family
+    # dedup / fingerprint family (including the worst x10 ratios —
+    # pair-growth families are exactly where a x100 point matters)
     "lsh_pairs_portable",
     "dedup_clusters_portable",
+    "dedup_keep_list",
     "dedup_incremental_index",
+    "jaccard_prefix_pairs",
+    "ngram_jaccard_portable",
+    "minhash_estimate_error",
     "heavy_hitter_tokens",
     "winnow_fingerprints",
+    "embedding_similar_pairs",
     # streaming drain
     "streaming_sessionize_closed",
     # statistics (top-expensive entries, r8 VERDICT plan audit)

@@ -74,21 +74,31 @@ def build_replica(spark) -> None:
             )
         if table == "documents":
             # Salt per replica so cross-replica docs are NOT near-dups.
-            # A suffix-only salt does NOT work: 4 changed chars leave
-            # 8-shingle Jaccard at ~0.99, so each base doc's K replicas
-            # formed a K-clique and the dedup families inflated
-            # quadratically BY CONSTRUCTION (exactly what the ×100
-            # probe flagged in round 9). Interleaving the rep token
-            # after every 2nd word breaks ~2/3 of shingles between
-            # replicas (measured J≈0.2–0.3 < the 0.5 verify threshold)
-            # while within-replica pairs get the SAME insertion
-            # pattern, preserving the planted near-dup structure.
+            # Two designs failed before this one (round 9):
+            # - doc-suffix salt ("text zr7"): 4 changed chars leave
+            #   cross-replica 8-shingle Jaccard at 0.99 — every base
+            #   doc's K replicas formed a K-clique of verified
+            #   near-dups, C(K,2) pairs BY CONSTRUCTION.
+            # - interleaving " zr7" as a standalone token every 2nd
+            #   word: every word-TRIGRAM then contains a salt token,
+            #   so trigram document-frequency collapses to BIGRAM df —
+            #   flatter rarity gutted PPJoin prefix filtering and one
+            #   ×100 query spilled 72 GB.
+            # Suffixing the rep digits onto every 2nd word keeps the
+            # token count and the within-replica n-gram df structure
+            # EXACTLY base-shaped (base trigram → salted trigram is a
+            # bijection per replica), zeroes cross-replica word-n-gram
+            # overlap, and breaks enough 8-char shingles (a changed
+            # word every ~12 chars) to hold cross-replica J far below
+            # the 0.5 verify threshold, while planted within-replica
+            # near-dups receive the identical substitution and keep
+            # their J.
             out = out.withColumn(
                 "text",
                 F.array_join(
                     F.expr(
                         "transform(split(text, ' '), (w, i) -> "
-                        "IF(i % 2 = 1, concat(w, ' zr', rep), w))"
+                        "IF(i % 2 = 1, concat(w, rep), w))"
                     ),
                     " ",
                 ),
