@@ -437,12 +437,20 @@ def ivf_topk(
     return rerank_within_cells(cells, probes, id_col, vec_col, k)
 
 
+class BlockSizeExceeded(ValueError):
+    """A similarity block exceeds the declared bound — the O(g²)
+    pairwise stage would blow up. Shrink the blocks (IVF cells, LSH
+    buckets) or raise the bound deliberately; never let one unbounded
+    block become a quadratic straggler task."""
+
+
 def embedding_near_dups(
     df: DataFrame,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups.
 
@@ -455,10 +463,39 @@ def embedding_near_dups(
     O(g²) matrix fits memory; the shuffle is one exchange on the block
     key.
 
+    BOUNDED BLOCKS ARE THE CONTRACT, and ``max_block_rows`` makes it
+    enforceable (r9; same fail-loudly pattern as
+    linkage.blocked_edit_pairs): when set, a cheap census raises
+    :class:`BlockSizeExceeded` naming the offending blocks before any
+    O(g²) task is scheduled. An EXACT threshold join over unboundedly
+    growing blocks is inherently quadratic — measured at the ×100
+    probe: ×568 on a replica whose label blocks grow linearly with
+    corpus (SCALING.md §round-9). The scale path for unbounded corpora
+    is the IVF/ANN family (operators/ann_index.py — ×3.0 at the same
+    probe), which bounds blocks by construction.
+
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 4.
     """
     import numpy as np
     import pandas as pd
+
+    if max_block_rows is not None:
+        over = (
+            df.groupBy(block_col)
+            .agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") > max_block_rows)
+            .orderBy(F.col("n_rows").desc())
+            .limit(5)
+            .collect()
+        )
+        if over:
+            worst = ", ".join(f"{r[block_col]!r}={r['n_rows']}" for r in over)
+            raise BlockSizeExceeded(
+                f"block(s) exceed max_block_rows={max_block_rows}: {worst}"
+                " — the O(g²) cosine stage would be quadratic in the"
+                " mega-block; block on IVF cells / LSH buckets instead,"
+                " or raise the bound explicitly"
+            )
 
     out_schema = f"id_a long, id_b long, cosine double"  # noqa: F541
 

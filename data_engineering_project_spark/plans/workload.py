@@ -1961,7 +1961,9 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈0.47); the operator itself is the embedding near-dup detector with
     threshold as a parameter."""
     return similarity.embedding_near_dups(
-        load(spark, sf_dir, "embeddings"), threshold=0.35
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        max_block_rows=100_000,  # fail-loudly mega-block guard (r9)
     )
 
 
@@ -16581,6 +16583,9 @@ _REWIRED: dict[str, int] = {
     # partials + mergeable rollup) — the r8 badge attests the
     # bounded-group body
     "value_quantile_sketch": 9,
+    # round 9: embedding_near_dups runs under the new max_block_rows
+    # fail-loudly guard (output unchanged at every tested SF)
+    "embedding_similar_pairs": 9,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.

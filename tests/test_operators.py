@@ -125,6 +125,25 @@ def test_embedding_near_dups_matches_numpy(spark, sf_dir):
     assert got == expected and expected  # non-trivial at threshold 0.3
 
 
+def test_embedding_near_dups_block_guard(spark, sf_dir):
+    """r9: bounded blocks are the operator's contract — max_block_rows
+    makes it enforceable BEFORE the O(g²) stage is scheduled."""
+    import pytest
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    biggest = (
+        emb.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    )
+    with pytest.raises(similarity.BlockSizeExceeded, match="max_block_rows"):
+        similarity.embedding_near_dups(
+            emb, threshold=0.3, max_block_rows=biggest - 1
+        )
+    ok = similarity.embedding_near_dups(
+        emb, threshold=0.3, max_block_rows=biggest
+    )
+    assert ok.count() > 0  # sane bound: no raise, pairs still flow
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
