@@ -249,14 +249,27 @@ def main() -> None:
     # and the bench re-run, export the discarded totals so the
     # committed artifact carries the adjudication evidence, e.g.
     #   SPARK_GRAFT_BENCH_DISCARDED='[445.8, 419.5]'
+    raw_discarded = os.environ.get("SPARK_GRAFT_BENCH_DISCARDED", "[]")
     try:
-        discarded = json.loads(
-            os.environ.get("SPARK_GRAFT_BENCH_DISCARDED", "[]")
-        )
+        discarded = json.loads(raw_discarded)
     except ValueError:
-        discarded = []
-    conditions["n_runs"] = 1 + (len(discarded) if isinstance(discarded, list) else 0)
-    conditions["discarded_totals"] = discarded
+        discarded = None
+    if isinstance(discarded, (int, float)):
+        discarded = [discarded]  # forgive a bare scalar
+    if not (
+        isinstance(discarded, list)
+        and all(isinstance(x, (int, float)) for x in discarded)
+    ):
+        # NEVER swallow operator-declared evidence: a malformed value
+        # is preserved verbatim so the artifact shows something was
+        # declared but unparseable, instead of silently claiming a
+        # clean single run.
+        conditions["n_runs"] = 1
+        conditions["discarded_totals"] = []
+        conditions["discarded_totals_unparsed"] = raw_discarded
+    else:
+        conditions["n_runs"] = 1 + len(discarded)
+        conditions["discarded_totals"] = discarded
     with open(detail_path, "w") as fh:
         json.dump(
             {

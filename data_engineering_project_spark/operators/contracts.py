@@ -18,6 +18,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class BlockSizeExceeded(ValueError):
+    """A blocked operator's block exceeds its declared bound — the
+    O(|block|²) stage would blow up. One shared exception type so
+    every fail-loudly block guard (linkage.blocked_edit_pairs,
+    similarity.embedding_near_dups, …) raises the same catchable
+    contract: fix the block key or raise the bound deliberately;
+    never let a degenerate key schedule a quadratic straggler task."""
+
+
 @dataclass(frozen=True)
 class Expectation:
     """One rule: ``name`` labels it, ``violated`` is a boolean Column

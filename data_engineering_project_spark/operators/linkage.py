@@ -31,6 +31,20 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_engineering_project_spark.operators.contracts import (
+    BlockSizeExceeded,
+)
+
+__all__ = [
+    "BlockSizeExceeded",
+    "block_profile",
+    "blocked_edit_pairs",
+    "consonant_skeleton_block",
+    "link_ids",
+    "soundex_block",
+    "strip_suffix_block",
+]
+
 
 def strip_suffix_block(n_chars: int = 2) -> Callable[[Column], Column]:
     """Block key = the name with its last ``n_chars`` characters
@@ -38,21 +52,18 @@ def strip_suffix_block(n_chars: int = 2) -> Callable[[Column], Column]:
     or checksum tail (serials, account codes)."""
 
     def bk(name: Column) -> Column:
-        # clamp: names shorter than n_chars would otherwise produce a
-        # negative substr length (empty-string mega-block in Spark, an
-        # error in some engines) — short names block on themselves
+        # clamp: names shorter than n_chars would otherwise hand a
+        # NEGATIVE substr length to the engine — Spark happens to
+        # return '' but other engines (and a DuckDB oracle twin) can
+        # error, so the clamp makes the expression total and portable.
+        # Behaviorally all such short names still POOL into one shared
+        # '' block; if the dictionary has many of them, that block is
+        # quadratic — pass max_block_names to catch it loudly.
         return name.substr(
             F.lit(1), F.greatest(F.length(name) - F.lit(n_chars), F.lit(0))
         )
 
     return bk
-
-
-class BlockSizeExceeded(ValueError):
-    """A linkage block exceeds the declared bound — the quadratic
-    pair enumeration would blow up. Fix the block key (or raise the
-    bound deliberately); do not let one degenerate key turn a bounded
-    Σ|block|² join into an all-pairs straggler task."""
 
 
 def blocked_edit_pairs(
@@ -67,17 +78,16 @@ def blocked_edit_pairs(
     only within blocks of the distinct-name dictionary.
 
     ``max_block_names`` is the fail-loudly guard (same contract as
-    workload._stage_stream_source): when set, a cheap dictionary-side
-    census runs first and raises :class:`BlockSizeExceeded` naming the
-    offending keys if ANY block holds more than that many distinct
-    names — a degenerate key (empty string, constant prefix …) must
-    abort the job, not silently schedule a quadratic task."""
-    d = df.select(F.col(name_col).alias("name")).distinct()
-    b = d.withColumn("bk", block(F.col("name")))
+    workload._stage_stream_source): when set, the :func:`block_profile`
+    census runs first (one extra small pre-flight job over the
+    dictionary — deliberate: failing BEFORE the pair join is the whole
+    point) and raises :class:`BlockSizeExceeded` naming the offending
+    keys if ANY block holds more than that many distinct names — a
+    degenerate key (empty string, constant prefix …) must abort the
+    job, not silently schedule a quadratic task."""
     if max_block_names is not None:
         over = (
-            b.groupBy("bk")
-            .agg(F.count("*").alias("n_names"))
+            block_profile(df, name_col, block)
             .filter(F.col("n_names") > max_block_names)
             .orderBy(F.col("n_names").desc())
             .limit(5)
@@ -91,6 +101,8 @@ def blocked_edit_pairs(
                 "in the mega-block; choose a finer block key or raise "
                 "the bound explicitly"
             )
+    d = df.select(F.col(name_col).alias("name")).distinct()
+    b = d.withColumn("bk", block(F.col("name")))
     left = b.select("bk", F.col("name").alias("name_a"))
     right = b.select("bk", F.col("name").alias("name_b"))
     return (

@@ -187,6 +187,7 @@ def digest_by_partition(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            rows = []
             if group_cols:
                 for keys, sub in pdf.groupby(
                     group_cols, dropna=False, sort=True
@@ -198,18 +199,20 @@ def digest_by_partition(
                     row["digest_means"] = m.tolist()
                     row["digest_counts"] = c.tolist()
                     row["digest_n"] = int(c.sum())
-                    yield pd.DataFrame([row])
+                    rows.append(row)
             else:
                 m, c = tdigest_of(pdf[value_col].to_numpy(), delta)
-                yield pd.DataFrame(
-                    [
-                        {
-                            "digest_means": m.tolist(),
-                            "digest_counts": c.tolist(),
-                            "digest_n": int(c.sum()),
-                        }
-                    ]
+                rows.append(
+                    {
+                        "digest_means": m.tolist(),
+                        "digest_counts": c.tolist(),
+                        "digest_n": int(c.sum()),
+                    }
                 )
+            # ONE frame per input batch (not per group): a batch
+            # spanning hundreds of groups must not fan out into
+            # hundreds of single-row Arrow record batches
+            yield pd.DataFrame(rows)
 
     partial_df = df.select(*group_cols, value_col).mapInPandas(
         partials, schema=schema

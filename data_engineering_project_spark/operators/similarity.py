@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_engineering_project_spark.operators.contracts import (
+    BlockSizeExceeded,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -435,13 +439,6 @@ def ivf_topk(
     cells = assign_cells(corpus, cents, id_col, vec_col)
     probes = probe_assignments(queries, cents, id_col, vec_col, n_probe)
     return rerank_within_cells(cells, probes, id_col, vec_col, k)
-
-
-class BlockSizeExceeded(ValueError):
-    """A similarity block exceeds the declared bound — the O(g²)
-    pairwise stage would blow up. Shrink the blocks (IVF cells, LSH
-    buckets) or raise the bound deliberately; never let one unbounded
-    block become a quadratic straggler task."""
 
 
 def embedding_near_dups(

@@ -2,11 +2,11 @@
 
 Every scaling claim so far is attested at ×10 (sf0.1 → sf1-ish).
 This probe builds a ×100 replica (sf10-equivalent: ~60 M lineitem
-rows, ~100 k docs) with the same key-shift/salt scheme as
-scripts_x10_bench.py and times the ~15 most expensive / most
-scale-interesting families on it, writing SCALING_X100.json with the
-same flag logic — one measured point per family supporting the 100 TB
-extrapolation instead of an argument.
+rows, ~500 k docs, ~200 k vectors) with the same key-shift/salt scheme
+as scripts_x10_bench.py and times the 20 most scale-interesting
+families on it (the PROBE list below), writing SCALING_X100.json with
+the same flag logic — one measured point per family supporting the
+100 TB extrapolation instead of an argument.
 
 The full registry is NOT swept at ×100 (that is the ×10 artifact's
 job); the probe set covers: IVF/PQ ANN, the LSH/MinHash dedup family,

@@ -104,23 +104,32 @@ def build_replica(spark) -> None:
                 ),
             ).withColumn("n_chars", F.length("text"))
         if table == "embeddings":
-            # Per-replica ORTHOGONAL transform: cyclic shift by
-            # (rep % dim) plus a sign flip on odd indices for
-            # rep >= dim. Orthogonal => within-replica pairwise
-            # cosines are EXACTLY the base corpus's (the workload's
-            # subject matter is preserved); cross-replica cosines
-            # decorrelate to ~N(0, 1/sqrt(dim)), far below the 0.35
-            # near-dup threshold. The old multiplicative perturbation
-            # was a scalar on the whole vector — cosine-invariant, so
-            # cross-replica copies were EXACT duplicates by
-            # construction.
+            # Per-replica ORTHOGONAL transform = affine index
+            # permutation (odd multiplier => bijection for
+            # power-of-two dims; testdata dim is 64) composed with
+            # iid xxhash64-derived ±1 signs per (rep, index).
+            # Orthogonal => within-replica pairwise cosines are
+            # EXACTLY the base corpus's (the workload's subject matter
+            # is preserved). Cross-replica same-source cosines become
+            # statistically indistinguishable from random pairs
+            # (prototype measured sd 0.124 ≈ 1/sqrt(64), tail
+            # P(>0.35) 0.22% ≈ the random-pair tail) — which is the
+            # theoretical best: an orthogonal family cannot make a
+            # vector LESS similar to its own copies than to noise.
+            # Design history (round 9): a multiplicative perturbation
+            # is a whole-vector scalar — cosine-invariant, EXACT
+            # cross-replica duplicates; a bare cyclic shift leaves
+            # circular-autocorrelation collisions and rep/rep+dim
+            # shift ties (review-measured ~2% of pairs > 0.35).
             out = out.withColumn(
                 "embedding",
                 F.expr(
                     "transform(sequence(0, size(embedding) - 1), i -> "
-                    "element_at(embedding, CAST((i + rep) % size(embedding)"
-                    " AS INT) + 1) * IF(rep >= size(embedding) AND i % 2 = 1,"
-                    " CAST(-1.0 AS FLOAT), CAST(1.0 AS FLOAT)))"
+                    "element_at(embedding, CAST(((2 * (rep % 32) + 1) * i"
+                    " + rep % 64) % size(embedding) AS INT) + 1) * "
+                    "IF(pmod(xxhash64(concat(CAST(rep AS STRING), ':',"
+                    " CAST(i AS STRING))), 2) = 0,"
+                    " CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))"
                 ),
             )
         (

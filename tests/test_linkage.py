@@ -101,9 +101,11 @@ def test_mega_block_guard_raises_on_degenerate_key(spark):
 
 
 def test_strip_suffix_block_clamps_short_names(spark):
-    """ADVICE r08: names shorter than n_chars used to get a NEGATIVE
-    substr length (empty-string mega-block); the clamp keeps them in
-    the '' block explicitly and the expression total-function."""
+    """ADVICE r08: names shorter than n_chars used to hand the engine
+    a NEGATIVE substr length (Spark returns '', other engines can
+    error); the clamp makes the expression total and portable. The
+    short names still POOL into one shared '' block — the guard
+    (max_block_names), not the clamp, is what catches that hazard."""
     df = _names(spark, [(1, "ab"), (2, "a"), (3, ""), (4, "abcdef")])
     b = df.select(
         "name", linkage.strip_suffix_block(3)(F.col("name")).alias("bk")
