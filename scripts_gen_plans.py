@@ -60,6 +60,7 @@ SHOWCASE = {
     "ks_priority_value": "two-sample KS: both ECDF cumulatives ride ONE range prefix-sum (multi-column order_stats.global_cumsum), totals broadcast",
     "ivfpq_recall": "composed IVFPQ: probe-pruned candidate pairs semi-join the broadcast-ADC scored pairs BEFORE the rank window",
     "customer_name_linkage": "record linkage: distinct-name dictionary (rows never hit the quadratic stage), block-key equi-join with levenshtein riding post-join codegen — no cartesian anywhere",
+    "part_phonetic_linkage": "phonetic linkage: the consonant-skeleton key is a pure regexp/substr chain evaluated inside the scan-side projection; same dictionary-equi-join-levenshtein shape as the suffix-block family",
 }
 
 
