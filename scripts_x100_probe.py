@@ -3,7 +3,7 @@
 Every scaling claim so far is attested at ×10 (sf0.1 → sf1-ish).
 This probe builds a ×100 replica (sf10-equivalent: ~60 M lineitem
 rows, ~500 k docs, ~200 k vectors) with the same key-shift/salt scheme
-as scripts_x10_bench.py and times the 20 most scale-interesting
+as scripts_x10_bench.py and times the 30 most scale-interesting
 families on it (the PROBE list below), writing SCALING_X100.json with
 the same flag logic — one measured point per family supporting the
 100 TB extrapolation instead of an argument.
@@ -65,6 +65,20 @@ PROBE = [
     "value_quantile_sketch",
     "customer_name_linkage",
     "part_phonetic_linkage",
+    # second ring (r9 widening): one representative per remaining
+    # scale-interesting family — exact global order statistics,
+    # funnels/retention, SCD2, packing, sampling, text quality,
+    # as-of join, OLAP rollup, reach sketch, fingerprints
+    "running_monthly_revenue",
+    "conversion_funnel",
+    "dim_history_scd2",
+    "pack_documents",
+    "stratified_corpus_sample",
+    "corpus_filter",
+    "asof_purchase_view",
+    "revenue_rollup",
+    "reach_rollup_sketch",
+    "month_fingerprints",
 ]
 
 
