@@ -16457,6 +16457,67 @@ def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_fertility_audit",
+    """
+SELECT CAST(40 AS BIGINT) AS merges_trained,
+       CAST(1 AS BIGINT) AS all_lossless,
+       CAST(1 AS BIGINT) AS fertility_sane,
+       CAST(1 AS BIGINT) AS monotonic_compression
+""",
+)
+def q_bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-tokenizer fertility, invariant-oracle checked
+    (operators/bpe.py — the trained complement to
+    subword_token_stats' fixed-regex proxy): a 40-merge BPE vocabulary
+    is trained on the corpus's distributed word-frequency dictionary
+    (top-2000 TakeOrdered cap — the bounded collect is the documented
+    design, exactly how SentencePiece/HF split counting from training)
+    and applied back over the FULL corpus in one Arrow-batched
+    mapInPandas pass. Invariants asserted (the literal all-hold row is
+    the oracle, the value_quantile_sketch pattern):
+
+    - exactly 40 merges train (the corpus supports them at every
+      tested SF; early-stop would surface here),
+    - every encoded word round-trips losslessly (concat of subwords ==
+      word — merges regroup characters, never alter them),
+    - corpus fertility (subwords per word) lands in [1, 10],
+    - encoding with all 40 merges never yields MORE subwords than
+      encoding with the first 10 (greedy rank encode is monotone in
+      the merge set — a real regression canary: a broken rank order
+      breaks this first).
+
+    Scale: counting and encoding are the corpus-scale stages (one
+    groupBy + top-k; one mapInPandas with a Zipf-friendly per-batch
+    cache); the merge loop itself runs on the capped dictionary, which
+    is the standard production split."""
+    from data_engineering_project_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, "text", top_k=2000, n_merges=40, min_count=2)
+    enc40 = bpe.apply_bpe(docs, "text", merges)
+    enc10 = bpe.apply_bpe(docs, "text", merges[:10])
+    r40 = enc40.agg(
+        F.sum("n_words").alias("w"),
+        F.sum("n_subwords").alias("s"),
+        F.min(F.col("lossless").cast("int")).alias("l"),
+    ).collect()[0]
+    s10 = enc10.agg(F.sum("n_subwords").alias("s")).collect()[0]["s"]
+    fert = r40["s"] / r40["w"]
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                int(r40["l"] == 1),
+                int(1.0 <= fert <= 10.0),
+                int(r40["s"] <= s10),
+            )
+        ],
+        "merges_trained long, all_lossless long, fertility_sane long, "
+        "monotonic_compression long",
+    )
+
+
+@register(
     "mojibake_audit",
     """
 SELECT source,
@@ -16603,6 +16664,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "value_quantile_sketch": 8,
     "customer_name_linkage": 8,
     "part_phonetic_linkage": 9,
+    "bpe_fertility_audit": 9,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

@@ -1,0 +1,118 @@
+"""operators/bpe.py — trained BPE: counting, merging, encoding."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_spark.operators import bpe
+
+
+def test_train_matches_hand_computed_example():
+    """The classic Sennrich example shape: 'low/lower/newest/widest'.
+    First merges must follow pair frequency with the deterministic
+    (count DESC, pair ASC) tiebreak."""
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.train_bpe_from_counts(counts, n_merges=4)
+    # 'es' appears in newest(6) + widest(3) = 9 — the unique max.
+    assert merges[0][:2] == ("e", "s") and merges[0][2] == 9
+    # then ('es','t') at 9 — merging creates the next dominant pair
+    assert merges[1][:2] == ("es", "t") and merges[1][2] == 9
+    # 'lo' in low(5)+lower(2) = 7 beats everything remaining
+    assert merges[2][:2] == ("l", "o") and merges[2][2] == 7
+    assert merges[3][:2] == ("lo", "w") and merges[3][2] == 7
+
+
+def test_merge_counts_and_determinism():
+    counts = [("abab", 3), ("abba", 2)]
+    m1 = bpe.train_bpe_from_counts(counts, 3)
+    m2 = bpe.train_bpe_from_counts(list(counts), 3)
+    assert m1 == m2  # deterministic
+    # 'ab' count: abab has 2 occurrences x3, abba has 1 x2 = 8
+    assert m1[0] == ("a", "b", 8)
+
+
+def test_encode_word_round_trip_and_greedy_rank():
+    counts = [("aaab", 10), ("aab", 5)]
+    merges = bpe.train_bpe_from_counts(counts, 3, min_count=1)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w in ("aaab", "aab", "baaa", "xyz", "", "a"):
+        enc = bpe.encode_word(w, ranks)
+        assert "".join(enc) == w  # lossless, structurally
+    # a word containing trained pairs compresses
+    assert len(bpe.encode_word("aaab", ranks)) < 4
+
+
+def test_monotone_in_merge_set():
+    """Encoding with a PREFIX of the merge list never yields fewer
+    subwords than the full list (greedy rank encode is monotone)."""
+    counts = [("banana", 4), ("bandana", 3), ("ananas", 2)]
+    merges = bpe.train_bpe_from_counts(counts, 6, min_count=1)
+    full = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    half = {(a, b): i for i, (a, b, _) in enumerate(merges[:3])}
+    for w in ("banana", "bandana", "ananas", "banal"):
+        assert len(bpe.encode_word(w, full)) <= len(bpe.encode_word(w, half))
+
+
+def test_min_count_early_stop():
+    merges = bpe.train_bpe_from_counts([("ab", 1)], 10, min_count=2)
+    assert merges == []  # the only pair is below min_count
+    merges = bpe.train_bpe_from_counts([("ab", 2)], 10, min_count=2)
+    assert merges == [("a", "b", 2)]  # merged word has no pairs left
+
+
+def test_word_count_dictionary_rank_and_cap(spark):
+    df = spark.createDataFrame(
+        [("b b b a a c",), ("a b",)], "text string"
+    )
+    rows = bpe.word_count_dictionary(df, "text", top_k=2).collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("b", 4), ("a", 3)]
+
+
+def test_apply_bpe_spark_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "aaab aab aaab"), (2, ""), (3, "zz")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe_from_counts([("aaab", 10), ("aab", 5)], 3, 1)
+    out = {
+        r["doc_id"]: r
+        for r in bpe.apply_bpe(df, "text", merges, keep_cols=["doc_id"]).collect()
+    }
+    assert out[1]["n_words"] == 3 and out[1]["lossless"]
+    assert out[1]["n_subwords"] < 12  # compressed below char count
+    assert out[2]["n_words"] == 0 and out[2]["n_subwords"] == 0
+    assert out[3]["n_words"] == 1 and out[3]["n_subwords"] == 2  # no merges hit
+
+
+def test_dictionary_training_equals_full_corpus_training():
+    """Training on (word, count) must equal training on the raw
+    replicated word stream — the dictionary is sufficient statistics
+    for BPE."""
+    stream = ["cat"] * 5 + ["cart"] * 3 + ["car"] * 2
+    from collections import Counter
+
+    dict_merges = bpe.train_bpe_from_counts(
+        sorted(Counter(stream).items()), 5, min_count=1
+    )
+    stream_merges = bpe.train_bpe_from_counts(
+        [(w, 1) for w in stream], 5, min_count=1
+    )
+    assert dict_merges == stream_merges
+
+
+@pytest.mark.parametrize("n_merges", [0, 5])
+def test_fertility_audit_invariants_hold(spark, sf_dir, n_merges):
+    """The driver query's invariants, exercised on real testdata with
+    a small merge budget (fast): losslessness and monotonicity."""
+    from data_engineering_project_spark.sources.parquet import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(120)
+    merges = bpe.train_bpe(docs, "text", top_k=300, n_merges=n_merges)
+    assert len(merges) == n_merges
+    enc = bpe.apply_bpe(docs, "text", merges)
+    row = enc.agg(
+        {"lossless": "min", "n_words": "sum", "n_subwords": "sum"}
+    ).collect()[0]
+    assert row["min(lossless)"] is True
+    if n_merges:
+        assert row["sum(n_subwords)"] <= enc.count() * 1000  # sane

@@ -29,6 +29,9 @@ ARROW_KERNELS = {
     # Mergeable t-digest: per-day applyInPandas digests (O(delta)
     # output per calendar-bounded group) + one digest-table rollup.
     "value_quantile_sketch",
+    # Trained-BPE encoding pass: broadcast merge ranks, one
+    # mapInPandas sweep with a per-batch word cache (r9).
+    "bpe_fertility_audit",
 }
 
 # The one query whose JOB is a Python table function: doc_chunks_udtf
