@@ -79,6 +79,8 @@ PROBE = [
     "revenue_rollup",
     "reach_rollup_sketch",
     "month_fingerprints",
+    # late r9: trained-BPE (distributed count + Arrow encode)
+    "bpe_fertility_audit",
 ]
 
 
