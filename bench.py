@@ -91,6 +91,31 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def serving_suite(fact, dim_c, dim_p) -> dict:
+    """The dashboard serving workload over materialized gold tables —
+    name -> thunk. ONE definition shared by the sf0.1 bench below and
+    scripts_serving_scale.py's ×10/×100 rungs, so the scale artifact
+    measures exactly the suite the baseline comparison uses."""
+    return {
+        "kpis": lambda: analytics.kpis(fact, dim_c),
+        "top_categories": lambda: analytics.top_categories(fact, dim_p, dim_c),
+        "orders_by_state": lambda: analytics.orders_by_state(fact, dim_c),
+        "delivery_days_by_state": lambda: analytics.delivery_days_by_state(fact, dim_c),
+        "freight_by_state": lambda: analytics.freight_by_state(fact, dim_c),
+        "monthly_trend": lambda: analytics.monthly_trend(fact, dim_c),
+        "weekday_seasonality": lambda: analytics.weekday_seasonality(fact, dim_c),
+        "state_filtered_kpis": lambda: analytics.kpis(
+            fact, dim_c, states=["BUILDING", "MACHINERY"]
+        ),
+        "delivery_percentiles": lambda: fact.join(F.broadcast(dim_c), "customer_id")
+        .groupBy("customer_state")
+        .agg(
+            F.round(F.expr("percentile(delivery_time_days, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(delivery_time_days, 0.9)"), 4).alias("p90"),
+        ),
+    }
+
+
 def _java_pids() -> list[int]:
     """PIDs of running JVMs — competing Spark sessions are the known
     confounder for wall-clock totals on this box (r7/r8 'drift')."""
@@ -187,26 +212,7 @@ def main() -> None:
         dim_c = spark.read.parquet(os.path.join(gold_dir, "dim_customers"))
         dim_p = spark.read.parquet(os.path.join(gold_dir, "dim_products"))
 
-        serving = {
-            "kpis": lambda: analytics.kpis(fact, dim_c),
-            "top_categories": lambda: analytics.top_categories(fact, dim_p, dim_c),
-            "orders_by_state": lambda: analytics.orders_by_state(fact, dim_c),
-            "delivery_days_by_state": lambda: analytics.delivery_days_by_state(fact, dim_c),
-            "freight_by_state": lambda: analytics.freight_by_state(fact, dim_c),
-            "monthly_trend": lambda: analytics.monthly_trend(fact, dim_c),
-            "weekday_seasonality": lambda: analytics.weekday_seasonality(fact, dim_c),
-            "state_filtered_kpis": lambda: analytics.kpis(
-                fact, dim_c, states=["BUILDING", "MACHINERY"]
-            ),
-            "delivery_percentiles": lambda: fact.join(
-                F.broadcast(dim_c), "customer_id"
-            )
-            .groupBy("customer_state")
-            .agg(
-                F.round(F.expr("percentile(delivery_time_days, 0.5)"), 4).alias("p50"),
-                F.round(F.expr("percentile(delivery_time_days, 0.9)"), 4).alias("p90"),
-            ),
-        }
+        serving = serving_suite(fact, dim_c, dim_p)
         for name, fn in serving.items():
             start = time.perf_counter()
             _force(fn())
@@ -254,11 +260,16 @@ def main() -> None:
         discarded = json.loads(raw_discarded)
     except ValueError:
         discarded = None
-    if isinstance(discarded, (int, float)):
+    if isinstance(discarded, (int, float)) and not isinstance(discarded, bool):
         discarded = [discarded]  # forgive a bare scalar
     if not (
         isinstance(discarded, list)
-        and all(isinstance(x, (int, float)) for x in discarded)
+        and all(
+            # bool is a subclass of int — 'true'/'[true]' is NOT a
+            # wall-clock total and must land in the unparsed branch.
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in discarded
+        )
     ):
         # NEVER swallow operator-declared evidence: a malformed value
         # is preserved verbatim so the artifact shows something was

@@ -58,18 +58,132 @@ def word_count_dictionary(
     )
 
 
+def sentence_unit_dictionary(
+    df: DataFrame, text_col: str, top_k: int = 500, max_chars: int = 256
+) -> DataFrame:
+    """(unit, n) for SentencePiece-style training WITHOUT
+    pre-tokenization: the unit is the document text with spaces
+    replaced by the ▁ meta-symbol (so merges may cross word
+    boundaries and learn multi-word phrases), truncated to
+    ``max_chars`` to bound per-unit symbol count. Same distributed
+    shape as word_count_dictionary: one scan, groupBy, TakeOrdered
+    top-k with the deterministic (n DESC, unit ASC) rank."""
+    unit = F.substring(
+        F.regexp_replace(F.col(text_col), " ", "▁"), 1, max_chars
+    )
+    return (
+        df.select(unit.alias("unit"))
+        .filter((F.col("unit").isNotNull()) & (F.col("unit") != ""))
+        .groupBy("unit")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("unit").asc())
+        .limit(top_k)
+    )
+
+
+def train_bpe_sentencepiece(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 500,
+    n_merges: int = 2000,
+    min_count: int = 2,
+    max_chars: int = 256,
+) -> list[Merge]:
+    """Distributed unit count → bounded collect → incremental train.
+    Because units are whole (meta-marked) documents, the trainer
+    sustains production-shaped merge counts even on a small closed
+    vocabulary: after whole words are learned it keeps merging
+    repeated word bigrams/trigrams into phrase tokens — exactly what
+    SentencePiece BPE does on raw sentences."""
+    units = [
+        (r["unit"], r["n"])
+        for r in sentence_unit_dictionary(df, text_col, top_k, max_chars).collect()
+    ]
+    return train_bpe_from_counts(units, n_merges, min_count)
+
+
 def _merge_seq(syms: tuple, a: str, b: str) -> tuple:
-    """Merge every non-overlapping (a, b) occurrence, left to right."""
+    """Merge every non-overlapping (a, b) occurrence, left to right.
+
+    Jumps between occurrences of ``a`` with C-level ``tuple.index``
+    and copies the untouched spans with slice-``extend`` — ~3x faster
+    than a per-symbol Python loop on long sentence units, and the
+    single hottest call in production-shaped training (profiled: 40%
+    of the 2000-merge trainer)."""
     out: list[str] = []
     i = 0
-    while i < len(syms):
-        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+    n = len(syms)
+    while True:
+        try:
+            j = syms.index(a, i)
+        except ValueError:
+            out.extend(syms[i:])
+            break
+        if j < n - 1 and syms[j + 1] == b:
+            out.extend(syms[i:j])
             out.append(a + b)
-            i += 2
+            i = j + 2
         else:
-            out.append(syms[i])
-            i += 1
+            out.extend(syms[i : j + 1])
+            i = j + 1
+        if i >= n:
+            break
     return tuple(out)
+
+
+def _merge_seq_delta(
+    syms: tuple, a: str, b: str
+) -> tuple[tuple, dict[tuple[str, str], int]]:
+    """(merged symbols, pair-count delta) in one pass.
+
+    The delta maps each adjacent pair to its net occurrence change and
+    is computed ONLY around merge sites (the merged (a,b) occurrences
+    plus the boundaries touching a merged token) — O(sites), not
+    O(len): building full before/after Counters per affected word was
+    the trainer's hottest remaining path. Empty delta ⇔ no (a,b)
+    occurrence (the stale-inverted-index no-op)."""
+    out: list[str] = []
+    starts: list[int] = []  # original index of each out-token's first symbol
+    merged: list[int] = []  # out-positions holding a merged (a+b) token
+    i = 0
+    n = len(syms)
+    while True:
+        try:
+            j = syms.index(a, i)
+        except ValueError:
+            starts.extend(range(i, n))
+            out.extend(syms[i:])
+            break
+        if j < n - 1 and syms[j + 1] == b:
+            starts.extend(range(i, j))
+            out.extend(syms[i:j])
+            merged.append(len(out))
+            starts.append(j)
+            out.append(a + b)
+            i = j + 2
+        else:
+            starts.extend(range(i, j + 1))
+            out.extend(syms[i : j + 1])
+            i = j + 1
+        if i >= n:
+            break
+    if not merged:
+        return syms, {}
+    delta: dict[tuple[str, str], int] = {}
+    boundaries = set()
+    for p in merged:
+        delta[(a, b)] = delta.get((a, b), 0) - 1
+        if p > 0:
+            boundaries.add(p - 1)
+        if p < len(out) - 1:
+            boundaries.add(p)
+    for q in boundaries:  # boundary between out[q] and out[q+1]
+        s = starts[q + 1]
+        old = (syms[s - 1], syms[s])
+        new = (out[q], out[q + 1])
+        delta[old] = delta.get(old, 0) - 1
+        delta[new] = delta.get(new, 0) + 1
+    return tuple(out), delta
 
 
 def train_bpe_from_counts(
@@ -78,32 +192,85 @@ def train_bpe_from_counts(
     """Classic BPE on a word-frequency dictionary (exact, single-node —
     the dictionary is bounded by construction; see module docstring).
 
+    Incremental pair-count maintenance (round 10): instead of
+    recounting every adjacent pair after each merge
+    (O(n_merges x total symbols) — fine at 40 merges, hopeless at a
+    production 32k vocabulary), pair counts and a pair->words inverted
+    index are built once, and each merge touches ONLY the words that
+    contain the merged pair: subtract that word's old pair
+    contributions, rewrite its symbols, add the new ones. This is the
+    same maintenance scheme the public HF-tokenizers / subword-nmt
+    trainers use, and it produces bit-identical merges to the full
+    recount (the pytest equivalence test pins that).
+
+    Stale inverted-index entries (a word listed for a pair it no
+    longer contains after an earlier merge) are harmless: the
+    subtract-then-add pass over such a word is an exact no-op.
+
     Returns up to ``n_merges`` merges in training order; stops early
-    when no remaining pair reaches ``min_count``."""
-    vocab: dict[tuple, int] = {}
+    when no remaining pair reaches ``min_count``. Ties break on
+    (count DESC, pair ASC) — deterministic regardless of dict order."""
+    import heapq
+
+    agg: dict[tuple, int] = {}
     for w, c in counts:
         syms = tuple(w)
-        vocab[syms] = vocab.get(syms, 0) + int(c)
+        agg[syms] = agg.get(syms, 0) + int(c)
+    # mutable (symbols, count) records + inverted index pair -> word ids
+    words: list[list] = [[syms, c] for syms, c in agg.items()]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+    # lazy-deletion max-heap over (-count, pair): heappop order IS the
+    # (count DESC, pair ASC) tiebreak; an entry is live iff it matches
+    # the dict's current count (every count change pushes a fresh
+    # entry, so the current value is always present in the heap).
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
     merges: list[Merge] = []
-    for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best = (p, -negc)
+                break
+        if best is None:
             break
-        (a, b), bc = min(
-            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
-        )
+        (a, b), bc = best
         if bc < min_count:
             break
         merges.append((a, b, bc))
-        new_vocab: dict[tuple, int] = {}
-        for syms, c in vocab.items():
-            m = _merge_seq(syms, a, b)
-            new_vocab[m] = new_vocab.get(m, 0) + c
-        vocab = new_vocab
+        for wi in pair_words.pop((a, b), ()):
+            syms, c = words[wi]
+            # positional delta merge: only pairs around merge sites
+            # change, so both the dict updates and the heap pushes are
+            # O(sites) per word — per-occurrence subtract/add flooded
+            # the heap (measured 10x slower), and full before/after
+            # Counters re-hashed every pair of the word (2x slower).
+            new, delta = _merge_seq_delta(syms, a, b)
+            if not delta:  # stale index entry — exact no-op
+                continue
+            words[wi][0] = new
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                if d > 0:
+                    pair_words.setdefault(p, set()).add(wi)
+                nc = pair_counts.get(p, 0) + d * c
+                if nc > 0:
+                    pair_counts[p] = nc
+                    heapq.heappush(heap, (-nc, p))
+                else:
+                    pair_counts.pop(p, None)
+        pair_counts.pop((a, b), None)
     return merges
 
 
@@ -151,8 +318,11 @@ def apply_bpe(
     n_words, n_subwords, lossless)`` via one Arrow-batched
     ``mapInPandas`` pass. Merge ranks ride the closure (broadcast by
     Spark's task serialization — the table is ``n_merges`` entries);
-    a per-batch word cache exploits Zipf so each distinct word in a
-    batch is encoded once."""
+    a PER-PARTITION word cache (bounded at ``_CACHE_CAP`` distinct
+    words, cleared when it overflows) exploits Zipf so frequent words
+    are encoded once per partition — a high-cardinality partition
+    cannot accumulate its whole distinct-word set in executor
+    memory."""
     import pandas as pd
 
     keep = list(keep_cols or [])
@@ -161,10 +331,13 @@ def apply_bpe(
         [f"{df.schema[c].name} {df.schema[c].dataType.simpleString()}" for c in keep]
         + ["n_words long", "n_subwords long", "lossless boolean"]
     )
+    _CACHE_CAP = 200_000  # ~tens of MB worst case; Zipf keeps hit rate high
 
     def kernel(batches):
         cache: dict[str, tuple] = {}
         for pdf in batches:
+            if len(cache) > _CACHE_CAP:
+                cache.clear()
             if len(pdf) == 0:
                 continue
             rows = []

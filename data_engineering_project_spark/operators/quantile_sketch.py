@@ -16,19 +16,32 @@ clustering and merges concatenate-sort-recompress, so the same input
 always yields the same digest (the repo's cross-engine determinism
 convention).
 
-Spark surface: two builders with one output contract —
-``digest_by_group`` (Arrow-batched ``applyInPandas``, sorts the whole
-group in one task: simplest and bit-deterministic, for bounded
-calendar/source grains) and ``digest_by_partition`` (``mapInPandas``
-per-batch partials merged through ``rollup_digests``: no group ever
-materializes in one pandas frame — the 100 TB shape, where a hot group
-must not become one straggler task). Storage is plain DataFrame rows
+Spark surface: ``digest_by_partition`` is THE builder
+(``mapInPandas`` per-batch partials merged through
+``rollup_digests``: no group ever materializes in one pandas frame —
+the 100 TB shape, where a hot group must not become one straggler
+task). ``digest_by_group`` is INTERNAL/DEPRECATED (r9 VERDICT item
+6): it sorts the whole group inside one task, so a hot group is a
+straggler-OOM at scale; it is kept only as the bit-deterministic
+equivalence baseline for pytest and must not gain new consumers.
+Storage is plain DataFrame rows
 ``(group…, means array<double>, counts array<long>)``; estimation is
 numpy on collected digests at the serving edge (a digest is ≤ δ
 centroids — driver-safe by construction).
 """
 
 from __future__ import annotations
+
+# digest_by_group is deliberately ABSENT: internal/deprecated, pytest
+# equivalence baseline only (see its docstring) — the recommended
+# builder is digest_by_partition.
+__all__ = [
+    "tdigest_of",
+    "merge_tdigests",
+    "tdigest_quantile",
+    "digest_by_partition",
+    "rollup_digests",
+]
 
 import numpy as np
 import pandas as pd
@@ -131,10 +144,13 @@ def digest_by_group(
     """One t-digest row per group: ``(group…, digest_means,
     digest_counts, digest_n)``.
 
-    Scale: the shuffle is the groupBy; each group's work is one sort +
-    one linear pass, its output O(δ) regardless of group size. Groups
-    are the caller's bounded grain (day, source, …) — the digest table
-    is what a 100 TB pipeline persists instead of raw value columns.
+    .. deprecated:: round 10
+       INTERNAL — the pytest equivalence baseline only. This path
+       sorts each WHOLE group in one pandas task, so an unbounded hot
+       group is a straggler/OOM at scale. Production consumers use
+       :func:`digest_by_partition` (per-batch partials + mergeable
+       rollup — no group ever materializes in one frame); the
+       ``value_quantile_sketch`` registry entry routes through it.
     """
     schema = StructType(
         [df.schema[c] for c in group_cols] + _DIGEST_FIELDS

@@ -518,6 +518,59 @@ def embedding_near_dups(
     return df.groupBy(block_col).applyInPandas(kernel, out_schema)
 
 
+def embedding_near_dups_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    nlist: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    max_block_rows: int | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """ANN-path near-duplicate pairs: the sub-quadratic substitute for
+    :func:`embedding_near_dups` on unboundedly growing corpora (the one
+    ×100 super-linear flag, SCALING_X100.json round 9).
+
+    Blocking comes from the data itself instead of a label column: a
+    deterministic k-means coarse quantizer (``nlist`` cells,
+    :func:`kmeans_fit`) assigns every vector to its ``n_probe`` nearest
+    cells (multi-probe — near-threshold pairs that straddle a cell
+    boundary still co-occur in a probed cell), then the SAME BLAS
+    pairwise kernel runs per cell and duplicate discoveries collapse
+    with one ``distinct``. Cosines are computed exactly inside blocks,
+    so the output NEVER contains a below-threshold pair (precision 1.0
+    vs the global question by construction); the approximation budget
+    is recall only, controlled by ``n_probe``/``nlist``.
+
+    Scale shape: cells grow as ~``n_probe × N / nlist`` — at a fixed
+    corpus-to-cell ratio the per-block O(g²) stage is bounded by
+    RAISING ``nlist`` with the corpus (the standard IVF scaling), and
+    ``max_block_rows`` makes the bound fail-loudly exactly like the
+    exact operator. Recall-vs-exact is measured, not assumed: the
+    ``embedding_near_dups_ann`` workload entry audits it against the
+    exact operator's output at every tested SF, and the ×100 probe
+    records it at sf10-equivalent.
+    """
+    if cents is None:
+        cents = kmeans_fit(df, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    probed = probe_assignments(df, cents, id_col, vec_col, n_probe)
+    blocks = probed.select(
+        F.col("query_id").alias(id_col),
+        F.col("q_vec").alias(vec_col),
+        "cell",
+    )
+    return embedding_near_dups(
+        blocks,
+        block_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_block_rows=max_block_rows,
+    ).distinct()
+
+
 def centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

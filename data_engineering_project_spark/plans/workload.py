@@ -1967,6 +1967,91 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dups_ann",
+    """
+SELECT TRUE AS exact_nonempty,
+       TRUE AS recall_ge_85pct,
+       TRUE AS zero_spurious_same_label,
+       TRUE AS min_cosine_above_threshold
+""",
+)
+def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured ANN substitution for the one ×100 super-linear
+    flag (r9 VERDICT item 1): answers the same near-dup question as
+    ``embedding_similar_pairs`` — pairs above cosine 0.35 — but blocks
+    on IVF cells from the session-shared 16-cell coarse quantizer
+    (multi-probe, n_probe=4) instead of the label column, so block
+    sizes are bounded by construction and bounded blocks come from the
+    DATA, not from a trusted column (operators/similarity.py
+    ``embedding_near_dups_ann``; at growing corpus nlist scales with N
+    — see the adaptive choice below).
+
+    Invariant oracle (kmeans floats aren't bit-portable across
+    engines, the ivf_recall_check pattern) pinning the audit AGAINST
+    THE EXACT OPERATOR'S OUTPUT at this SF:
+
+    - the exact baseline is non-empty (the audit measures something),
+    - recall of the ANN pairs vs the exact same-label pairs >= 85%
+      (measured 0.92 / 0.94 at sf0.01 / sf0.1),
+    - ZERO spurious pairs: every same-label ANN pair appears in the
+      exact output (cosines are computed exactly inside blocks, so the
+      approximation can only lose pairs, never fabricate them),
+    - every emitted ANN pair — including the cross-label true pairs
+      label-blocking structurally misses — is above the threshold.
+
+    nlist adapts as max(16, N // 1000): constant cell POPULATION as
+    the corpus grows is the standard IVF scaling and keeps the
+    per-block O(g²) stage flat (the exact operator's blocks grow
+    linearly with corpus ⇒ quadratic work — the ×157 flag this entry
+    retires into a measured boundary)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nlist = max(16, n // 1000)
+    exact = similarity.embedding_near_dups(
+        emb, threshold=0.35, max_block_rows=100_000
+    ).localCheckpoint(eager=True)
+    cents = (
+        _ivf_cents16(spark, sf_dir)
+        if nlist == 16
+        else similarity.kmeans_fit(emb, k=nlist, iters=2)
+    )
+    ann = similarity.embedding_near_dups_ann(
+        emb, threshold=0.35, cents=cents, n_probe=4, max_block_rows=100_000
+    ).localCheckpoint(eager=True)
+    lab = emb.select("vec_id", "label")
+    ann_sl = (
+        ann.join(
+            lab.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la")),
+            "id_a",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb")),
+            "id_b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .select("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    n_common = exact.join(ann_sl, ["id_a", "id_b"], "left_semi").count()
+    n_spurious = ann_sl.join(exact, ["id_a", "id_b"], "left_anti").count()
+    min_cos = ann.agg(F.min("cosine")).collect()[0][0]
+    # the kernel emits ROUND(cosine, 4): a true 0.35003 renders as
+    # 0.35, so the threshold check tolerates the half-ulp of rounding
+    return spark.createDataFrame(
+        [
+            (
+                n_exact > 0,
+                n_common / max(n_exact, 1) >= 0.85,
+                n_spurious == 0,
+                min_cos is not None and min_cos >= 0.35 - 1e-6,
+            )
+        ],
+        "exact_nonempty boolean, recall_ge_85pct boolean, "
+        "zero_spurious_same_label boolean, min_cosine_above_threshold boolean",
+    )
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -16518,6 +16603,78 @@ def q_bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_vocab_train",
+    """
+SELECT CAST(2000 AS BIGINT) AS merges_trained,
+       CAST(1 AS BIGINT) AS all_lossless,
+       CAST(1 AS BIGINT) AS monotonic_compression,
+       CAST(1 AS BIGINT) AS compresses_4x
+""",
+)
+def q_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped BPE training (r9 VERDICT item 5): a
+    2000-merge vocabulary — 50x the fertility audit's 40 — trained
+    SentencePiece-style with NO pre-tokenization: the unit is the
+    whole document with spaces replaced by the ▁ meta-symbol
+    (operators/bpe.py sentence_unit_dictionary), so after whole words
+    are learned the trainer keeps merging repeated word bigrams/
+    trigrams into phrase tokens. This is what makes a production merge
+    count honest on a closed ~31-word synthetic vocabulary — word-level
+    BPE exhausts at ~89 merges; sentence-level sustains 2000 at every
+    tested SF (measured sf0.001/0.01/0.1: exactly 2000).
+
+    The trainer is the round-10 incremental one: pair counts + a
+    pair->units inverted index maintained across merges (Counter-diff
+    deltas, lazy-deletion max-heap argmax) instead of a full recount
+    per merge — O(affected neighborhood) per merge, the same
+    maintenance scheme subword-nmt/HF-tokenizers use, pinned
+    bit-identical to the recount reference by pytest.
+
+    Invariant oracle (bpe_fertility_audit pattern):
+    - exactly 2000 merges train (early-stop would surface here),
+    - every unit round-trips losslessly through the 2000-rank encode,
+    - monotone compression: 2000 ranks never yield more subwords than
+      the first 200 (greedy rank encode is monotone in the merge set),
+    - compression ratio chars/subwords >= 4 (measured ~10.8x).
+
+    Scale split is the module's standard: distributed unit count +
+    distributed Arrow encode; the merge loop runs on the top_k-capped
+    dictionary (bounded collect)."""
+    from data_engineering_project_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    units_df = bpe.sentence_unit_dictionary(
+        docs, "text", top_k=500, max_chars=600
+    ).localCheckpoint(eager=True)
+    units = [(r["unit"], r["n"]) for r in units_df.collect()]
+    merges = bpe.train_bpe_from_counts(units, n_merges=2000, min_count=2)
+    # TakeOrdered leaves one partition; spread the encode work
+    enc_in = units_df.repartition(32)
+    full = bpe.apply_bpe(enc_in, "unit", merges).agg(
+        F.sum("n_subwords").alias("s"),
+        F.min(F.col("lossless").cast("int")).alias("l"),
+    ).collect()[0]
+    s_pre = (
+        bpe.apply_bpe(enc_in, "unit", merges[:200])
+        .agg(F.sum("n_subwords").alias("s"))
+        .collect()[0]["s"]
+    )
+    chars = units_df.agg(F.sum(F.length("unit"))).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                int(full["l"] == 1),
+                int(full["s"] <= s_pre),
+                int(chars / full["s"] >= 4.0),
+            )
+        ],
+        "merges_trained long, all_lossless long, monotonic_compression long, "
+        "compresses_4x long",
+    )
+
+
+@register(
     "mojibake_audit",
     """
 SELECT source,
@@ -16647,6 +16804,11 @@ _REWIRED: dict[str, int] = {
     # round 9: embedding_near_dups runs under the new max_block_rows
     # fail-loudly guard (output unchanged at every tested SF)
     "embedding_similar_pairs": 9,
+    # round 10: train_bpe_from_counts rewired from full pair recount to
+    # incremental Counter-diff maintenance + lazy-deletion heap argmax
+    # (pytest pins merges bit-identical, but the badge must attest the
+    # shipping trainer)
+    "bpe_fertility_audit": 10,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.
@@ -16665,6 +16827,8 @@ _REGISTERED_ROUND: dict[str, int] = {
     "customer_name_linkage": 8,
     "part_phonetic_linkage": 9,
     "bpe_fertility_audit": 9,
+    "embedding_near_dups_ann": 10,
+    "bpe_vocab_train": 10,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

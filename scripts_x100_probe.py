@@ -15,8 +15,20 @@ t-digest sketch, conformal + label-separation (the two most expensive
 statistical entries), and two core anchors (pricing_summary,
 sessionize) as linear references.
 
+Round-10 hardening (r9 VERDICT items 2+3, ADVICE low #3):
+- each family is timed SPARK_GRAFT_X100_RUNS times (default 3) and
+  the MEDIAN carries the ratio/flag; per-family samples are recorded
+  so the artifact shows its own spread (the committed r9 variance was
+  x11-x28 on identical code — wider than most reported ratios).
+- run_conditions (load averages, JVM census, wall) are stamped into
+  SCALING_X100.json exactly like bench.py stamps BENCH_DETAIL.json.
+- a family missing from the sf0.1 baseline can no longer be silently
+  unflaggable: it gets "no_baseline": true and falls back to the
+  ratio_vs_x10 > 10*1.3 flag.
+
 Run:  python scripts_x100_probe.py                (build + probe)
       SPARK_GRAFT_X100_SKIP_BUILD=1 ...           (reuse replica)
+      SPARK_GRAFT_X100_RUNS=1 ...                 (fast single-shot)
 Timing-sensitive: run ALONE on the box, like bench.py.
 """
 
@@ -90,6 +102,16 @@ def main() -> int:
     os.environ["SPARK_GRAFT_X10_DIR"] = WORK
     import scripts_x10_bench as xb
 
+    # same host-state snapshot bench.py stamps into BENCH_DETAIL —
+    # the x100 artifact supports the headline 100 TB claim, so it
+    # carries the strongest (not weakest) measurement protocol.
+    import bench as bench_mod
+
+    probe_started = time.time()
+    conditions = bench_mod._run_conditions(probe_started)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_X100_RUNS", "3")))
+    conditions["n_runs_per_family"] = runs
+
     from data_engineering_project_spark.plans import workload
     from data_engineering_project_spark.session import get_spark
 
@@ -110,12 +132,18 @@ def main() -> int:
     )
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in PROBE:
-        spark.sparkContext._jvm.System.gc()
-        start = time.perf_counter()
-        force(workload.QUERIES[name](spark, WORK))
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+        per_run = []
+        for _ in range(runs):
+            spark.sparkContext._jvm.System.gc()
+            start = time.perf_counter()
+            force(workload.QUERIES[name](spark, WORK))
+            per_run.append(round(time.perf_counter() - start, 3))
+        per_run.sort()
+        samples[name] = per_run
+        timings[name] = per_run[len(per_run) // 2]  # median carries the flag
+        print(f"{name}: median {timings[name]}s of {per_run}", file=sys.stderr)
 
     base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
     x10_path = os.path.join(
@@ -130,25 +158,145 @@ def main() -> int:
         t10 = x10["queries"].get(name)
         r1 = round(t100 / t1, 2) if t1 else None
         r10 = round(t100 / t10, 2) if t10 else None
+        # same flag shape as SCALING_X10: super-linear iff growth
+        # beats the data factor by >30% and the run is non-trivial.
+        # A family absent from the sf0.1 baseline is NOT silently
+        # unflaggable (ADVICE r9): it is marked no_baseline and the
+        # flag falls back to the x10-rung ratio (x10 -> x100 is a
+        # 10x data factor, so >13 is the same +30% tolerance).
+        if r1 is not None:
+            flag = bool(r1 > K * 1.3 and t100 > 5.0)
+        else:
+            flag = bool(r10 is not None and r10 > 10 * 1.3 and t100 > 5.0)
         rows[name] = {
             "sf0.1_sec": t1,
             "x10_sec": t10,
             "x100_sec": t100,
+            "x100_samples": samples[name],
             "ratio_vs_sf0.1": r1,
             "ratio_vs_x10": r10,
-            # same flag shape as SCALING_X10: super-linear iff growth
-            # beats the data factor by >30% and the run is non-trivial
-            "super_linear": bool(r1 and r1 > K * 1.3 and t100 > 5.0),
+            "no_baseline": r1 is None,
+            "super_linear": flag,
         }
     flagged = sorted(
         (n for n, r in rows.items() if r["super_linear"]),
-        key=lambda n: -rows[n]["ratio_vs_sf0.1"],
+        key=lambda n: -(rows[n]["ratio_vs_sf0.1"] or rows[n]["ratio_vs_x10"] or 0),
     )
+
+    # ---- recall at x100 (r9 VERDICT items 1 + 3) -------------------
+    # Speed ratios alone don't justify the ANN substitution for the
+    # flagged exact join — the accuracy the speed buys must be a
+    # measured number at this rung, not an sf0.1 extrapolation.
+    from pyspark.sql import functions as Fn
+
+    from data_engineering_project_spark.operators import pq as pq_ops
+    from data_engineering_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{WORK}/embeddings.parquet")
+    n_vec = emb.count()
+
+    # (1) the ANN substitution for embedding_similar_pairs: same
+    # question (pairs above cosine 0.35), IVF-cell blocking with
+    # nlist scaled to the corpus (constant cell population).
+    sub: dict = {"n_vectors": n_vec, "threshold": 0.35}
+    t0 = time.perf_counter()
+    exact = similarity.embedding_near_dups(
+        emb, threshold=0.35, max_block_rows=100_000
+    ).localCheckpoint(eager=True)
+    sub["exact_pairs"] = exact.count()
+    sub["exact_sec"] = round(time.perf_counter() - t0, 1)
+    nlist = max(16, n_vec // 1000)
+    t0 = time.perf_counter()
+    ann = similarity.embedding_near_dups_ann(
+        emb, threshold=0.35, nlist=nlist, n_probe=4, iters=2,
+        max_block_rows=100_000,
+    ).localCheckpoint(eager=True)
+    sub["ann_pairs_total"] = ann.count()
+    sub["ann_sec"] = round(time.perf_counter() - t0, 1)
+    sub["nlist"] = nlist
+    sub["n_probe"] = 4
+    lab = emb.select("vec_id", "label")
+    ann_sl = (
+        ann.join(lab.select(Fn.col("vec_id").alias("id_a"), Fn.col("label").alias("la")), "id_a")
+        .join(lab.select(Fn.col("vec_id").alias("id_b"), Fn.col("label").alias("lb")), "id_b")
+        .filter(Fn.col("la") == Fn.col("lb"))
+        .select("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    n_common = exact.join(ann_sl, ["id_a", "id_b"], "left_semi").count()
+    sub["spurious_same_label"] = ann_sl.join(
+        exact, ["id_a", "id_b"], "left_anti"
+    ).count()
+    sub["recall_vs_exact"] = round(n_common / max(sub["exact_pairs"], 1), 4)
+    print(f"ann_substitution: {sub}", file=sys.stderr)
+
+    # (2) IVF recall@5 with the sf0.1 tuning and one retuned setting,
+    # and IVFPQ (composed) recall@5 at the sf0.1 tuning — against the
+    # exact brute-force top-5 of the 10-query gate set.
+    queries = emb.filter(Fn.col("vec_id") < 10)
+    exact5 = similarity.cosine_topk(emb, queries, k=5).localCheckpoint(eager=True)
+    ann_recall: dict = {}
+    for tag, (nl, np_) in {
+        "ivf_sf0.1_tuned": (16, 4),
+        "ivf_retuned": (64, 8),
+    }.items():
+        t0 = time.perf_counter()
+        cents = similarity.kmeans_fit(emb, k=nl, iters=2)
+        approx = similarity.ivf_topk(
+            emb, queries, cents, k=5, n_probe=np_
+        ).localCheckpoint(eager=True)
+        secs = round(time.perf_counter() - t0, 1)
+        hits = approx.join(
+            exact5.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        ann_recall[tag] = {
+            "nlist": nl, "n_probe": np_,
+            "recall_at_5": round(hits / 50.0, 3), "sec_incl_fit": secs,
+        }
+        print(f"{tag}: {ann_recall[tag]}", file=sys.stderr)
+    t0 = time.perf_counter()
+    books = pq_ops.pq_train(emb, m=4, k=16, iters=1)
+    cents16 = similarity.kmeans_fit(emb, k=16, iters=2)
+    cells = similarity.assign_cells(emb, cents16)
+    probes = similarity.probe_assignments(
+        queries, cents16, n_probe=4
+    ).localCheckpoint(eager=True)
+    cands = cells.select("vec_id", "cell").join(
+        probes.select("query_id", "cell"), "cell"
+    ).select("query_id", "vec_id")
+    enc = pq_ops.pq_encode(emb, books)
+    adc = pq_ops.pq_adc_topk(
+        enc, books, queries.select("vec_id", "embedding").toPandas(),
+        k=5, candidates=cands,
+    ).localCheckpoint(eager=True)
+    secs = round(time.perf_counter() - t0, 1)
+    hits = adc.join(
+        exact5.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    ann_recall["ivfpq_sf0.1_tuned"] = {
+        "nlist": 16, "n_probe": 4, "m": 4, "k_sub": 16,
+        "recall_at_5": round(hits / 50.0, 3), "sec_incl_fit": secs,
+    }
+    print(f"ivfpq: {ann_recall['ivfpq_sf0.1_tuned']}", file=sys.stderr)
+    no_baseline = sorted(n for n, r in rows.items() if r["no_baseline"])
+    try:
+        end_la = os.getloadavg()[0]
+    except OSError:
+        end_la = None
+    conditions["wall_sec"] = round(time.time() - probe_started, 1)
+    conditions["load_avg_1m_end"] = end_la
     out = {
         "k": K,
         "probe_total_sec": round(sum(timings.values()), 3),
         "n_probed": len(timings),
         "flagged_super_linear": flagged,
+        "no_baseline_families": no_baseline,
+        "ann_substitution": sub,
+        "ann_recall_at_5": ann_recall,
+        "run_conditions": conditions,
         "queries": rows,
     }
     with open(os.path.join(REPO, "SCALING_X100.json"), "w") as fh:

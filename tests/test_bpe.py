@@ -100,6 +100,57 @@ def test_dictionary_training_equals_full_corpus_training():
     assert dict_merges == stream_merges
 
 
+def _recount_train(counts, n_merges, min_count=2):
+    """Reference trainer: full pair recount after every merge (the
+    pre-round-10 implementation). Kept ONLY as the equivalence oracle
+    for the incremental-maintenance trainer."""
+    vocab = {}
+    for w, c in counts:
+        syms = tuple(w)
+        vocab[syms] = vocab.get(syms, 0) + int(c)
+    merges = []
+    for _ in range(n_merges):
+        pair_counts = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), bc = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if bc < min_count:
+            break
+        merges.append((a, b, bc))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            m = bpe._merge_seq(syms, a, b)
+            new_vocab[m] = new_vocab.get(m, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_incremental_trainer_equals_recount_reference():
+    """The round-10 incremental pair-count trainer must be
+    bit-identical to the full-recount reference, merge by merge,
+    including counts, tiebreaks, overlapping pairs ('aaa'), and
+    early-stop — run far past exhaustion to cover the empty tail."""
+    import random
+
+    rng = random.Random(20260816)
+    alpha = "abcdefg"
+    corpus = [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))),
+            rng.randint(1, 9),
+        )
+        for _ in range(300)
+    ] + [("aaa", 7), ("aaaa", 3), ("abab", 5), ("", 2)]
+    for min_count in (1, 2, 5):
+        ref = _recount_train(list(corpus), 400, min_count)
+        inc = bpe.train_bpe_from_counts(list(corpus), 400, min_count)
+        assert inc == ref
+
+
 @pytest.mark.parametrize("n_merges", [0, 5])
 def test_fertility_audit_invariants_hold(spark, sf_dir, n_merges):
     """The driver query's invariants, exercised on real testdata with
