@@ -2010,7 +2010,7 @@ def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist = max(16, n // 1000)
     exact = similarity.embedding_near_dups(
         emb, threshold=0.35, max_block_rows=100_000
-    ).localCheckpoint(eager=True)
+    )
     cents = (
         _ivf_cents16(spark, sf_dir)
         if nlist == 16
@@ -2031,10 +2031,26 @@ def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("la") == F.col("lb"))
         .select("id_a", "id_b")
-    ).localCheckpoint(eager=True)
-    n_exact = exact.count()
-    n_common = exact.join(ann_sl, ["id_a", "id_b"], "left_semi").count()
-    n_spurious = ann_sl.join(exact, ["id_a", "id_b"], "left_anti").count()
+    )
+    # one full-outer join + one aggregation yields all three pair
+    # tallies in a single job (pair frames are post-threshold small)
+    tallies = (
+        exact.select("id_a", "id_b", F.lit(1).alias("e"))
+        .join(
+            ann_sl.select("id_a", "id_b", F.lit(1).alias("a")),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .agg(
+            F.sum("e").alias("n_exact"),
+            F.sum(F.col("e") * F.col("a")).alias("n_common"),
+            F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("n_spurious"),
+        )
+        .collect()[0]
+    )
+    n_exact = tallies["n_exact"] or 0
+    n_common = tallies["n_common"] or 0
+    n_spurious = tallies["n_spurious"] or 0
     min_cos = ann.agg(F.min("cosine")).collect()[0][0]
     # the kernel emits ROUND(cosine, 4): a true 0.35003 renders as
     # 0.35, so the threshold check tolerates the half-ulp of rounding

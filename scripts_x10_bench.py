@@ -173,21 +173,26 @@ def main() -> int:
     rows = {}
     for name, t10 in x10["queries"].items():
         t1 = base["queries"].get(name)
-        if t1 is None:
-            continue
         # Spark's ~0.3-0.6 s per-query scheduling floor dominates small
         # queries at both SFs; subtract nothing, just flag on ratio
         # with a floor so noise can't flag a 0.2 s query.
-        ratio = round(t10 / t1, 2) if t1 > 0 else None
+        # A name missing from the committed baseline (registered after
+        # the last sf0.1 bench commit) is NOT silently unflaggable
+        # (no-silent-caps convention, r9 ADVICE on the x100 twin): it
+        # is marked no_baseline and flagged on absolute x10 cost.
+        ratio = round(t10 / t1, 2) if t1 else None
         rows[name] = {
             "sf0.1_sec": t1,
             "x10_sec": t10,
             "ratio": ratio,
-            "super_linear": bool(ratio and ratio > K * 1.3 and t10 > 5.0),
+            "no_baseline": t1 is None,
+            "super_linear": bool(ratio and ratio > K * 1.3 and t10 > 5.0)
+            if t1
+            else bool(t10 > 60.0),
         }
     flagged = sorted(
         (n for n, r in rows.items() if r["super_linear"]),
-        key=lambda n: -rows[n]["ratio"],
+        key=lambda n: -(rows[n]["ratio"] or rows[n]["x10_sec"]),
     )
     out = {
         "k": K,
@@ -195,6 +200,9 @@ def main() -> int:
         "total_x10": x10["value"],
         "total_ratio": round(x10["value"] / base["value"], 2),
         "flagged_super_linear": flagged,
+        "no_baseline_families": sorted(
+            n for n, r in rows.items() if r["no_baseline"]
+        ),
         "queries": rows,
     }
     with open(os.path.join(REPO, "SCALING_X10.json"), "w") as fh:

@@ -100,6 +100,34 @@ def test_dictionary_training_equals_full_corpus_training():
     assert dict_merges == stream_merges
 
 
+def test_sentence_unit_dictionary_meta_symbol_and_rank(spark):
+    df = spark.createDataFrame(
+        [("a b", 1), ("a b", 1), ("c d", 1), ("", 1), (None, 1)],
+        "text string, x int",
+    )
+    rows = bpe.sentence_unit_dictionary(df, "text", top_k=5).collect()
+    assert [(r["unit"], r["n"]) for r in rows] == [("a▁b", 2), ("c▁d", 1)]
+    # truncation bounds the symbol count
+    long = spark.createDataFrame([("x y " * 50,)], "text string")
+    unit = bpe.sentence_unit_dictionary(long, "text", top_k=1, max_chars=10)
+    assert len(unit.collect()[0]["unit"]) == 10
+
+
+def test_sentencepiece_training_learns_cross_word_merges(spark):
+    """No pre-tokenization: repeated word bigrams become phrase tokens
+    (a merge whose result spans the ▁ boundary)."""
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("the cat hid",)], "text string"
+    )
+    merges = bpe.train_bpe_sentencepiece(
+        df, "text", top_k=10, n_merges=30, min_count=2
+    )
+    joined = {a + b for a, b, _ in merges}
+    assert any("▁" in t and t.strip("▁") not in ("",) and len(t) > 4 for t in joined)
+    # 'the▁cat' (or a superstring path to it) must be learnable
+    assert any("the▁cat".startswith(t) or t.startswith("the▁cat") or "e▁c" in t for t in joined)
+
+
 def _recount_train(counts, n_merges, min_count=2):
     """Reference trainer: full pair recount after every merge (the
     pre-round-10 implementation). Kept ONLY as the equivalence oracle

@@ -144,6 +144,50 @@ def test_embedding_near_dups_block_guard(spark, sf_dir):
     assert ok.count() > 0  # sane bound: no raise, pairs still flow
 
 
+def test_embedding_near_dups_ann_subset_and_recall(spark, sf_dir):
+    """r10 ANN path: every emitted pair is a true above-threshold pair
+    (precision 1.0 by construction — cosines exact inside blocks), no
+    duplicates despite multi-probe co-occurrence, and recall of the
+    exact same-label pairs is substantial at a generous probe budget."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    ann = similarity.embedding_near_dups_ann(
+        emb, threshold=0.3, nlist=8, n_probe=4, iters=2
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in ann]
+    assert len(pairs) == len(set(pairs))  # distinct collapsed multi-probe
+    assert all(a < b for a, b in pairs)
+    assert all(r.cosine >= 0.3 - 1e-6 for r in ann)  # rounded-to-4 outputs
+    # recall vs the exact label-blocked operator (same-label pairs only)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(emb, threshold=0.3).collect()
+    }
+    got = set(pairs)
+    assert exact  # non-trivial fixture
+    assert len(exact & got) / len(exact) >= 0.5  # generous probes find most
+    # spurious check: exact cosine recomputed for a sample of ANN pairs
+    # is above threshold (subset-of-truth, not only same-label)
+    import numpy as np
+
+    pdf = emb.toPandas().set_index("vec_id")
+    vec = {i: np.asarray(v, dtype=np.float64) for i, v in pdf["embedding"].items()}
+    for a, b in pairs[:50]:
+        va, vb = vec[a], vec[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos > 0.3
+
+
+def test_embedding_near_dups_ann_block_guard(spark, sf_dir):
+    """The ANN path inherits the fail-loudly mega-block census."""
+    import pytest
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    with pytest.raises(similarity.BlockSizeExceeded, match="max_block_rows"):
+        similarity.embedding_near_dups_ann(
+            emb, threshold=0.3, nlist=2, n_probe=2, iters=1, max_block_rows=3
+        )
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
