@@ -93,6 +93,10 @@ PROBE = [
     "month_fingerprints",
     # late r9: trained-BPE (distributed count + Arrow encode)
     "bpe_fertility_audit",
+    # r10: production-shaped trainer — the top_k-capped dictionary
+    # bounds training and encode, so the x100 cost should be the
+    # count scan alone (a flat-cost demonstration, not an assumption)
+    "bpe_vocab_train",
 ]
 
 
