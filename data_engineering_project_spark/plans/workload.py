@@ -2004,7 +2004,17 @@ def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus grows is the standard IVF scaling and keeps the
     per-block O(g²) stage flat (the exact operator's blocks grow
     linearly with corpus ⇒ quadratic work — the ×157 flag this entry
-    retires into a measured boundary)."""
+    retires into a measured boundary).
+
+    Regime caveat the ×100 probe measured (SCALING_X100.json): the
+    0.35 threshold is a DENSE weak-similarity join on this corpus —
+    its exact output grows ~quadratically (391 pairs at sf0.1 →
+    4.27 M at ×100), so no sub-quadratic method holds recall there
+    (measured 0.37 at ×100, where fixed n_probe=4 covers 2 % of 200
+    cells vs 25 % of 16 at the tested SFs). The operator's production
+    contract is the NEAR-DUP regime (high threshold), where planted
+    exact/±0.5 %-perturbed duplicates are recovered at ×100 with the
+    scaled quantizer — see the probe's `near_dup_regime` block."""
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     nlist = max(16, n // 1000)

@@ -137,6 +137,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    first_run: dict[str, float] = {}
     for name in PROBE:
         per_run = []
         for _ in range(runs):
@@ -144,10 +145,17 @@ def main() -> int:
             start = time.perf_counter()
             force(workload.QUERIES[name](spark, WORK))
             per_run.append(round(time.perf_counter() - start, 3))
-        per_run.sort()
-        samples[name] = per_run
-        timings[name] = per_run[len(per_run) // 2]  # median carries the flag
-        print(f"{name}: median {timings[name]}s of {per_run}", file=sys.stderr)
+        # samples stay CHRONOLOGICAL: entries that persist state
+        # (streaming txlog drain, incremental index) are near-no-ops
+        # on repeat runs — the 1st-vs-rest pattern must stay visible,
+        # and the first run is the honest comparable to the
+        # single-shot sf0.1 baseline for those families.
+        samples[name] = list(per_run)
+        first_run[name] = per_run[0]
+        timings[name] = sorted(per_run)[len(per_run) // 2]  # median flags
+        print(
+            f"{name}: median {timings[name]}s of {per_run}", file=sys.stderr
+        )
 
     base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
     x10_path = os.path.join(
@@ -172,12 +180,19 @@ def main() -> int:
             flag = bool(r1 > K * 1.3 and t100 > 5.0)
         else:
             flag = bool(r10 is not None and r10 > 10 * 1.3 and t100 > 5.0)
+        fr = first_run[name]
         rows[name] = {
             "sf0.1_sec": t1,
             "x10_sec": t10,
             "x100_sec": t100,
+            "x100_first_run_sec": fr,
             "x100_samples": samples[name],
             "ratio_vs_sf0.1": r1,
+            # first-run ratio: the honest number for families whose
+            # repeat runs hit persisted state (samples show the
+            # 1st-vs-rest cliff); for everyone else it is the
+            # coldest-cache sample.
+            "ratio_vs_sf0.1_first_run": round(fr / t1, 2) if t1 else None,
             "ratio_vs_x10": r10,
             "no_baseline": r1 is None,
             "super_linear": flag,
@@ -231,7 +246,73 @@ def main() -> int:
         exact, ["id_a", "id_b"], "left_anti"
     ).count()
     sub["recall_vs_exact"] = round(n_common / max(sub["exact_pairs"], 1), 4)
+    # Context the number needs: at threshold 0.35 the exact OUTPUT
+    # itself grows ~quadratically (391 pairs at sf0.1 -> millions
+    # here for x100 data), so the 0.35 join is a dense weak-similarity
+    # question — no sub-quadratic method answers it with high recall;
+    # the ANN operator's production contract is the NEAR-DUP regime
+    # measured below with planted duplicates at threshold 0.99.
+    sub["exact_pairs_sf0.1"] = 391
+    sub["output_growth_vs_data_x100"] = round(sub["exact_pairs"] / 391 / 100, 1)
     print(f"ann_substitution: {sub}", file=sys.stderr)
+
+    # (1b) the near-dup regime at x100: plant deterministic
+    # near-duplicates (1 exact copy + 1 ±0.5% perturbed copy per
+    # source vector) and measure planted-pair recall at threshold
+    # 0.99 with the SAME scaled quantizer settings — the regime where
+    # constant cell population holds recall, because near-identical
+    # vectors share their nearest cells.
+    src = (
+        emb.filter(Fn.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(1000)
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    copy_exact = src.select(
+        (Fn.col("vec_id") + 1_000_000_000).alias("vec_id"), "label", "embedding"
+    )
+    copy_pert = src.select(
+        (Fn.col("vec_id") + 2_000_000_000).alias("vec_id"),
+        "label",
+        Fn.expr(
+            "transform(embedding, (x, i) -> x * CAST(1.0 + 0.005 *"
+            " IF(pmod(xxhash64(concat(CAST(vec_id AS STRING), ':',"
+            " CAST(i AS STRING))), 2) = 0, 1.0, -1.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    planted_corpus = emb.select("vec_id", "label", "embedding").unionByName(
+        copy_exact
+    ).unionByName(copy_pert)
+    t0 = time.perf_counter()
+    ann_nd = similarity.embedding_near_dups_ann(
+        planted_corpus, threshold=0.99, nlist=nlist, n_probe=4, iters=2,
+        max_block_rows=100_000,
+    ).localCheckpoint(eager=True)
+    nd_sec = round(time.perf_counter() - t0, 1)
+    src_ids = {r["vec_id"] for r in src.select("vec_id").collect()}
+    expected = set()
+    for v in src_ids:
+        expected.add((v, v + 1_000_000_000))
+        expected.add((v, v + 2_000_000_000))
+        expected.add((v + 1_000_000_000, v + 2_000_000_000))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ann_nd.filter(
+            Fn.col("id_b") >= 1_000_000_000
+        ).collect()
+    }
+    sub["near_dup_regime"] = {
+        "threshold": 0.99,
+        "planted_pairs": len(expected),
+        "recovered": len(expected & got),
+        "recall": round(len(expected & got) / len(expected), 4),
+        "non_planted_pairs_emitted": len(got - expected),
+        "sec": nd_sec,
+        "nlist": nlist,
+        "n_probe": 4,
+    }
+    print(f"near_dup_regime: {sub['near_dup_regime']}", file=sys.stderr)
 
     # (2) IVF recall@5 with the sf0.1 tuning and one retuned setting,
     # and IVFPQ (composed) recall@5 at the sf0.1 tuning — against the
@@ -285,6 +366,28 @@ def main() -> int:
         "recall_at_5": round(hits / 50.0, 3), "sec_incl_fit": secs,
     }
     print(f"ivfpq: {ann_recall['ivfpq_sf0.1_tuned']}", file=sys.stderr)
+    # retuned PQ: 16 codewords/subspace cannot rank 200k near-random
+    # vectors at k=5 — the production response is a bigger codebook
+    # (m=8 x k=64 = 48 bits/vector), measured here as the
+    # recall/latency trade beside the sf0.1 tuning.
+    t0 = time.perf_counter()
+    books8 = pq_ops.pq_train(emb, m=8, k=64, iters=1)
+    enc8 = pq_ops.pq_encode(emb, books8)
+    adc8 = pq_ops.pq_adc_topk(
+        enc8, books8, queries.select("vec_id", "embedding").toPandas(),
+        k=5, candidates=cands,
+    ).localCheckpoint(eager=True)
+    secs = round(time.perf_counter() - t0, 1)
+    hits = adc8.join(
+        exact5.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    ann_recall["ivfpq_retuned"] = {
+        "nlist": 16, "n_probe": 4, "m": 8, "k_sub": 64,
+        "recall_at_5": round(hits / 50.0, 3), "sec_incl_fit": secs,
+    }
+    print(f"ivfpq_retuned: {ann_recall['ivfpq_retuned']}", file=sys.stderr)
     no_baseline = sorted(n for n, r in rows.items() if r["no_baseline"])
     try:
         end_la = os.getloadavg()[0]
