@@ -365,3 +365,31 @@ def apply_bpe(
             yield pd.DataFrame(rows)
 
     return df.select(*keep, text_col).mapInPandas(kernel, out_fields)
+
+
+def merges_to_table(spark, merges: list[Merge]) -> DataFrame:
+    """Trained merges as a DataFrame ``(rank, left, right, pair_count)``
+    — the tokenizer ARTIFACT. Production pipelines ship the trained
+    vocabulary as a table (HF tokenizer.json / SentencePiece .model are
+    files; on a lake the natural form is a tiny parquet table): encode
+    jobs anywhere reload it instead of retraining, and the artifact
+    versions/diffs like any other table. Rank IS training order — the
+    only state greedy encode needs."""
+    return spark.createDataFrame(
+        [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+def save_merges(spark, merges: list[Merge], path: str) -> None:
+    """Persist the merge table (one ~n_merges-row parquet — control
+    plane, like the IVF centroid sidecar in operators/ann_index.py)."""
+    merges_to_table(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[Merge]:
+    """Reload merges in training order. Round-trip identity with
+    save_merges is pinned by pytest: encode with reloaded merges is
+    bit-equal to encode with the in-memory list."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]

@@ -247,13 +247,25 @@ def main() -> int:
     ).count()
     sub["recall_vs_exact"] = round(n_common / max(sub["exact_pairs"], 1), 4)
     # Context the number needs: at threshold 0.35 the exact OUTPUT
-    # itself grows ~quadratically (391 pairs at sf0.1 -> millions
-    # here for x100 data), so the 0.35 join is a dense weak-similarity
-    # question — no sub-quadratic method answers it with high recall;
-    # the ANN operator's production contract is the NEAR-DUP regime
-    # measured below with planted duplicates at threshold 0.99.
-    sub["exact_pairs_sf0.1"] = 391
-    sub["output_growth_vs_data_x100"] = round(sub["exact_pairs"] / 391 / 100, 1)
+    # itself grows ~quadratically (hundreds of pairs at sf0.1 ->
+    # millions here for x100 data), so the 0.35 join is a dense
+    # weak-similarity question — no sub-quadratic method answers it
+    # with high recall; the ANN operator's production contract is the
+    # NEAR-DUP regime measured below with planted duplicates at 0.99.
+    # The sf0.1 output count is measured live (seconds), not quoted.
+    emb_base = spark.read.parquet(
+        os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "embeddings.parquet",
+        )
+    )
+    n_base_pairs = similarity.embedding_near_dups(
+        emb_base, threshold=0.35, max_block_rows=100_000
+    ).count()
+    sub["exact_pairs_sf0.1"] = n_base_pairs
+    sub["output_growth_vs_data_x100"] = round(
+        sub["exact_pairs"] / max(n_base_pairs, 1) / 100, 1
+    )
     print(f"ann_substitution: {sub}", file=sys.stderr)
 
     # (1b) the near-dup regime at x100: plant deterministic
