@@ -16701,6 +16701,60 @@ def q_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_artifact_roundtrip",
+    """
+SELECT CAST(40 AS BIGINT) AS merges_saved,
+       CAST(1 AS BIGINT) AS reload_identity,
+       CAST(1 AS BIGINT) AS encode_parity
+""",
+)
+def q_bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-artifact persistence (r10): the trained vocabulary is
+    a shippable TABLE — operators/bpe.py merges_to_table/save_merges/
+    load_merges persist the merge list as a tiny parquet (control
+    plane, like the IVF centroid sidecar) so encode jobs anywhere
+    reload it instead of retraining. Invariant oracle:
+
+    - exactly the trained merge count round-trips,
+    - reload is IDENTITY on the merge list (ranks, pair strings,
+      counts),
+    - encoding the corpus dictionary with the reloaded vocabulary is
+      bit-equal to encoding with the in-memory list (the property
+      that makes the artifact a tokenizer, not a log).
+
+    The train is the 40-merge fertility-audit configuration (cheap,
+    already proven); persistence is what's under test here."""
+    import tempfile
+
+    from data_engineering_project_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, "text", top_k=2000, n_merges=40, min_count=2)
+    art_dir = tempfile.mkdtemp(prefix="bpe_vocab_")
+    try:
+        bpe.save_merges(spark, merges, art_dir)
+        reloaded = bpe.load_merges(spark, art_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(art_dir, ignore_errors=True)
+    ranks_a = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    ranks_b = {(a, b): i for i, (a, b, _) in enumerate(reloaded)}
+    words = [
+        r["word"]
+        for r in bpe.word_count_dictionary(docs, "text", 200).collect()
+    ]
+    parity = all(
+        bpe.encode_word(w, ranks_a) == bpe.encode_word(w, ranks_b)
+        for w in words
+    )
+    return spark.createDataFrame(
+        [(len(merges), int(reloaded == merges), int(parity))],
+        "merges_saved long, reload_identity long, encode_parity long",
+    )
+
+
+@register(
     "mojibake_audit",
     """
 SELECT source,
@@ -16855,6 +16909,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "bpe_fertility_audit": 9,
     "embedding_near_dups_ann": 10,
     "bpe_vocab_train": 10,
+    "bpe_artifact_roundtrip": 10,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py
