@@ -571,6 +571,128 @@ def embedding_near_dups_ann(
     ).distinct()
 
 
+def embedding_near_dups_incremental(
+    stored: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    nlist: int = 16,
+    n_probe: int = 4,
+    stored_probes: int = 1,
+    iters: int = 2,
+    cents: DataFrame | None = None,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup detection: pairs above
+    ``threshold`` that TOUCH the new batch — (new × stored) and
+    (new × new) — without ever scheduling stored × stored work.
+
+    ``stored_probes`` is the index-side multi-assignment factor: at
+    near-dup thresholds the default 1 suffices (a near-identical pair
+    shares its argmax cell), but a weak-similarity threshold needs
+    the stored side in its top-m cells too — co-occurrence requires
+    BOTH endpoints to reach a common cell, and a 0.35-cosine pair
+    rarely lands the stored top-1 inside the new top-4 (measured
+    recall 0.5 → 0.9+ going 1 → 4 at the tested SFs). The cost is an
+    m× larger index — the standard multi-assignment trade, paid on
+    the bounded stored-cells table, never as stored × stored work.
+
+    The embedding analogue of ``dedup.lsh_candidates_incremental``
+    (workload:`dedup_incremental_index`): a nightly ingest asks "is
+    anything in this batch a near-dup of what we already have?", and
+    rescanning the corpus against itself to answer it is the
+    scale-killer this operator removes. Blocking is the same IVF
+    coarse quantizer as :func:`embedding_near_dups_ann` (fit on the
+    STORED corpus — the index side; in production the fit is the
+    persisted ``operators/ann_index.py`` sidecar); stored vectors
+    join only the cells the new batch probes, so the per-cell kernel
+    sees ``new_in_cell × (new_in_cell + stored_in_cell)`` — one
+    rectangular matmul per cell, never the stored-side square.
+
+    Output: (id_a, id_b, cosine), id_a < id_b, each pair once
+    (multi-probe discoveries collapse via distinct); every pair has
+    at least one new id by construction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if cents is None:
+        cents = kmeans_fit(stored, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    if stored_probes <= 1:
+        stored_cells = assign_cells(stored, cents, id_col, vec_col).withColumn(
+            "is_new", F.lit(False)
+        )
+    else:
+        stored_cells = probe_assignments(
+            stored, cents, id_col, vec_col, stored_probes
+        ).select(
+            F.col("query_id").alias(id_col),
+            F.col("q_vec").alias(vec_col),
+            "cell",
+        ).withColumn("is_new", F.lit(False))
+    new_probed = probe_assignments(new, cents, id_col, vec_col, n_probe).select(
+        F.col("query_id").alias(id_col),
+        F.col("q_vec").alias(vec_col),
+        "cell",
+    ).withColumn("is_new", F.lit(True))
+    # stored side: only cells the new batch probes (semi-join prune —
+    # on the persisted index this is partition pruning on cell=)
+    probed_cells = new_probed.select("cell").distinct()
+    stored_pruned = stored_cells.join(F.broadcast(probed_cells), "cell")
+    blocks = stored_pruned.unionByName(new_probed)
+
+    if max_block_rows is not None:
+        over = (
+            blocks.groupBy("cell")
+            .agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") > max_block_rows)
+            .orderBy(F.col("n_rows").desc())
+            .limit(5)
+            .collect()
+        )
+        if over:
+            worst = ", ".join(f"{r['cell']!r}={r['n_rows']}" for r in over)
+            raise BlockSizeExceeded(
+                f"probed cell(s) exceed max_block_rows={max_block_rows}:"
+                f" {worst} — raise nlist (constant cell population) or"
+                " the bound explicitly"
+            )
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        new_mask = pdf["is_new"].to_numpy()
+        if new_mask.sum() == 0 or len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        normed = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        # rectangular: new rows against ALL rows in the probed cell
+        sims = normed[new_mask] @ normed.T
+        new_ids = ids[new_mask]
+        iu, ju = np.nonzero(sims > threshold)
+        a, b = new_ids[iu], ids[ju]
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[iu, ju][keep], 4)}
+        )
+        # new-new pairs appear twice in the rectangle (a×b and b×a)
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        blocks.groupBy("cell")
+        .applyInPandas(kernel, out_schema)
+        .distinct()
+    )
+
+
 def centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

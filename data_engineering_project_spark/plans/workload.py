@@ -2078,6 +2078,103 @@ def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_incremental_near_dups",
+    """
+SELECT TRUE AS exact_nonempty,
+       TRUE AS recall_ge_75pct,
+       TRUE AS zero_spurious_same_label,
+       TRUE AS every_pair_touches_new
+""",
+)
+def q_embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup detection (r10): the embedding
+    analogue of `dedup_incremental_index` — the corpus splits 25/75 by
+    portable md5 key hash into a 'new batch' and a 'stored corpus',
+    and `similarity.embedding_near_dups_incremental` finds pairs above
+    threshold touching the new batch WITHOUT scheduling stored×stored
+    work: the quantizer fits on the stored side (the index), stored
+    vectors multi-assign to their top-4 cells (index inflation ×4 —
+    needed at this weak-similarity threshold; near-dup thresholds use
+    the default single assignment), the new batch probes its top-4
+    cells, and each probed cell runs ONE rectangular new×(new+stored)
+    matmul.
+
+    Invariant oracle against the exact operator's new-touching output:
+    exact baseline non-empty; recall ≥75 % (measured 0.83 / 0.93 at
+    sf0.01 / sf0.1 — the sf0.01 exact set is 12 pairs, so one missed
+    pair moves recall by 0.083); ZERO spurious same-label pairs
+    (cosines exact inside cells); every emitted pair has at least one
+    new endpoint (the stored×stored exclusion is structural — the
+    kernel's rectangle has no stored rows on its left side)."""
+    emb = load(spark, sf_dir, "embeddings")
+    is_new = sampling.hash_bucket("vec_id") < F.lit("40")
+    new, stored = emb.filter(is_new), emb.filter(~is_new)
+    exact = similarity.embedding_near_dups(
+        emb, threshold=0.35, max_block_rows=100_000
+    )
+    new_ids = new.select("vec_id")
+    exact_new = (
+        exact.join(
+            new_ids.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi"
+        )
+        .unionByName(
+            exact.join(
+                new_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi"
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inc = similarity.embedding_near_dups_incremental(
+        stored, new, threshold=0.35, nlist=16, n_probe=4, stored_probes=4,
+        max_block_rows=100_000,
+    ).localCheckpoint(eager=True)
+    lab = emb.select("vec_id", "label")
+    inc_sl = (
+        inc.join(
+            lab.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la")),
+            "id_a",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb")),
+            "id_b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .select("id_a", "id_b")
+    )
+    tallies = (
+        exact_new.withColumn("e", F.lit(1))
+        .join(inc_sl.withColumn("a", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum("e").alias("n_exact"),
+            F.sum(F.col("e") * F.col("a")).alias("n_common"),
+            F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("n_spurious"),
+        )
+        .collect()[0]
+    )
+    n_exact = tallies["n_exact"] or 0
+    n_common = tallies["n_common"] or 0
+    n_spurious = tallies["n_spurious"] or 0
+    n_not_touching = (
+        inc.join(new_ids.withColumnRenamed("vec_id", "id_a"), "id_a", "left_anti")
+        .join(new_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_exact > 0,
+                n_common / max(n_exact, 1) >= 0.75,
+                n_spurious == 0,
+                n_not_touching == 0,
+            )
+        ],
+        "exact_nonempty boolean, recall_ge_75pct boolean, "
+        "zero_spurious_same_label boolean, every_pair_touches_new boolean",
+    )
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -16910,6 +17007,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "embedding_near_dups_ann": 10,
     "bpe_vocab_train": 10,
     "bpe_artifact_roundtrip": 10,
+    "embedding_incremental_near_dups": 10,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

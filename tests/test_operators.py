@@ -177,6 +177,34 @@ def test_embedding_near_dups_ann_subset_and_recall(spark, sf_dir):
         assert cos > 0.3
 
 
+def test_embedding_incremental_near_dups_touches_new_only(spark, sf_dir):
+    """r10 incremental path: every pair touches the new batch, no
+    duplicates, precision 1.0 (exact cosines inside cells), and a
+    planted near-identical copy of a stored vector is found."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 4 != 0)
+    # new = the rest, PLUS an exact copy of one stored vector
+    dup_src = stored.orderBy("vec_id").limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(9_000_000, dup_src["label"], dup_src["embedding"])],
+        emb.select("vec_id", "label", "embedding").schema,
+    )
+    new = emb.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id", "label", "embedding"
+    ).unionByName(planted)
+    got = similarity.embedding_near_dups_incremental(
+        stored.select("vec_id", "label", "embedding"), new,
+        threshold=0.3, nlist=8, n_probe=3, stored_probes=3, iters=1,
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in got]
+    assert len(pairs) == len(set(pairs))
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in pairs)
+    assert all(r.cosine >= 0.3 - 1e-6 for r in got)
+    # the planted exact duplicate must be recovered (cosine 1.0 pair)
+    assert (min(dup_src["vec_id"], 9_000_000), 9_000_000) in set(pairs)
+
+
 def test_embedding_near_dups_ann_block_guard(spark, sf_dir):
     """The ANN path inherits the fail-loudly mega-block census."""
     import pytest
