@@ -270,6 +270,12 @@ def train_bpe_from_counts(
                     heapq.heappush(heap, (-nc, p))
                 else:
                     pair_counts.pop(p, None)
+                    # drop the inverted-index entry too: no word
+                    # contains the pair anymore, so its word-set is
+                    # stale weight — without this the index grows
+                    # monotonically over a 32k-merge run (its stale
+                    # heap twins are already handled lazily)
+                    pair_words.pop(p, None)
         pair_counts.pop((a, b), None)
     return merges
 

@@ -518,6 +518,20 @@ def embedding_near_dups(
     return df.groupBy(block_col).applyInPandas(kernel, out_schema)
 
 
+def _collapse_pairs(pairs: DataFrame) -> DataFrame:
+    """Collapse multi-probe duplicate discoveries of the SAME pair to
+    one row — on the PAIR KEYS, not the full row: the two discoveries
+    of a pair straddling two probed cells run through differently
+    shaped BLAS gemms, so a last-ulp difference at a round-to-4
+    boundary could leave both rows behind a full-row ``distinct`` and
+    break the 'each pair once' contract. ``max`` (not first-row
+    dropDuplicates) keeps the collapse deterministic when that
+    boundary is actually hit."""
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max("cosine").alias("cosine")
+    )
+
+
 def embedding_near_dups_ann(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -539,7 +553,7 @@ def embedding_near_dups_ann(
     cells (multi-probe — near-threshold pairs that straddle a cell
     boundary still co-occur in a probed cell), then the SAME BLAS
     pairwise kernel runs per cell and duplicate discoveries collapse
-    with one ``distinct``. Cosines are computed exactly inside blocks,
+    on the pair keys (:func:`_collapse_pairs`). Cosines are computed exactly inside blocks,
     so the output NEVER contains a below-threshold pair (precision 1.0
     vs the global question by construction); the approximation budget
     is recall only, controlled by ``n_probe``/``nlist``.
@@ -561,14 +575,16 @@ def embedding_near_dups_ann(
         F.col("q_vec").alias(vec_col),
         "cell",
     )
-    return embedding_near_dups(
-        blocks,
-        block_col="cell",
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=threshold,
-        max_block_rows=max_block_rows,
-    ).distinct()
+    return _collapse_pairs(
+        embedding_near_dups(
+            blocks,
+            block_col="cell",
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            max_block_rows=max_block_rows,
+        )
+    )
 
 
 def embedding_near_dups_incremental(
@@ -611,8 +627,9 @@ def embedding_near_dups_incremental(
     rectangular matmul per cell, never the stored-side square.
 
     Output: (id_a, id_b, cosine), id_a < id_b, each pair once
-    (multi-probe discoveries collapse via distinct); every pair has
-    at least one new id by construction.
+    (multi-probe discoveries collapse on the pair keys via
+    :func:`_collapse_pairs`); every pair has at least one new id by
+    construction.
     """
     import numpy as np
     import pandas as pd
@@ -686,10 +703,8 @@ def embedding_near_dups_incremental(
         # new-new pairs appear twice in the rectangle (a×b and b×a)
         return out.drop_duplicates(["id_a", "id_b"])
 
-    return (
-        blocks.groupBy("cell")
-        .applyInPandas(kernel, out_schema)
-        .distinct()
+    return _collapse_pairs(
+        blocks.groupBy("cell").applyInPandas(kernel, out_schema)
     )
 
 

@@ -216,7 +216,12 @@ def test_trainer_sustains_production_merge_counts():
         for _ in range(5000)
     ]
     merges = bpe.train_bpe_from_counts(counts, 10_000, min_count=1)
-    assert len(merges) >= 10_000 or all(c >= 1 for _, _, c in merges)
+    # ~50k total symbols in the dictionary and every merge removes at
+    # least one occurrence, so the 10k budget is always exhausted here
+    # — assert the full budget ran, not a disjunction that a
+    # short-stopped trainer could satisfy
+    assert len(merges) == 10_000
+    assert all(c >= 1 for _, _, c in merges)
     assert len(merges) == len({(a, b) for a, b, _ in merges})  # no pair repeats
     # ranks must encode losslessly at this vocabulary size too
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
