@@ -30,6 +30,17 @@ Run:  python scripts_x100_probe.py                (build + probe)
       SPARK_GRAFT_X100_SKIP_BUILD=1 ...           (reuse replica)
       SPARK_GRAFT_X100_RUNS=1 ...                 (fast single-shot)
 Timing-sensitive: run ALONE on the box, like bench.py.
+
+Targeted reruns (round 11): a family whose median has not converged
+(monotonically decaying samples, wide spread) can be re-measured alone
+instead of paying the full 32-family sweep —
+      SPARK_GRAFT_X100_ONLY=a,b ...      (time only these families;
+          every other row is carried over from the committed artifact)
+      SPARK_GRAFT_X100_SKIP_FAMILIES=1   (skip the timing loop)
+      SPARK_GRAFT_X100_SKIP_RECALL=1     (skip the recall sections)
+Carried-over rows keep their flags; the artifact records which
+families the current run measured (run_conditions.measured_families)
+so mixed provenance is visible, never silent.
 """
 
 from __future__ import annotations
@@ -100,108 +111,10 @@ PROBE = [
 ]
 
 
-def main() -> int:
-    # reuse the ×10 replica builder with its env knobs pointed at ×100
-    os.environ["SPARK_GRAFT_SCALE_K"] = str(K)
-    os.environ["SPARK_GRAFT_X10_DIR"] = WORK
-    import scripts_x10_bench as xb
-
-    # same host-state snapshot bench.py stamps into BENCH_DETAIL —
-    # the x100 artifact supports the headline 100 TB claim, so it
-    # carries the strongest (not weakest) measurement protocol.
-    import bench as bench_mod
-
-    probe_started = time.time()
-    conditions = bench_mod._run_conditions(probe_started)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_X100_RUNS", "3")))
-    conditions["n_runs_per_family"] = runs
-
-    from data_engineering_project_spark.plans import workload
-    from data_engineering_project_spark.session import get_spark
-
-    spark = get_spark("x100-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    if not os.environ.get("SPARK_GRAFT_X100_SKIP_BUILD"):
-        xb.build_replica(spark)
-
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    # same warmups as bench.py: codegen path + Python/Arrow worker pool
-    force(workload.QUERIES["pricing_summary"](spark, WORK))
-    force(
-        spark.range(1024)
-        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 32))
-        .mapInPandas(lambda it: it, "id long")
-    )
-
-    timings: dict[str, float] = {}
-    samples: dict[str, list[float]] = {}
-    first_run: dict[str, float] = {}
-    for name in PROBE:
-        per_run = []
-        for _ in range(runs):
-            spark.sparkContext._jvm.System.gc()
-            start = time.perf_counter()
-            force(workload.QUERIES[name](spark, WORK))
-            per_run.append(round(time.perf_counter() - start, 3))
-        # samples stay CHRONOLOGICAL: entries that persist state
-        # (streaming txlog drain, incremental index) are near-no-ops
-        # on repeat runs — the 1st-vs-rest pattern must stay visible,
-        # and the first run is the honest comparable to the
-        # single-shot sf0.1 baseline for those families.
-        samples[name] = list(per_run)
-        first_run[name] = per_run[0]
-        timings[name] = sorted(per_run)[len(per_run) // 2]  # median flags
-        print(
-            f"{name}: median {timings[name]}s of {per_run}", file=sys.stderr
-        )
-
-    base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
-    x10_path = os.path.join(
-        os.environ.get("SPARK_GRAFT_X10_REF_DIR", "/tmp/spark_graft_x10"),
-        "BENCH_DETAIL_X10.json",
-    )
-    x10 = json.load(open(x10_path)) if os.path.exists(x10_path) else {"queries": {}}
-
-    rows = {}
-    for name, t100 in timings.items():
-        t1 = base["queries"].get(name)
-        t10 = x10["queries"].get(name)
-        r1 = round(t100 / t1, 2) if t1 else None
-        r10 = round(t100 / t10, 2) if t10 else None
-        # same flag shape as SCALING_X10: super-linear iff growth
-        # beats the data factor by >30% and the run is non-trivial.
-        # A family absent from the sf0.1 baseline is NOT silently
-        # unflaggable (ADVICE r9): it is marked no_baseline and the
-        # flag falls back to the x10-rung ratio (x10 -> x100 is a
-        # 10x data factor, so >13 is the same +30% tolerance).
-        if r1 is not None:
-            flag = bool(r1 > K * 1.3 and t100 > 5.0)
-        else:
-            flag = bool(r10 is not None and r10 > 10 * 1.3 and t100 > 5.0)
-        fr = first_run[name]
-        rows[name] = {
-            "sf0.1_sec": t1,
-            "x10_sec": t10,
-            "x100_sec": t100,
-            "x100_first_run_sec": fr,
-            "x100_samples": samples[name],
-            "ratio_vs_sf0.1": r1,
-            # first-run ratio: the honest number for families whose
-            # repeat runs hit persisted state (samples show the
-            # 1st-vs-rest cliff); for everyone else it is the
-            # coldest-cache sample.
-            "ratio_vs_sf0.1_first_run": round(fr / t1, 2) if t1 else None,
-            "ratio_vs_x10": r10,
-            "no_baseline": r1 is None,
-            "super_linear": flag,
-        }
-    flagged = sorted(
-        (n for n, r in rows.items() if r["super_linear"]),
-        key=lambda n: -(rows[n]["ratio_vs_sf0.1"] or rows[n]["ratio_vs_x10"] or 0),
-    )
-
+def _measure_recall(spark) -> tuple[dict, dict]:
+    """Sections (1)/(1b)/(2): ANN substitution for the quadratic
+    exact join, planted near-dup recall, and IVF/PQ/composed-rerank
+    recall@5 — returns (ann_substitution, ann_recall_at_5)."""
     # ---- recall at x100 (r9 VERDICT items 1 + 3) -------------------
     # Speed ratios alone don't justify the ANN substitution for the
     # flagged exact join — the accuracy the speed buys must be a
@@ -404,6 +317,168 @@ def main() -> int:
         "recall_at_5": round(hits / 50.0, 3), "sec_incl_fit": secs,
     }
     print(f"ivfpq_retuned: {ann_recall['ivfpq_retuned']}", file=sys.stderr)
+    # the PRODUCTION composition (r10 VERDICT item 1): ADC shortlist ->
+    # exact re-rank (pq_ops.ivfpq_topk). Bare ADC recall above is the
+    # honest number for PQ codes alone; this row is the number a real
+    # deployment gets, measured with BOTH codebook tunings at x100.
+    for tag, (bks, encoding, m_, ks_) in {
+        "ivfpq_rerank_sf0.1_tuned": (books, enc, 4, 16),
+        "ivfpq_rerank_retuned": (books8, enc8, 8, 64),
+    }.items():
+        t0 = time.perf_counter()
+        composed = pq_ops.ivfpq_topk(
+            cells, encoding, bks, cents16, queries,
+            k=5, n_probe=4, shortlist=50,
+        ).localCheckpoint(eager=True)
+        secs = round(time.perf_counter() - t0, 1)
+        hits = composed.join(
+            exact5.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        ann_recall[tag] = {
+            "nlist": 16, "n_probe": 4, "m": m_, "k_sub": ks_,
+            "shortlist": 50,
+            "recall_at_5": round(hits / 50.0, 3), "sec": secs,
+        }
+        print(f"{tag}: {ann_recall[tag]}", file=sys.stderr)
+    return sub, ann_recall
+
+
+def main() -> int:
+    # reuse the ×10 replica builder with its env knobs pointed at ×100
+    os.environ["SPARK_GRAFT_SCALE_K"] = str(K)
+    os.environ["SPARK_GRAFT_X10_DIR"] = WORK
+    import scripts_x10_bench as xb
+
+    # same host-state snapshot bench.py stamps into BENCH_DETAIL —
+    # the x100 artifact supports the headline 100 TB claim, so it
+    # carries the strongest (not weakest) measurement protocol.
+    import bench as bench_mod
+
+    probe_started = time.time()
+    conditions = bench_mod._run_conditions(probe_started)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_X100_RUNS", "3")))
+    conditions["n_runs_per_family"] = runs
+
+    only = [
+        s for s in os.environ.get("SPARK_GRAFT_X100_ONLY", "").split(",") if s
+    ]
+    skip_recall = bool(os.environ.get("SPARK_GRAFT_X100_SKIP_RECALL"))
+    probe_list = [n for n in PROBE if not only or n in only]
+    if os.environ.get("SPARK_GRAFT_X100_SKIP_FAMILIES"):
+        probe_list = []
+    unknown = [n for n in only if n not in PROBE]
+    if unknown:
+        print(f"unknown X100_ONLY families: {unknown}", file=sys.stderr)
+        return 1
+    partial = bool(only) or not probe_list or skip_recall
+    out_path = os.path.join(REPO, "SCALING_X100.json")
+    prev: dict = {}
+    if partial:
+        if not os.path.exists(out_path):
+            print("partial rerun needs an existing SCALING_X100.json", file=sys.stderr)
+            return 1
+        prev = json.load(open(out_path))
+    conditions["measured_families"] = sorted(probe_list)
+    conditions["measured_recall_sections"] = not skip_recall
+    if partial and prev.get("run_conditions"):
+        conditions["carried_over_run_conditions"] = prev["run_conditions"]
+
+    from data_engineering_project_spark.plans import workload
+    from data_engineering_project_spark.session import get_spark
+
+    spark = get_spark("x100-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.environ.get("SPARK_GRAFT_X100_SKIP_BUILD"):
+        xb.build_replica(spark)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # same warmups as bench.py: codegen path + Python/Arrow worker pool
+    force(workload.QUERIES["pricing_summary"](spark, WORK))
+    force(
+        spark.range(1024)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 32))
+        .mapInPandas(lambda it: it, "id long")
+    )
+
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    first_run: dict[str, float] = {}
+    for name in probe_list:
+        per_run = []
+        for _ in range(runs):
+            spark.sparkContext._jvm.System.gc()
+            start = time.perf_counter()
+            force(workload.QUERIES[name](spark, WORK))
+            per_run.append(round(time.perf_counter() - start, 3))
+        # samples stay CHRONOLOGICAL: entries that persist state
+        # (streaming txlog drain, incremental index) are near-no-ops
+        # on repeat runs — the 1st-vs-rest pattern must stay visible,
+        # and the first run is the honest comparable to the
+        # single-shot sf0.1 baseline for those families.
+        samples[name] = list(per_run)
+        first_run[name] = per_run[0]
+        timings[name] = sorted(per_run)[len(per_run) // 2]  # median flags
+        print(
+            f"{name}: median {timings[name]}s of {per_run}", file=sys.stderr
+        )
+
+    base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    x10_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_X10_REF_DIR", "/tmp/spark_graft_x10"),
+        "BENCH_DETAIL_X10.json",
+    )
+    x10 = json.load(open(x10_path)) if os.path.exists(x10_path) else {"queries": {}}
+
+    rows = {}
+    for name, t100 in timings.items():
+        t1 = base["queries"].get(name)
+        t10 = x10["queries"].get(name)
+        r1 = round(t100 / t1, 2) if t1 else None
+        r10 = round(t100 / t10, 2) if t10 else None
+        # same flag shape as SCALING_X10: super-linear iff growth
+        # beats the data factor by >30% and the run is non-trivial.
+        # A family absent from the sf0.1 baseline is NOT silently
+        # unflaggable (ADVICE r9): it is marked no_baseline and the
+        # flag falls back to the x10-rung ratio (x10 -> x100 is a
+        # 10x data factor, so >13 is the same +30% tolerance).
+        if r1 is not None:
+            flag = bool(r1 > K * 1.3 and t100 > 5.0)
+        else:
+            flag = bool(r10 is not None and r10 > 10 * 1.3 and t100 > 5.0)
+        fr = first_run[name]
+        rows[name] = {
+            "sf0.1_sec": t1,
+            "x10_sec": t10,
+            "x100_sec": t100,
+            "x100_first_run_sec": fr,
+            "x100_samples": samples[name],
+            "ratio_vs_sf0.1": r1,
+            # first-run ratio: the honest number for families whose
+            # repeat runs hit persisted state (samples show the
+            # 1st-vs-rest cliff); for everyone else it is the
+            # coldest-cache sample.
+            "ratio_vs_sf0.1_first_run": round(fr / t1, 2) if t1 else None,
+            "ratio_vs_x10": r10,
+            "no_baseline": r1 is None,
+            "super_linear": flag,
+        }
+    # merge: rows not re-measured this run carry over verbatim from
+    # the committed artifact (flags included)
+    rows = {**prev.get("queries", {}), **rows}
+    flagged = sorted(
+        (n for n, r in rows.items() if r["super_linear"]),
+        key=lambda n: -(rows[n]["ratio_vs_sf0.1"] or rows[n]["ratio_vs_x10"] or 0),
+    )
+
+    if skip_recall:
+        sub = prev.get("ann_substitution") or {}
+        ann_recall = prev.get("ann_recall_at_5") or {}
+    else:
+        sub, ann_recall = _measure_recall(spark)
     no_baseline = sorted(n for n, r in rows.items() if r["no_baseline"])
     try:
         end_la = os.getloadavg()[0]
@@ -413,8 +488,10 @@ def main() -> int:
     conditions["load_avg_1m_end"] = end_la
     out = {
         "k": K,
-        "probe_total_sec": round(sum(timings.values()), 3),
-        "n_probed": len(timings),
+        "probe_total_sec": round(
+            sum(r["x100_sec"] for r in rows.values()), 3
+        ),
+        "n_probed": len(rows),
         "flagged_super_linear": flagged,
         "no_baseline_families": no_baseline,
         "ann_substitution": sub,
