@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_project_spark.operators.similarity import (
     assign_cells,
+    embedding_near_dups_incremental,
     kmeans_fit,
     probe_assignments,
     rerank_within_cells,
@@ -69,13 +70,33 @@ def add_to_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    if_absent: bool = False,
 ) -> None:
     """Append vectors to an existing index under the FROZEN centroids:
     assign (map-only — the centroids inline as literals) + append the
     new rows into their cell directories. No existing file is
-    rewritten; dynamic partition overwrite is not needed for appends."""
+    rewritten; dynamic partition overwrite is not needed for appends.
+
+    ``if_absent=True`` makes the append IDEMPOTENT: ids already
+    present in the index are dropped before the write, so a replayed
+    batch (the crash-between-append-and-checkpoint case in a
+    streaming ``foreachBatch`` sink — streaming/vectors.py) is a
+    no-op instead of a duplicate row. The existence check reads ONLY
+    the cell directories the batch would land in (the same static
+    partition filter as :func:`query_index`), never the whole index."""
     cents = spark.read.parquet(_cents_dir(path))
     assigned = assign_cells(new_vectors, cents, id_col, vec_col)
+    if if_absent:
+        assigned = assigned.localCheckpoint(eager=True)
+        target_cells = sorted(
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        )
+        existing = (
+            spark.read.parquet(_cells_dir(path))
+            .filter(F.col("cell").isin(target_cells))
+            .select(id_col)
+        )
+        assigned = assigned.join(existing, id_col, "left_anti")
     assigned.write.mode("append").partitionBy("cell").parquet(_cells_dir(path))
 
 
@@ -113,3 +134,76 @@ def query_index(
         F.col("cell").isin(probed_cells)
     )
     return rerank_within_cells(cells, probes, id_col, vec_col, k)
+
+
+def incremental_near_dups_indexed(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_probe: int = 4,
+    max_block_rows: int | None = None,
+    append: bool = False,
+) -> DataFrame:
+    """The nightly-ingest near-dup loop against the PERSISTED index,
+    with ZERO quantizer work per batch: "is anything in tonight's
+    batch a near-dup of what we already have?" answered from the
+    frozen sidecar.
+
+    Composition (the docstring promise of
+    ``similarity.embedding_near_dups_incremental`` made code):
+
+    1. centroids come from the index sidecar — no ``kmeans_fit``;
+    2. the new batch probes its ``n_probe`` nearest cells (map-side,
+       centroid literals);
+    3. the STORED side is a PARTITION-PRUNED read of only those cell
+       directories (`cell IN (...)` on the hive-partitioned inverted
+       lists — the scan skips every unprobed cell at the directory
+       level, same contract as :func:`query_index`);
+    4. the shared rectangular kernel emits pairs touching the batch —
+       stored × stored work is never scheduled;
+    5. with ``append=True`` the batch is then folded into the index
+       under the frozen centroids (:func:`add_to_index`), so tomorrow's
+       batch sees tonight's rows — the complete ingest loop. Pairs are
+       materialized BEFORE the append so the emitted frame never reads
+       the index it just grew.
+
+    Returns the same (id_a, id_b, cosine) contract as the in-memory
+    operator, and — given the same centroids — the IDENTICAL rows
+    (pinned by tests/test_ann_index.py and the
+    ``embedding_near_dups_indexed`` workload entry).
+
+    Index-side multi-assignment (the ``stored_probes`` knob for
+    weak-similarity thresholds) is a BUILD-time choice here: build the
+    index over multi-probed assignments instead of ``assign_cells``
+    and this probe loop is unchanged. At near-dup thresholds the
+    standard single-assignment index suffices (measured in the r10
+    recall audits)."""
+    cents = spark.read.parquet(_cents_dir(path))
+    probed = sorted(
+        r["cell"]
+        for r in probe_assignments(new, cents, id_col, vec_col, n_probe)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    stored_cells = spark.read.parquet(_cells_dir(path)).filter(
+        F.col("cell").isin(probed)
+    )
+    pairs = embedding_near_dups_incremental(
+        stored=None,
+        new=new,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_probe=n_probe,
+        cents=cents,
+        stored_cells=stored_cells,
+        max_block_rows=max_block_rows,
+    )
+    if append:
+        pairs = pairs.localCheckpoint(eager=True)
+        add_to_index(spark, path, new, id_col, vec_col)
+    return pairs

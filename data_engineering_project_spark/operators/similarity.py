@@ -599,6 +599,7 @@ def embedding_near_dups_incremental(
     iters: int = 2,
     cents: DataFrame | None = None,
     max_block_rows: int | None = None,
+    stored_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup detection: pairs above
     ``threshold`` that TOUCH the new batch — (new × stored) and
@@ -620,8 +621,11 @@ def embedding_near_dups_incremental(
     rescanning the corpus against itself to answer it is the
     scale-killer this operator removes. Blocking is the same IVF
     coarse quantizer as :func:`embedding_near_dups_ann` (fit on the
-    STORED corpus — the index side; in production the fit is the
-    persisted ``operators/ann_index.py`` sidecar); stored vectors
+    STORED corpus — the index side; the production composition is
+    ``ann_index.incremental_near_dups_indexed``, which feeds the
+    persisted sidecar centroids and the partition-pruned inverted
+    lists through ``cents``/``stored_cells`` with ZERO refit per
+    batch); stored vectors
     join only the cells the new batch probes, so the per-cell kernel
     sees ``new_in_cell × (new_in_cell + stored_in_cell)`` — one
     rectangular matmul per cell, never the stored-side square.
@@ -634,20 +638,35 @@ def embedding_near_dups_incremental(
     import numpy as np
     import pandas as pd
 
-    if cents is None:
-        cents = kmeans_fit(stored, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
-    if stored_probes <= 1:
-        stored_cells = assign_cells(stored, cents, id_col, vec_col).withColumn(
-            "is_new", F.lit(False)
-        )
-    else:
-        stored_cells = probe_assignments(
-            stored, cents, id_col, vec_col, stored_probes
-        ).select(
-            F.col("query_id").alias(id_col),
-            F.col("q_vec").alias(vec_col),
-            "cell",
+    if stored_cells is not None:
+        # the persisted-index path (operators/ann_index): the caller
+        # already holds the assigned stored corpus (the inverted-lists
+        # table, possibly partition-pruned to the probed cells) and
+        # the FROZEN quantizer that assigned it — no refit here, ever
+        if cents is None:
+            raise ValueError(
+                "stored_cells requires the cents that assigned it —"
+                " refitting a quantizer against a pre-assigned index"
+                " would probe the wrong cells"
+            )
+        stored_cells = stored_cells.select(
+            id_col, vec_col, "cell"
         ).withColumn("is_new", F.lit(False))
+    else:
+        if cents is None:
+            cents = kmeans_fit(stored, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+        if stored_probes <= 1:
+            stored_cells = assign_cells(stored, cents, id_col, vec_col).withColumn(
+                "is_new", F.lit(False)
+            )
+        else:
+            stored_cells = probe_assignments(
+                stored, cents, id_col, vec_col, stored_probes
+            ).select(
+                F.col("query_id").alias(id_col),
+                F.col("q_vec").alias(vec_col),
+                "cell",
+            ).withColumn("is_new", F.lit(False))
     new_probed = probe_assignments(new, cents, id_col, vec_col, n_probe).select(
         F.col("query_id").alias(id_col),
         F.col("q_vec").alias(vec_col),

@@ -2175,6 +2175,107 @@ def q_embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "embedding_near_dups_indexed",
+    """
+SELECT TRUE AS indexed_equals_inmemory,
+       TRUE AS planted_pairs_recovered,
+       TRUE AS probe_scan_partition_pruned,
+       TRUE AS every_pair_touches_new
+""",
+)
+def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX nightly ingest loop (r11 — the r10 verdict's
+    item 2): `ann_index.incremental_near_dups_indexed` answers "is
+    anything in tonight's batch a near-dup of the corpus?" from the
+    frozen on-disk index — centroids from the sidecar (ZERO kmeans
+    refit per batch), stored side a partition-pruned read of only the
+    probed cell directories, pairs from the shared rectangular kernel.
+    The batch here is deterministic ±0.3% perturbed copies of every
+    7th corpus vector under fresh ids (cosine to source > 0.999 by
+    construction). Invariant oracle:
+
+    - indexed_equals_inmemory: the indexed loop returns the IDENTICAL
+      (id_a, id_b, cosine) rows as the in-memory
+      `embedding_near_dups_incremental` under the same quantizer
+      (exceptAll both ways) — the lake index is a layout change, never
+      an answer change (the ann_index_parity contract, extended to the
+      ingest loop).
+    - planted_pairs_recovered: every (source, perturbed copy) pair is
+      found at threshold 0.99.
+    - probe_scan_partition_pruned: the stored-side scan carries a
+      static `cell` PartitionFilter — unprobed inverted lists are
+      skipped at the directory level.
+    - every_pair_touches_new: stored×stored work is never emitted
+      (structural — the kernel's rectangle has no stored rows on its
+      left side — but checked, not assumed).
+
+    append=False on purpose: the shared session index must stay
+    immutable for the other entries; the append leg (tomorrow's batch
+    sees tonight's rows) is pinned by
+    tests/test_ann_index.py::test_indexed_incremental_append_completes_the_loop."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = _ann_index_path(spark, sf_dir)
+    new = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x * CAST(1.0 + 0.003 *"
+                " IF(pmod(xxhash64(concat(CAST(vec_id AS STRING), ':',"
+                " CAST(i AS STRING))), 2) = 0, 1.0, -1.0) AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    indexed_lazy = ann_index.incremental_near_dups_indexed(
+        spark, path, new, threshold=0.99, n_probe=4
+    )
+    # plan inspected BEFORE the checkpoint (checkpointing collapses
+    # the lineage to an RDD scan and hides the parquet scan's
+    # PartitionFilters)
+    plan = indexed_lazy._jdf.queryExecution().executedPlan().toString()
+    indexed = indexed_lazy.localCheckpoint(eager=True)
+    inmem = similarity.embedding_near_dups_incremental(
+        emb, new, threshold=0.99, n_probe=4,
+        cents=_ivf_cents16(spark, sf_dir),
+    )
+    cols = ["id_a", "id_b", "cosine"]
+    diff = (
+        indexed.select(*cols).exceptAll(inmem.select(*cols)).count()
+        + inmem.select(*cols).exceptAll(indexed.select(*cols)).count()
+    )
+    new_ids = new.select("vec_id")
+    n_new = new_ids.count()
+    n_planted_found = indexed.filter(
+        F.col("id_b") == F.col("id_a") + 10_000_000
+    ).count()
+    seg = (
+        plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        if "PartitionFilters" in plan
+        else ""
+    )
+    n_not_touching = (
+        indexed.join(
+            new_ids.withColumnRenamed("vec_id", "id_a"), "id_a", "left_anti"
+        )
+        .join(new_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                diff == 0,
+                n_planted_found == n_new,
+                "cell" in seg,
+                n_not_touching == 0,
+            )
+        ],
+        "indexed_equals_inmemory boolean, planted_pairs_recovered boolean,"
+        " probe_scan_partition_pruned boolean, every_pair_touches_new boolean",
+    )
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -17121,6 +17222,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "bpe_artifact_roundtrip": 10,
     "embedding_incremental_near_dups": 10,
     "ivfpq_rerank_recall": 11,
+    "embedding_near_dups_indexed": 11,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

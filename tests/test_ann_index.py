@@ -77,3 +77,90 @@ def test_append_under_frozen_centroids_is_findable(spark, sf_dir, tmp_path):
     assert by_rank and by_rank[0] == 10_000_000
     top = [r for r in hits if r["neighbor_id"] == 10_000_000][0]
     assert top["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def _perturbed_copies(spark, emb, every: int = 7, offset: int = 10_000_000):
+    """Deterministic ±0.3% perturbed copies of every ``every``-th
+    vector under fresh ids — near-dups by construction (cosine of v vs
+    v*(1±eps per-dim) stays > 0.999 at eps=0.003)."""
+    return emb.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * CAST(1.0 + 0.003 *"
+            " IF(pmod(xxhash64(concat(CAST(vec_id AS STRING), ':',"
+            " CAST(i AS STRING))), 2) = 0, 1.0, -1.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+
+
+def test_indexed_incremental_near_dups_zero_refit_parity(
+    spark, sf_dir, index_path
+):
+    """incremental_near_dups_indexed == the in-memory operator under
+    the same (frozen) quantizer, and the stored-side scan is
+    partition-pruned — the docstring promise of
+    embedding_near_dups_incremental demonstrated as code."""
+    emb = workload.load(spark, sf_dir, "embeddings")
+    new = _perturbed_copies(spark, emb).localCheckpoint(eager=True)
+    indexed = ann_index.incremental_near_dups_indexed(
+        spark, index_path, new, threshold=0.99, n_probe=3
+    )
+    cents = spark.read.parquet(index_path + "/centroids")
+    inmem = similarity.embedding_near_dups_incremental(
+        emb, new, threshold=0.99, n_probe=3, cents=cents
+    )
+    a = sorted(map(tuple, indexed.collect()))
+    b = sorted(map(tuple, inmem.collect()))
+    assert a == b
+    # every planted copy pairs with its source
+    planted = {int(r["vec_id"]) for r in new.select("vec_id").collect()}
+    got = {(r[0], r[1]) for r in a}
+    assert all((p - 10_000_000, p) in got for p in planted)
+    # zero-refit: the stored scan carries a static cell partition
+    # filter (directory-level pruning on the inverted lists)
+    plan = indexed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in seg, "stored-side scan lost its partition filter"
+
+
+def test_indexed_incremental_append_completes_the_loop(spark, sf_dir, tmp_path):
+    """Nightly shape: batch 1 probes + appends; batch 2 (near-dups of
+    batch 1's rows) then finds them WITHOUT any refit — tomorrow's
+    batch sees tonight's rows."""
+    path = str(tmp_path / "index")
+    emb = workload.load(spark, sf_dir, "embeddings")
+    ann_index.build_index(emb, path, k_cells=8, iters=2)
+    batch1 = _perturbed_copies(
+        spark, emb, every=11, offset=10_000_000
+    ).localCheckpoint(eager=True)
+    pairs1 = ann_index.incremental_near_dups_indexed(
+        spark, path, batch1, threshold=0.99, n_probe=3, append=True
+    ).localCheckpoint(eager=True)
+    # batch 2 = exact copies of batch 1's rows under yet-fresher ids:
+    # their only 0.99-near-dups at distance ~1.0 are batch-1 rows (and
+    # the original sources), both of which must be found in the index
+    batch2 = batch1.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    pairs2 = ann_index.incremental_near_dups_indexed(
+        spark, path, batch2, threshold=0.99, n_probe=3, append=True
+    ).collect()
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2}
+    b1 = {int(r["vec_id"]) for r in batch1.select("vec_id").collect()}
+    # every batch-2 exact copy finds its batch-1 twin (appended rows
+    # are visible) AND its original source (original rows still are)
+    assert all((p, p + 10_000_000) in got2 for p in b1)
+    assert all((p - 10_000_000, p + 10_000_000) in got2 for p in b1)
+    # batch-1's own pairs never re-emit stored x stored work: pairs2
+    # all touch batch 2
+    b2 = {p + 10_000_000 for p in b1}
+    assert all(a in b2 or b in b2 for a, b in got2)
+    # and the appended index answers point queries (loop is usable)
+    hits = ann_index.query_index(
+        spark, path, batch2.limit(1), k=3, n_probe=2
+    ).collect()
+    assert hits and hits[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
