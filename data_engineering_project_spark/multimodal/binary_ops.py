@@ -12,16 +12,18 @@ Beyond-reference capability (BASELINE.json north star). The pattern a
 - partition sizing by *bytes not rows*: callers should repartition so a
   batch of payloads fits executor memory (see ``target_partitions``).
 
-Decoding: three raster formats are decoded FOR REAL in pure numpy —
-PPM "P6", 24-bit uncompressed BMP, and baseline sequential JPEG
-(Huffman, 4:2:0/4:2:2/4:4:4, restart markers; full codec in
-``multimodal/jpeg.py``) — so the decode→feature→resize path runs on
+Decoding: four raster formats are decoded FOR REAL in pure
+stdlib+numpy — PPM "P6", 24-bit uncompressed BMP, baseline sequential
+JPEG (Huffman, 4:2:0/4:2:2/4:4:4, restart markers; full codec in
+``multimodal/jpeg.py``), and 8-bit PNG (DEFLATE via stdlib zlib, all
+five scanline filters, gray/RGB/palette/alpha color types; codec in
+``multimodal/png.py``) — so the decode→feature→resize path runs on
 actual pixels with zero native dependencies. Payloads in any other
-format (PNG needs zlib-inflate tuning; audio/video need
-librosa/ffmpeg, absent here) fall back to the deterministic hash stub
+format (16-bit/interlaced PNG; audio/video need librosa/ffmpeg,
+absent here) fall back to the deterministic hash stub
 ``_hash_features`` — real Spark plumbing, declared fake features; the
-PNG/audio/video fallback is PERMANENT for this repo. Swap it for a
-real codec in production; the kernel signature and batch shape don't
+audio/video fallback is PERMANENT for this repo. Swap it for a real
+codec in production; the kernel signature and batch shape don't
 change.
 """
 
@@ -145,8 +147,8 @@ def _decode_bmp(payload: bytes):
 
 def decode_image(payload: bytes):
     """Dispatch on magic bytes → HxWx3 uint8 RGB, or None when the
-    format isn't a supported raster (PPM P6, 24-bit BMP, or baseline
-    JPEG — see multimodal/jpeg.py for the pure-numpy JPEG codec)."""
+    format isn't a supported raster (PPM P6, 24-bit BMP, baseline
+    JPEG — multimodal/jpeg.py — or 8-bit PNG — multimodal/png.py)."""
     if payload is None:
         return None
     payload = bytes(payload)
@@ -158,6 +160,10 @@ def decode_image(payload: bytes):
         from data_engineering_project_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from data_engineering_project_spark.multimodal.png import decode_png
+
+        return decode_png(payload)
     return None
 
 
@@ -198,10 +204,10 @@ def decode_and_featurize(df: DataFrame, dim: int = 8) -> DataFrame:
     pattern for GPU-adjacent preprocessing at scale. Raises nothing on
     null payloads (null in → null feature out).
 
-    PPM/BMP payloads decode to real pixels (resize to 16x16, then the
-    8-float ``pixel_features`` descriptor); other formats fall back to
-    the declared ``_hash_features`` stub — same schema either way, so
-    swapping in a real JPEG codec changes no plumbing.
+    PPM/BMP/JPEG/PNG payloads decode to real pixels (resize to 16x16,
+    then the 8-float ``pixel_features`` descriptor); other formats
+    fall back to the declared ``_hash_features`` stub — same schema
+    either way, so swapping in another real codec changes no plumbing.
     """
 
     def featurize(p) -> list[float] | None:

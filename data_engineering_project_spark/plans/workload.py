@@ -2454,6 +2454,98 @@ def q_media_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_png",
+    """
+WITH b AS (
+  SELECT sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), px AS (
+  SELECT
+    CAST(('0x' || substring(hx, 1, 2)) AS INTEGER) AS b0,
+    CAST(('0x' || substring(hx, 3, 2)) AS INTEGER) AS b1,
+    CAST(('0x' || substring(hx, 5, 2)) AS INTEGER) AS b2,
+    CAST(('0x' || substring(hx, 7, 2)) AS INTEGER) AS b3,
+    CAST(('0x' || substring(hx, 9, 2)) AS INTEGER) AS b4,
+    CAST(('0x' || substring(hx, 11, 2)) AS INTEGER) AS b5,
+    CAST(('0x' || substring(hx, 13, 2)) AS INTEGER) AS b6,
+    CAST(('0x' || substring(hx, 15, 2)) AS INTEGER) AS b7,
+    CAST(('0x' || substring(hx, 17, 2)) AS INTEGER) AS b8,
+    CAST(('0x' || substring(hx, 19, 2)) AS INTEGER) AS b9,
+    CAST(('0x' || substring(hx, 21, 2)) AS INTEGER) AS b10,
+    CAST(('0x' || substring(hx, 23, 2)) AS INTEGER) AS b11
+  FROM b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       ROUND(AVG(CAST((b0 + b3 + b6 + b9) / 4.0 / 255.0 AS FLOAT)), 4) AS mean_r,
+       ROUND(AVG(CAST((b1 + b4 + b7 + b10) / 4.0 / 255.0 AS FLOAT)), 4) AS mean_g,
+       ROUND(AVG(CAST((b2 + b5 + b8 + b11) / 4.0 / 255.0 AS FLOAT)), 4) AS mean_b
+FROM px
+""",
+)
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end, value-checked bit-exactly (r11 —
+    shrinks the multimodal hash-fallback surface to audio/video):
+
+    Per document, a planted 2x2 RGB image whose 12 pixel bytes are the
+    first 12 bytes of sha256(doc_id) is PNG-ENCODED with scanline
+    filter ``doc_id % 5`` — every one of the five PNG filters
+    (None/Sub/Up/Average/Paeth) appears across the corpus — then flows
+    through the production path: opaque binary column, Arrow-batched
+    ``decode_and_featurize`` (which dispatches to the pure
+    stdlib+numpy ``multimodal/png.py`` codec: chunk CRCs, stdlib
+    zlib inflate, filter inversion), 16x16 nearest-neighbor resize
+    (exactly uniform for 2x2 sources), and the pixel_features
+    descriptor.
+
+    The oracle recomputes the expected channel means DIRECTLY from
+    sha256 in DuckDB — if any filter inversion, the inflate, the chunk
+    walk, or the resize were off by one bit anywhere in the corpus,
+    the 4-dp rounded means would not hash-match. A decode failure
+    would route payloads to the hash fallback and miss by construction
+    (fallback features are digest-derived, not pixel-derived).
+    Gray/palette/alpha color types and malformed-payload behavior are
+    pinned in tests/test_png.py."""
+    import hashlib
+
+    from data_engineering_project_spark.multimodal import binary_ops
+    from data_engineering_project_spark.multimodal.png import encode_png
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                px = np.frombuffer(
+                    hashlib.sha256(str(int(d)).encode()).digest()[:12],
+                    dtype=np.uint8,
+                ).reshape(2, 2, 3)
+                payloads.append(encode_png(px, filter_type=int(d) % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "mime": "image/png",
+                    "payload": payloads,
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(kernel, binary_ops.MEDIA_SCHEMA)
+    feats = binary_ops.decode_and_featurize(media, dim=8)
+    return feats.agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_r"),
+        F.round(F.avg(F.element_at("feature", 2)), 4).alias("mean_g"),
+        F.round(F.avg(F.element_at("feature", 3)), 4).alias("mean_b"),
+    )
+
+
+@register(
     "events_reach_approx",
     """
 SELECT event_type,
@@ -17223,6 +17315,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "embedding_incremental_near_dups": 10,
     "ivfpq_rerank_recall": 11,
     "embedding_near_dups_indexed": 11,
+    "media_decode_png": 11,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

@@ -32,6 +32,9 @@ ARROW_KERNELS = {
     # Trained-BPE encoding pass: broadcast merge ranks, one
     # mapInPandas sweep with a per-batch word cache (r9).
     "bpe_fertility_audit",
+    # PNG decode pipeline (r11): two Arrow stages — the planted-image
+    # encode kernel and decode_and_featurize — both map-only.
+    "media_decode_png",
 }
 
 # The one query whose JOB is a Python table function: doc_chunks_udtf

@@ -1,0 +1,146 @@
+"""PNG codec (multimodal/png.py): known-answer decodes built by hand
+(independent of the module's own encoder), filter-by-filter
+roundtrips, the non-RGB color types, and malformed-payload behavior.
+Pure Python/numpy — no Spark session needed except the dispatch test."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+
+import numpy as np
+
+from data_engineering_project_spark.multimodal import binary_ops
+from data_engineering_project_spark.multimodal.png import (
+    decode_png,
+    encode_png,
+)
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _manual_png(w, h, color_type, raw_scanlines, extra_chunks=()):
+    """Assemble a PNG entirely in the test — filter bytes and pixel
+    bytes are written out literally, so the decoder is checked against
+    ground truth, not against encode_png."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    for ctype, data in extra_chunks:
+        body += _chunk(ctype, data)
+    body += _chunk(b"IDAT", zlib.compress(raw_scanlines))
+    return SIG + body + _chunk(b"IEND", b"")
+
+
+def test_filter0_rgb_known_answer():
+    # 2x2 RGB, filter 0 rows: pixel bytes appear literally
+    row0 = bytes([0]) + bytes([10, 20, 30, 40, 50, 60])
+    row1 = bytes([0]) + bytes([70, 80, 90, 100, 110, 120])
+    png = _manual_png(2, 2, 2, row0 + row1)
+    px = decode_png(png)
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(px, want)
+
+
+def test_sub_and_up_filters_known_answer():
+    # row0: Sub — first pixel literal, second stored as delta vs left
+    # row1: Up — stored as delta vs the row above
+    row0 = bytes([1]) + bytes([10, 20, 30, 5, 5, 5])  # -> 10,20,30,15,25,35
+    row1 = bytes([2]) + bytes([1, 1, 1, 2, 2, 2])  # -> 11,21,31,17,27,37
+    png = _manual_png(2, 2, 2, row0 + row1)
+    want = np.array(
+        [[[10, 20, 30], [15, 25, 35]], [[11, 21, 31], [17, 27, 37]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_all_filters_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for ftype in range(5):
+        back = decode_png(encode_png(px, filter_type=ftype))
+        assert back is not None and np.array_equal(back, px), f"filter {ftype}"
+
+
+def test_grayscale_alpha_palette_color_types():
+    # gray (color 0): one channel, replicated to RGB
+    g = _manual_png(2, 1, 0, bytes([0]) + bytes([7, 200]))
+    assert np.array_equal(
+        decode_png(g), np.array([[[7, 7, 7], [200, 200, 200]]], dtype=np.uint8)
+    )
+    # gray+alpha (color 4): luma replicated, alpha dropped
+    ga = _manual_png(1, 1, 4, bytes([0]) + bytes([9, 128]))
+    assert np.array_equal(decode_png(ga), np.array([[[9, 9, 9]]], dtype=np.uint8))
+    # RGBA (color 6): alpha dropped
+    rgba = _manual_png(1, 1, 6, bytes([0]) + bytes([1, 2, 3, 77]))
+    assert np.array_equal(decode_png(rgba), np.array([[[1, 2, 3]]], dtype=np.uint8))
+    # palette (color 3): PLTE lookup
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pal = _manual_png(
+        3, 1, 3, bytes([0]) + bytes([2, 0, 1]), extra_chunks=[(b"PLTE", plte)]
+    )
+    want = np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    assert np.array_equal(decode_png(pal), want)
+
+
+def test_out_of_scope_and_corrupt_return_none():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(px)
+    # corrupt a CRC byte (silent bit-flip must surface as undecodable)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+    # truncated
+    assert decode_png(good[:-8]) is None
+    # 16-bit depth / interlaced: declared out of scope
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png16 = (
+        SIG
+        + _chunk(b"IHDR", ihdr16)
+        + _chunk(b"IDAT", zlib.compress(bytes(7)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png16) is None
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    png_i = (
+        SIG
+        + _chunk(b"IHDR", ihdr_i)
+        + _chunk(b"IDAT", zlib.compress(bytes(4)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png_i) is None
+    # palette index past the palette end
+    pal_bad = _manual_png(
+        1, 1, 3, bytes([0, 9]), extra_chunks=[(b"PLTE", bytes([1, 2, 3]))]
+    )
+    assert decode_png(pal_bad) is None
+    # not a PNG at all
+    assert decode_png(b"definitely not a png") is None
+
+
+def test_decode_image_dispatch_and_features():
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    payload = encode_png(px, filter_type=4)
+    got = binary_ops.decode_image(payload)
+    assert got is not None and np.array_equal(got, px)
+    feats = binary_ops.pixel_features(binary_ops.resize_rgb(got, 16, 16))
+    # channel means over the 4 pixels: R=(255+0+0+255)/4, etc.
+    assert feats[0] == (510 / 4) / 255.0
+    assert feats[1] == (510 / 4) / 255.0
+    assert feats[2] == (510 / 4) / 255.0
