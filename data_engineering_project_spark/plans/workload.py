@@ -2276,6 +2276,126 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "streaming_near_dups",
+    """
+SELECT TRUE AS stream_equals_batch,
+       TRUE AS replay_is_noop,
+       TRUE AS batch2_sees_batch1
+""",
+)
+def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of the nightly near-dup ingest, through the
+    value gate (r11): vector batches land as files, a REAL
+    Structured-Streaming query (Trigger.AvailableNow) drains them
+    through `streaming/vectors.near_dup_pairs_sink` — pairs against
+    the persisted index (zero quantizer refit) commit exactly-once
+    into a transactional table, the index folds idempotently.
+    Invariant oracle:
+
+    - stream_equals_batch: micro-batch 1's emitted (id_a, id_b,
+      cosine) rows are IDENTICAL to the in-memory batch operator's
+      under the same frozen quantizer — stream == batch == (by the
+      embedding_near_dups_indexed entry) indexed == in-memory.
+    - replay_is_noop: re-delivering the already-committed micro-batch
+      to the sink changes NEITHER the pairs table (txn-id skip) NOR
+      the index row count (if_absent anti-join) — the at-least-once →
+      exactly-once layering under the crash-between-commit-points
+      cases pytest exercises.
+    - batch2_sees_batch1: a second streamed batch of exact copies of
+      batch 1's rows finds its batch-1 twins — the index fold makes
+      tonight's rows visible to tomorrow's stream.
+
+    One drain per (session, sf_dir): the verdict frame is a
+    checkpointed shared frame, like the other streaming entries."""
+    import os as _os
+    import re as _sre
+
+    from data_engineering_project_spark.sources.txlog import (
+        TransactionalTable,
+    )
+    from data_engineering_project_spark.streaming import (
+        vectors as vec_stream,
+    )
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        app = spark.sparkContext.applicationId
+        tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
+        root = f"/tmp/spark_graft_stream/{app}/{tag}/vectors"
+        index_path = root + "/index"
+        src, ckpt = root + "/src", root + "/ckpt"
+        cents = _ivf_cents16(spark, sf_dir)
+        ann_index.build_index(emb, index_path, centroids=cents)
+        batch1 = (
+            emb.filter(F.col("vec_id") % 11 == 0)
+            .select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> x * CAST(1.0 + 0.003 *"
+                    " IF(pmod(xxhash64(concat(CAST(vec_id AS STRING), ':',"
+                    " CAST(i AS STRING))), 2) = 0, 1.0, -1.0) AS FLOAT))"
+                ).alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        table = TransactionalTable(spark, root + "/pairs")
+        _os.makedirs(src, exist_ok=True)
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        vec_stream.near_dup_ingest_stream(
+            spark, src, batch1.schema, ckpt, index_path, table,
+            app_id="vec-ingest", threshold=0.99, n_probe=4,
+        ).awaitTermination()
+        cols = ["id_a", "id_b", "cosine"]
+        got1 = sorted(map(tuple, table.read().select(*cols).collect()))
+        want1 = sorted(
+            map(
+                tuple,
+                similarity.embedding_near_dups_incremental(
+                    emb, batch1, threshold=0.99, n_probe=4, cents=cents
+                ).select(*cols).collect(),
+            )
+        )
+        stream_equals_batch = bool(got1) and got1 == want1
+        # replay the committed micro-batch straight into the sink
+        committed = [c for c in table.history() if c.get("txn")]
+        replay_id = int(committed[0]["txn"]["batch_id"])
+        n_pairs = table.read().count()
+        n_idx = spark.read.parquet(index_path + "/cells").count()
+        vec_stream.near_dup_pairs_sink(
+            spark, index_path, table, app_id="vec-ingest",
+            threshold=0.99, n_probe=4,
+        )(batch1, replay_id)
+        replay_is_noop = (
+            table.read().count() == n_pairs
+            and spark.read.parquet(index_path + "/cells").count() == n_idx
+        )
+        # batch 2: exact copies of batch 1 — twins must be found
+        batch2 = batch1.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        vec_stream.near_dup_ingest_stream(
+            spark, src, batch1.schema, ckpt, index_path, table,
+            app_id="vec-ingest", threshold=0.99, n_probe=4,
+        ).awaitTermination()
+        all_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in table.read().select("id_a", "id_b").collect()
+        }
+        b1 = {int(r["vec_id"]) for r in batch1.select("vec_id").collect()}
+        batch2_sees_batch1 = all(
+            (p, p + 10_000_000) in all_pairs for p in b1
+        )
+        return spark.createDataFrame(
+            [(stream_equals_batch, replay_is_noop, batch2_sees_batch1)],
+            "stream_equals_batch boolean, replay_is_noop boolean,"
+            " batch2_sees_batch1 boolean",
+        ).localCheckpoint(eager=True)
+
+    return _shared_frame(spark, sf_dir, "streaming_near_dups", build)
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -17316,6 +17436,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "ivfpq_rerank_recall": 11,
     "embedding_near_dups_indexed": 11,
     "media_decode_png": 11,
+    "streaming_near_dups": 11,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py
