@@ -397,7 +397,11 @@ def main() -> int:
     conditions["measured_families"] = sorted(probe_list)
     conditions["measured_recall_sections"] = not skip_recall
     if partial and prev.get("run_conditions"):
-        conditions["carried_over_run_conditions"] = prev["run_conditions"]
+        # one level only — a chain of partial reruns would otherwise
+        # nest conditions recursively without bound
+        carried = dict(prev["run_conditions"])
+        carried.pop("carried_over_run_conditions", None)
+        conditions["carried_over_run_conditions"] = carried
 
     from data_engineering_project_spark.plans import workload
     from data_engineering_project_spark.session import get_spark
