@@ -207,3 +207,138 @@ def incremental_near_dups_indexed(
         pairs = pairs.localCheckpoint(eager=True)
         add_to_index(spark, path, new, id_col, vec_col)
     return pairs
+
+
+def _codes_dir(path: str) -> str:
+    return path.rstrip("/") + "/codes"
+
+
+def _books_dir(path: str) -> str:
+    return path.rstrip("/") + "/codebooks"
+
+
+def build_pq_index(
+    spark: SparkSession,
+    path: str,
+    codebooks: list[DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a built IVF index (:func:`build_index`) into a full
+    persisted IVFPQ index: the PQ codes of every indexed vector are
+    written CELL-PARTITIONED beside the inverted lists (so an ADC
+    probe prunes code bytes exactly like the vector probe prunes
+    vectors), and the ``m`` per-subspace codebooks land in one tiny
+    sidecar (FAISS's serialized quantizers as a parquet table).
+
+    The index then carries everything a two-stage-plus-refine probe
+    needs on disk: centroids (route), codes (cheap rank), vectors
+    (exact re-rank) — :func:`query_pq_index` reads only the probed
+    cell directories of BOTH partitioned tables."""
+    from data_engineering_project_spark.operators import pq as pq_ops
+
+    cells = spark.read.parquet(_cells_dir(path))
+    codes = pq_ops.pq_encode(cells, codebooks, id_col, vec_col).join(
+        cells.select(id_col, "cell"), id_col
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        _codes_dir(path)
+    )
+    books = None
+    for j, b in enumerate(codebooks):
+        part = b.select(
+            F.lit(j).alias("subspace"), "label", "centroid"
+        )
+        books = part if books is None else books.unionByName(part)
+    books.write.mode("overwrite").parquet(_books_dir(path))
+
+
+def read_codebooks(spark: SparkSession, path: str) -> list[DataFrame]:
+    """Sidecar → the list-of-(label, centroid)-frames shape
+    ``pq_adc_topk`` consumes. Parquet doubles round-trip exactly, so
+    a probe against the persisted books scores bit-identically to one
+    against the in-memory fit."""
+    all_books = spark.read.parquet(_books_dir(path))
+    m = all_books.agg(F.max("subspace")).collect()[0][0] + 1
+    return [
+        all_books.filter(F.col("subspace") == j).select("label", "centroid")
+        for j in range(m)
+    ]
+
+
+def query_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Probe the persisted IVFPQ index: route by the centroid sidecar,
+    ADC-rank ONLY the probed cells' codes into a shortlist, exact
+    re-rank against ONLY the probed cells' vectors — both heavy scans
+    carry static ``cell`` PartitionFilters, so a probe reads
+    ~n_probe/k_cells of the code bytes AND of the vector bytes.
+    Returns the same rows as the in-memory composition
+    (:func:`pq.ivfpq_topk`) over the same quantizers — the lake
+    layout is never an answer change (pinned by the
+    ``ivfpq_index_parity`` workload entry and tests/test_ann_index.py).
+    """
+    from data_engineering_project_spark.operators import pq as pq_ops
+
+    cents = spark.read.parquet(_cents_dir(path))
+    books = read_codebooks(spark, path)
+    probes = probe_assignments(
+        queries, cents, id_col, vec_col, n_probe
+    ).localCheckpoint(eager=True)
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cells = spark.read.parquet(_cells_dir(path)).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    codes = spark.read.parquet(_codes_dir(path)).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    cands = (
+        codes.select(id_col, "cell")
+        .join(probes.select("query_id", "cell"), "cell")
+        .select("query_id", id_col)
+    )
+    qp = queries.select(id_col, vec_col).toPandas()
+    sl = pq_ops.pq_adc_topk(
+        codes.select(id_col, "codes"),
+        books,
+        qp,
+        k=shortlist,
+        candidates=cands,
+        id_col=id_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+    )
+    sl_vecs = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(F.broadcast(sl.select("query_id", "neighbor_id")), "neighbor_id")
+    q_vecs = probes.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    from data_engineering_project_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    scored = sl_vecs.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

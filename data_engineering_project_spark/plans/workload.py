@@ -6432,6 +6432,84 @@ def q_ann_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivfpq_index_parity",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS persisted_equals_inmemory,
+       TRUE AS both_scans_partition_pruned,
+       TRUE AS codebooks_roundtrip_exact
+FROM embeddings WHERE vec_id < 10
+""",
+)
+def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFPQ index probed end-to-end (r11): PQ codes
+    stored CELL-PARTITIONED beside the inverted lists, codebooks as a
+    parquet sidecar (operators/ann_index.build_pq_index /
+    query_pq_index) — the full two-stage-plus-refine serving state on
+    disk. Invariant oracle, extending the ann_index_parity contract to
+    the composed retriever:
+
+    - persisted_equals_inmemory: the on-disk probe returns the
+      IDENTICAL (query, neighbor, cosine) rows as the in-memory
+      composition `pq.ivfpq_topk` over the same shared quantizers
+      (exceptAll both ways) — layout change, never an answer change.
+    - both_scans_partition_pruned: the probe's physical plan carries
+      static `cell` PartitionFilters on BOTH heavy scans (codes AND
+      vectors) — an IVFPQ probe reads ~n_probe/k_cells of the code
+      bytes and of the vector bytes, which is the entire point of
+      persisting the layout.
+    - codebooks_roundtrip_exact: the sidecar read back equals the
+      in-memory codebooks row-for-row (parquet doubles are exact), so
+      persisted ADC scores bit-match in-memory ADC scores."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = _ivf_cents16(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    if key not in _PQ_INDEX_BUILT:
+        ann_index.build_pq_index(spark, path, books)
+        _PQ_INDEX_BUILT.add(key)
+    persisted = ann_index.query_pq_index(
+        spark, path, queries, k=5, n_probe=4, shortlist=50
+    ).localCheckpoint(eager=True)
+    plan_df = ann_index.query_pq_index(
+        spark, path, queries, k=5, n_probe=4, shortlist=50
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    pruned_scans = sum(
+        "cell" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+    cells = similarity.assign_cells(emb, cents)
+    enc = _shared_frame(
+        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
+    )
+    inmem = pq_ops.ivfpq_topk(
+        cells, enc, books, cents, queries, k=5, n_probe=4, shortlist=50
+    )
+    cols = ["query_id", "neighbor_id", "cosine"]
+    diff = (
+        persisted.select(*cols).exceptAll(inmem.select(*cols)).count()
+        + inmem.select(*cols).exceptAll(persisted.select(*cols)).count()
+    )
+    back = ann_index.read_codebooks(spark, path)
+    books_equal = len(back) == len(books) and all(
+        sorted(map(tuple, bm.collect())) == sorted(map(tuple, bd.collect()))
+        for bm, bd in zip(books, back)
+    )
+    return queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(diff == 0).alias("persisted_equals_inmemory"),
+        F.lit(pruned_scans >= 2).alias("both_scans_partition_pruned"),
+        F.lit(bool(books_equal)).alias("codebooks_roundtrip_exact"),
+    )
+
+
+_PQ_INDEX_BUILT: set = set()
+
+
 _PQ_BOOKS_CACHE: dict = {}
 
 
@@ -17437,6 +17515,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "embedding_near_dups_indexed": 11,
     "media_decode_png": 11,
     "streaming_near_dups": 11,
+    "ivfpq_index_parity": 11,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

@@ -164,3 +164,47 @@ def test_indexed_incremental_append_completes_the_loop(spark, sf_dir, tmp_path):
         spark, path, batch2.limit(1), k=3, n_probe=2
     ).collect()
     assert hits and hits[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pq_index_probe_matches_inmemory_composition(spark, sf_dir, index_path):
+    """Persisted IVFPQ (codes cell-partitioned beside the inverted
+    lists + codebook sidecar): the on-disk probe returns the IDENTICAL
+    rows as the in-memory composition over the same quantizers, both
+    heavy scans are partition-pruned, and the codebook sidecar
+    round-trips exactly."""
+    from data_engineering_project_spark.operators import pq
+
+    emb = workload.load(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(index_path + "/centroids")
+    books = pq.pq_train(emb, m=2, k=4, iters=1)
+    ann_index.build_pq_index(spark, index_path, books)
+    # sidecar round-trip: parquet doubles are exact
+    back = ann_index.read_codebooks(spark, index_path)
+    assert len(back) == len(books)
+    for b_mem, b_disk in zip(books, back):
+        assert sorted(map(tuple, b_mem.collect())) == sorted(
+            map(tuple, b_disk.collect())
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    persisted = ann_index.query_pq_index(
+        spark, index_path, queries, k=5, n_probe=3, shortlist=20
+    )
+    cells = similarity.assign_cells(emb, cents)
+    enc = pq.pq_encode(emb, books)
+    inmem = pq.ivfpq_topk(
+        cells, enc, books, cents, queries, k=5, n_probe=3, shortlist=20
+    )
+    a = sorted(map(tuple, persisted.collect()))
+    b = sorted(map(tuple, inmem.collect()))
+    assert a == b and len(a) == 25
+    # BOTH the codes scan and the vectors scan carry cell filters
+    plan = persisted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pruned_scans = sum(
+        "cell" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+    assert pruned_scans >= 2, "codes and vectors scans must both prune"
