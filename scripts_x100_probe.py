@@ -116,6 +116,11 @@ PROBE = [
     "ivfpq_rerank_recall",
     "embedding_near_dups_indexed",
     "media_decode_png",
+    # late r11: the streaming near-dup drain (two AvailableNow streams
+    # + index fold per call) and the persisted-IVFPQ parity audit
+    # (pq-encode + partitioned write + on-disk vs in-memory probe)
+    "streaming_near_dups",
+    "ivfpq_index_parity",
 ]
 
 
