@@ -16,10 +16,11 @@ Decoding: four raster formats are decoded FOR REAL in pure
 stdlib+numpy — PPM "P6", 24-bit uncompressed BMP, baseline sequential
 JPEG (Huffman, 4:2:0/4:2:2/4:4:4, restart markers; full codec in
 ``multimodal/jpeg.py``), and 8-bit PNG (DEFLATE via stdlib zlib, all
-five scanline filters, gray/RGB/palette/alpha color types; codec in
-``multimodal/png.py``) — so the decode→feature→resize path runs on
-actual pixels with zero native dependencies. Payloads in any other
-format (16-bit/interlaced PNG; audio/video need librosa/ffmpeg,
+five scanline filters, gray/RGB/palette/alpha color types, Adam7
+interlace; codec in ``multimodal/png.py``) — so the
+decode→feature→resize path runs on actual pixels with zero native
+dependencies. Payloads in any other
+format (1/2/4/16-bit PNG; audio/video need librosa/ffmpeg,
 absent here) fall back to the deterministic hash stub
 ``_hash_features`` — real Spark plumbing, declared fake features; the
 audio/video fallback is PERMANENT for this repo. Swap it for a real

@@ -10,9 +10,16 @@ or exotic object in a 100 TB corpus must not kill the task):
 
 - 8-bit samples; color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); all five scanline filters
-  (None/Sub/Up/Average/Paeth);
-- NOT decoded: 1/2/4/16-bit depths, Adam7 interlace (progressive
-  delivery matters for browsers, not for a batch decode stage);
+  (None/Sub/Up/Average/Paeth); Adam7 interlace (each of the seven
+  passes is an independently-filtered sub-image — unfilter per pass,
+  scatter into the output raster);
+- NOT decoded: 1/2/4/16-bit depths;
+- hostile objects are bounded BEFORE inflation: the IHDR-implied raw
+  size is capped (a crafted huge-dimensions header + small DEFLATE
+  bomb must not OOM the executor), the inflate runs through
+  ``decompressobj(max_length=...)`` so it can never produce more
+  bytes than the header promises, and MemoryError is caught like any
+  other decode failure — the contract is None, never a dead task;
 - alpha is dropped (the featurize contract downstream is HxWx3 RGB;
   compositing policy belongs to the caller, not the codec);
 - chunk CRCs are verified — a silent bit-flip in a lake object
@@ -34,6 +41,61 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# hard ceiling on the post-inflate scanline bytes one object may claim
+# (from its IHDR, BEFORE any zlib work) — ~128 MiB covers a 6500x6500
+# RGBA raster; a training-corpus feature batch never needs more, and a
+# crafted header can't allocate past it
+_MAX_RAW_BYTES = 128 * 1024 * 1024
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per the PNG
+# spec's pixel-extraction grid; each pass is filtered independently
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(w: int, h: int):
+    """→ per-pass (pw, ph, x0, xs, y0, ys); empty passes keep pw/ph=0."""
+    dims = []
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+        ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+        dims.append((pw, ph, x0, xs, y0, ys))
+    return dims
+
+
+def _expected_raw(w: int, h: int, ch: int, interlace: int) -> int:
+    """Scanline-stream byte count the IHDR promises (filter byte per
+    row included) — the pre-inflation bound everything else trusts."""
+    if interlace == 0:
+        return h * (1 + w * ch)
+    return sum(
+        ph * (1 + pw * ch)
+        for pw, ph, *_ in _adam7_dims(w, h)
+        if pw and ph
+    )
+
+
+def _inflate_exact(idat: bytes, expected: int):
+    """zlib-inflate to EXACTLY ``expected`` bytes or None — the
+    decompressor is never allowed to produce more than expected+1, so
+    a DEFLATE bomb costs at most the promised raster, not its
+    expansion."""
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected:
+        return None
+    # any trailing decompressed data means the stream lied about size
+    if d.decompress(d.unconsumed_tail, 1) or d.flush(1):
+        return None
+    return raw
 
 
 def _parse_chunks(payload: bytes):
@@ -109,6 +171,29 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int):
     return out.astype(np.uint8)
 
 
+def _deinterlace(raw: bytes, w: int, h: int, ch: int):
+    """Adam7: the scanline stream is seven concatenated sub-images,
+    each filtered as if it were a standalone PNG of its own pass
+    dimensions — unfilter each with the SAME five-filter engine, then
+    scatter its pixels onto the (x_start::x_step, y_start::y_step)
+    grid. Empty passes (a pass grid that misses a tiny image) occupy
+    zero bytes. → (h, w*ch) uint8 matrix, or None."""
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for pw, ph, x0, xs, y0, ys in _adam7_dims(w, h):
+        if not pw or not ph:
+            continue
+        size = ph * (1 + pw * ch)
+        sub = _unfilter(raw[pos : pos + size], ph, pw, ch)
+        if sub is None:
+            return None
+        pos += size
+        out[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+    if pos != len(raw):
+        return None
+    return out.reshape(h, w * ch)
+
+
 def decode_png(payload: bytes):
     """PNG → HxWx3 uint8 RGB array, or None outside the documented
     scope (module docstring). Never throws."""
@@ -131,17 +216,29 @@ def decode_png(payload: bytes):
             or color not in _CHANNELS
             or comp != 0
             or filt != 0
-            or interlace != 0
+            or interlace not in (0, 1)
         ):
+            return None
+        ch = _CHANNELS[color]
+        expected = _expected_raw(w, h, ch, interlace)
+        # bound BEFORE inflating: a crafted IHDR (huge dims) plus a
+        # small DEFLATE bomb must fail here, not in an executor OOM
+        if expected > _MAX_RAW_BYTES:
             return None
         idat = b"".join(d for t, d in chunks if t == b"IDAT")
         if not idat:
             return None
-        raw = zlib.decompress(idat)
-        ch = _CHANNELS[color]
-        mat = _unfilter(raw, h, w, ch)
-        if mat is None:
+        raw = _inflate_exact(idat, expected)
+        if raw is None:
             return None
+        if interlace == 0:
+            mat = _unfilter(raw, h, w, ch)
+            if mat is None:
+                return None
+        else:
+            mat = _deinterlace(raw, w, h, ch)
+            if mat is None:
+                return None
         px = mat.reshape(h, w, ch)
         if color == 2:  # RGB
             return px
@@ -160,7 +257,14 @@ def decode_png(payload: bytes):
         if int(idx.max()) >= len(pal):
             return None
         return pal[idx]
-    except (ValueError, IndexError, zlib.error, struct.error):
+    except (
+        ValueError,
+        IndexError,
+        zlib.error,
+        struct.error,
+        MemoryError,
+        OverflowError,
+    ):
         return None
 
 
@@ -170,8 +274,11 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     rasters. ``filter_type`` exercises a specific scanline filter so
     each unfilter branch is pinned against ground truth."""
     px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_png wants HxWx3 RGB, got {px.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     h, w, ch = px.shape
-    assert ch == 3 and 0 <= filter_type <= 4
     stride = w * 3
     flat = px.reshape(h, stride).astype(np.int64)
     lines = []
@@ -212,6 +319,46 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced(pixels, filter_type: int = 0) -> bytes:
+    """Adam7-interlaced PNG writer (8-bit RGB) — the known-answer
+    source pinning :func:`_deinterlace`: extract each pass's pixel
+    grid, filter it as a standalone sub-image via the SAME row-filter
+    logic :func:`encode_png` uses, concatenate, and mark interlace=1
+    in IHDR. decode(encode_interlaced(px)) == px is the test."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_png_interlaced wants HxWx3 RGB, got {px.shape}")
+    h, w, _ = px.shape
+    sections = []
+    for pw, ph, x0, xs, y0, ys in _adam7_dims(w, h):
+        if not pw or not ph:
+            continue
+        sub = np.ascontiguousarray(px[y0::ys, x0::xs])
+        # reuse encode_png's filtering by encoding the pass standalone
+        # and slicing its raw scanline stream back out
+        sub_png = encode_png(sub, filter_type)
+        chunks = _parse_chunks(sub_png)
+        idat = b"".join(d for t, d in chunks if t == b"IDAT")
+        sections.append(zlib.decompress(idat))
+    raw = b"".join(sections)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)

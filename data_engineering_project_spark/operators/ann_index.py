@@ -87,6 +87,10 @@ def add_to_index(
     cents = spark.read.parquet(_cents_dir(path))
     assigned = assign_cells(new_vectors, cents, id_col, vec_col)
     if if_absent:
+        # idempotence must also hold WITHIN the batch: a producer
+        # double-write into one landing file carries the same id twice,
+        # and the anti-join against the index can't see that
+        assigned = assigned.dropDuplicates([id_col])
         assigned = assigned.localCheckpoint(eager=True)
         target_cells = sorted(
             r["cell"] for r in assigned.select("cell").distinct().collect()
@@ -182,12 +186,15 @@ def incremental_near_dups_indexed(
     standard single-assignment index suffices (measured in the r10
     recall audits)."""
     cents = spark.read.parquet(_cents_dir(path))
+    # ONE probe per batch: the same checkpointed frame feeds both the
+    # partition-filter collect here and the pair kernel downstream
+    # (threaded through ``new_probes`` so
+    # embedding_near_dups_incremental doesn't re-score the batch)
+    probes = probe_assignments(
+        new, cents, id_col, vec_col, n_probe
+    ).localCheckpoint(eager=True)
     probed = sorted(
-        r["cell"]
-        for r in probe_assignments(new, cents, id_col, vec_col, n_probe)
-        .select("cell")
-        .distinct()
-        .collect()
+        r["cell"] for r in probes.select("cell").distinct().collect()
     )
     stored_cells = spark.read.parquet(_cells_dir(path)).filter(
         F.col("cell").isin(probed)
@@ -202,6 +209,7 @@ def incremental_near_dups_indexed(
         cents=cents,
         stored_cells=stored_cells,
         max_block_rows=max_block_rows,
+        new_probes=probes,
     )
     if append:
         pairs = pairs.localCheckpoint(eager=True)
@@ -253,6 +261,205 @@ def build_pq_index(
     books.write.mode("overwrite").parquet(_books_dir(path))
 
 
+def add_to_pq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    if_absent: bool = False,
+) -> None:
+    """Fold a batch into the persisted CODES table under the frozen
+    quantizers: encode with the codebook sidecar (map-only, codeword
+    literals — zero re-training), assign cells with the frozen
+    centroids, append cell-partitioned. The PQ twin of
+    :func:`add_to_index`, with the same idempotence contract:
+    ``if_absent=True`` dedupes ids within the batch AND against the
+    ids already coded in the target cells (a partition-pruned read),
+    so a replayed micro-batch appends nothing."""
+    from data_engineering_project_spark.operators import pq as pq_ops
+
+    cents = spark.read.parquet(_cents_dir(path))
+    books = read_codebooks(spark, path)
+    assigned = assign_cells(new_vectors, cents, id_col, vec_col)
+    codes = pq_ops.pq_encode(new_vectors, books, id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    if if_absent:
+        codes = codes.dropDuplicates([id_col])
+        codes = codes.localCheckpoint(eager=True)
+        target_cells = sorted(
+            r["cell"] for r in codes.select("cell").distinct().collect()
+        )
+        existing = (
+            spark.read.parquet(_codes_dir(path))
+            .filter(F.col("cell").isin(target_cells))
+            .select(id_col)
+        )
+        codes = codes.join(existing, id_col, "left_anti")
+    codes.write.mode("append").partitionBy("cell").parquet(_codes_dir(path))
+
+
+def index_scan_bytes(path: str, cells: list) -> dict:
+    """On-disk parquet bytes a probe of ``cells`` would scan, per
+    table — the honest codes-vs-vectors footprint comparison (the
+    whole reason PQ codes exist at 100 TB: the rank stage reads
+    m-byte codes, ~dim*8/m smaller than the fp64 vectors). Driver-side
+    directory walk over the probed ``cell=`` directories only —
+    control-plane, no Spark job."""
+    import os
+
+    def du(root: str) -> int:
+        total = 0
+        for c in cells:
+            d = os.path.join(root, f"cell={c}")
+            if not os.path.isdir(d):
+                continue
+            for base, _, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(base, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    return {
+        "vector_bytes": du(_cells_dir(path)),
+        "codes_bytes": du(_codes_dir(path)),
+    }
+
+
+def incremental_near_dups_pq(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    append: bool = False,
+) -> DataFrame:
+    """SEMANTIC DEDUP OVER THE PERSISTED PQ CODES — the nightly
+    near-dup loop where the stored-side rank stage reads m-byte codes
+    instead of full vectors (the 100 TB story: at m=4 over 64-dim
+    fp64, the codes table is ~100x smaller than the embeddings it
+    ranks, so the heavy scan shrinks by that factor; measured by
+    :func:`index_scan_bytes`).
+
+    Composition (the `ivfpq_rerank_recall` two-stage-plus-refine
+    pattern folded into the ingest loop):
+
+    1. route: the new batch probes its ``n_probe`` cells under the
+       FROZEN sidecar centroids (one probe, checkpointed — it feeds
+       the partition-filter collect AND the exact re-rank);
+    2. cheap rank: ADC over ONLY the probed cells' CODES
+       (partition-pruned directory read) shortlists ``shortlist``
+       stored candidates per new vector — full vectors never touch
+       this stage;
+    3. exact re-rank: the shortlist survivors' vectors are fetched by
+       a broadcast semi-join into the probed cell directories and
+       scored full-precision; pairs above ``threshold`` are emitted
+       with the exact (rounded-4) cosine — ADC only SELECTS, it never
+       SCORES the output;
+    4. new x new pairs come from the exact rectangular kernel over the
+       batch alone (a micro-batch is bounded; its own pairs don't need
+       PQ);
+    5. ``append=True`` folds the batch into BOTH persisted tables —
+       vectors (:func:`add_to_index`) and codes
+       (:func:`add_to_pq_index`) — so tomorrow's batch sees tonight's
+       rows in the codes it ranks.
+
+    Same (id_a, id_b, cosine) contract as
+    :func:`incremental_near_dups_indexed`; identical rows given the
+    same quantizers WHEN the shortlist holds every true near-dup —
+    ``shortlist`` is the recall dial, and at near-dup thresholds a
+    vector's dups are its very nearest neighbors, so small shortlists
+    already reach parity (pinned by the ``pq_near_dups_incremental``
+    workload entry and tests/test_ann_index.py). A vector with more
+    than ``shortlist`` dups above threshold would truncate — size the
+    dial like `ivfpq_rerank_recall` measures.
+
+    The new batch is collected driver-side for the ADC lookup tables
+    (micro-batch bounded by contract, exactly like the query side of
+    :func:`query_pq_index`)."""
+    from data_engineering_project_spark.operators import pq as pq_ops
+    from data_engineering_project_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    cents = spark.read.parquet(_cents_dir(path))
+    books = read_codebooks(spark, path)
+    probes = probe_assignments(
+        new, cents, id_col, vec_col, n_probe
+    ).localCheckpoint(eager=True)
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    codes = spark.read.parquet(_codes_dir(path)).filter(
+        F.col("cell").isin(probed)
+    )
+    cells = spark.read.parquet(_cells_dir(path)).filter(
+        F.col("cell").isin(probed)
+    )
+    cands = (
+        codes.select(id_col, "cell")
+        .join(probes.select("query_id", "cell"), "cell")
+        .select("query_id", id_col)
+    )
+    qp = new.select(id_col, vec_col).toPandas()
+    sl = pq_ops.pq_adc_topk(
+        codes.select(id_col, "codes"),
+        books,
+        qp,
+        k=shortlist,
+        candidates=cands,
+        id_col=id_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+    )
+    sl_vecs = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(F.broadcast(sl.select("query_id", "neighbor_id")), "neighbor_id")
+    q_vecs = probes.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    cos = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    new_stored = (
+        sl_vecs.join(F.broadcast(q_vecs), "query_id")
+        .filter(cos > threshold)
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+    # new x new: the exact kernel over the batch alone — an empty
+    # stored side turns the rectangle into the within-batch square
+    new_new = embedding_near_dups_incremental(
+        stored=None,
+        new=new,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_probe=n_probe,
+        cents=cents,
+        stored_cells=cells.select(id_col, vec_col, "cell").limit(0),
+        new_probes=probes,
+    )
+    # same deterministic key-only collapse as the exact loop
+    # (similarity._collapse_pairs): multi-probe rediscoveries of one
+    # pair keep the max cosine, never a first-row race
+    pairs = (
+        new_stored.unionByName(new_new)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    if append:
+        pairs = pairs.localCheckpoint(eager=True)
+        add_to_index(spark, path, new, id_col, vec_col)
+        add_to_pq_index(spark, path, new, id_col, vec_col)
+    return pairs
+
+
 def read_codebooks(spark: SparkSession, path: str) -> list[DataFrame]:
     """Sidecar → the list-of-(label, centroid)-frames shape
     ``pq_adc_topk`` consumes. Parquet doubles round-trip exactly, so
@@ -302,43 +509,20 @@ def query_pq_index(
     codes = spark.read.parquet(_codes_dir(path)).filter(
         F.col("cell").isin(probed_cells)
     )
-    cands = (
-        codes.select(id_col, "cell")
-        .join(probes.select("query_id", "cell"), "cell")
-        .select("query_id", id_col)
-    )
-    qp = queries.select(id_col, vec_col).toPandas()
-    sl = pq_ops.pq_adc_topk(
+    # the rerank itself IS pq.ivfpq_topk over the pruned frames — one
+    # code path for both the in-memory and persisted retrievers, so
+    # the ivfpq_index_parity oracle compares composition, not two
+    # hand-kept copies of the shortlist->fetch->rerank block
+    return pq_ops.ivfpq_topk(
+        cells,
         codes.select(id_col, "codes"),
         books,
-        qp,
-        k=shortlist,
-        candidates=cands,
+        cents,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        shortlist=shortlist,
         id_col=id_col,
-        query_id_col=id_col,
-        query_vec_col=vec_col,
-    )
-    sl_vecs = cells.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(F.broadcast(sl.select("query_id", "neighbor_id")), "neighbor_id")
-    q_vecs = probes.select("query_id", "q_vec").dropDuplicates(["query_id"])
-    from data_engineering_project_spark.operators.similarity import (
-        cosine_similarity,
-    )
-    from pyspark.sql import Window
-
-    scored = sl_vecs.join(F.broadcast(q_vecs), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+        vec_col=vec_col,
+        probes=probes,
     )

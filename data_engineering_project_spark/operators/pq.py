@@ -269,6 +269,7 @@ def ivfpq_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The COMPOSED production IVFPQ retriever: IVF probe prunes WHICH
     rows a query touches, ADC ranks ONLY those into a ``shortlist``,
@@ -299,9 +300,13 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
-    probes = probe_assignments(
-        queries, cents, id_col, vec_col, n_probe
-    ).localCheckpoint(eager=True)
+    # ``probes`` lets a caller that already probed (e.g. the persisted
+    # index, which needs the probed-cell list for partition pruning)
+    # hand the checkpointed frame through instead of re-scoring
+    if probes is None:
+        probes = probe_assignments(
+            queries, cents, id_col, vec_col, n_probe
+        ).localCheckpoint(eager=True)
     cands = (
         cells.select(id_col, "cell")
         .join(probes.select("query_id", "cell"), "cell")

@@ -600,6 +600,7 @@ def embedding_near_dups_incremental(
     cents: DataFrame | None = None,
     max_block_rows: int | None = None,
     stored_cells: DataFrame | None = None,
+    new_probes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup detection: pairs above
     ``threshold`` that TOUCH the new batch — (new × stored) and
@@ -667,7 +668,13 @@ def embedding_near_dups_incremental(
                 F.col("q_vec").alias(vec_col),
                 "cell",
             ).withColumn("is_new", F.lit(False))
-    new_probed = probe_assignments(new, cents, id_col, vec_col, n_probe).select(
+    # ``new_probes`` lets the persisted-index caller thread through a
+    # probe frame it already computed (ann_index collects the probed
+    # cell list from the same frame) — without it the centroid scoring
+    # + row_number window over the batch would execute twice per batch
+    if new_probes is None:
+        new_probes = probe_assignments(new, cents, id_col, vec_col, n_probe)
+    new_probed = new_probes.select(
         F.col("query_id").alias(id_col),
         F.col("q_vec").alias(vec_col),
         "cell",

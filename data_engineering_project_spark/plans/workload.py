@@ -6507,6 +6507,111 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_near_dups_incremental",
+    """
+SELECT TRUE AS pq_equals_exact_loop,
+       TRUE AS planted_pairs_recovered,
+       TRUE AS codes_scan_partition_pruned,
+       TRUE AS codes_bytes_under_half_of_vectors
+""",
+)
+def q_pq_near_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP OVER THE PERSISTED PQ CODES (r12 — the r11
+    verdict's item 3): `ann_index.incremental_near_dups_pq` answers
+    the nightly "is anything in this batch a near-dup of the corpus?"
+    with the stored-side RANK stage reading the m-byte PQ codes
+    instead of full vectors — ADC shortlists candidates from the
+    partition-pruned codes directories, the exact re-rank fetches
+    ONLY shortlist survivors' vectors, and the emitted cosine is
+    exact (ADC selects, never scores the output). The 100 TB story:
+    the scan that touches most rows now reads the table that is an
+    order of magnitude smaller (measured below, not assumed).
+
+    Batch: deterministic ±0.3% perturbed copies of every 31st corpus
+    vector under fresh ids (cosine to source > 0.999 by
+    construction). Invariant oracle:
+
+    - pq_equals_exact_loop: the codes-ranked loop returns the SAME
+      pair set as the full-vector `incremental_near_dups_indexed`
+      under the same frozen quantizers, with cosines equal to within
+      the round-4 ulp (the two paths order float ops differently) —
+      compression changes the scan, never the answer.
+    - planted_pairs_recovered: every (source, copy) pair is found at
+      threshold 0.99.
+    - codes_scan_partition_pruned: the plan carries static `cell`
+      PartitionFilters on BOTH heavy scans (codes for the rank,
+      vectors for the shortlist fetch).
+    - codes_bytes_under_half_of_vectors: the on-disk footprint a
+      probe scans (`ann_index.index_scan_bytes` over the probed cell
+      directories) is < 50% vectors' — the compression is real on
+      disk, not just in theory (measured ~0.2 at m=4 over 64-dim
+      float vectors; fp64 embeddings would make it ~64x)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _ivf_cents16(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    path = _ann_index_path(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    if key not in _PQ_INDEX_BUILT:
+        ann_index.build_pq_index(spark, path, books)
+        _PQ_INDEX_BUILT.add(key)
+    new = (
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x * CAST(1.0 + 0.003 *"
+                " IF(pmod(xxhash64(concat(CAST(vec_id AS STRING), ':',"
+                " CAST(i AS STRING))), 2) = 0, 1.0, -1.0) AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pq_lazy = ann_index.incremental_near_dups_pq(
+        spark, path, new, threshold=0.99, n_probe=4, shortlist=50
+    )
+    plan = pq_lazy._jdf.queryExecution().executedPlan().toString()
+    pruned_scans = sum(
+        "cell" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+    pq_rows = pq_lazy.collect()
+    exact_rows = ann_index.incremental_near_dups_indexed(
+        spark, path, new, threshold=0.99, n_probe=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pq_rows}
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact_rows}
+    keys_equal = set(got) == set(want) and len(want) > 0
+    cos_match = keys_equal and all(
+        abs(got[k] - want[k]) <= 1e-4 + 1e-12 for k in want
+    )
+    n_new = new.count()
+    n_planted_found = sum(
+        1 for (a, b) in got if b == a + 10_000_000
+    )
+    probed_cells = sorted(
+        r["cell"]
+        for r in similarity.probe_assignments(new, cents, n_probe=4)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    fp = ann_index.index_scan_bytes(path, probed_cells)
+    return spark.createDataFrame(
+        [
+            (
+                keys_equal and cos_match,
+                n_planted_found == n_new,
+                pruned_scans >= 2,
+                0 < fp["codes_bytes"] < fp["vector_bytes"] / 2,
+            )
+        ],
+        "pq_equals_exact_loop boolean, planted_pairs_recovered boolean,"
+        " codes_scan_partition_pruned boolean,"
+        " codes_bytes_under_half_of_vectors boolean",
+    )
+
+
 _PQ_INDEX_BUILT: set = set()
 
 
@@ -17485,10 +17590,23 @@ _REWIRED: dict[str, int] = {
     # pinned bit-identical by pytest) — badges must attest the
     # shipping bodies
     "embedding_near_dups_ann": 11,
-    "embedding_incremental_near_dups": 11,
     "bpe_vocab_train": 11,
     "bpe_artifact_roundtrip": 11,
     "bpe_fertility_audit": 11,
+    # round 12 (ADVICE r11 fixes — outputs identical at every tested
+    # SF, but the badge must attest the shipping bodies): the probe
+    # stage is computed ONCE per batch and threaded through
+    # (incremental_near_dups_indexed / embedding_near_dups_incremental
+    # new_probes param); query_pq_index now DELEGATES its rerank to
+    # pq.ivfpq_topk instead of duplicating it; add_to_index(if_absent)
+    # dedupes ids within the batch; the PNG decoder gained the
+    # pre-inflation size cap + bounded decompressobj + Adam7 support
+    "embedding_incremental_near_dups": 12,
+    "embedding_near_dups_indexed": 12,
+    "ivfpq_index_parity": 12,
+    "ivfpq_rerank_recall": 12,
+    "streaming_near_dups": 12,
+    "media_decode_png": 12,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.
@@ -17516,6 +17634,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "media_decode_png": 11,
     "streaming_near_dups": 11,
     "ivfpq_index_parity": 11,
+    "pq_near_dups_incremental": 12,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

@@ -166,6 +166,122 @@ def test_indexed_incremental_append_completes_the_loop(spark, sf_dir, tmp_path):
     assert hits and hits[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.fixture(scope="module")
+def pq_index_path(spark, sf_dir, tmp_path_factory):
+    """Own IVF+PQ index (separate from index_path so the PQ-state
+    tests never depend on another test having built the codes)."""
+    from data_engineering_project_spark.operators import pq
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    emb = workload.load(spark, sf_dir, "embeddings")
+    ann_index.build_index(emb, path, k_cells=8, iters=2)
+    # m=4/k=16 (the production sizing from workload._pq_books): coarser
+    # books (m=2/k=4) leave only 16 distinct codes, whose huge ADC tie
+    # groups can push a true near-dup below any reasonable shortlist
+    books = pq.pq_train(emb, m=4, k=16, iters=1)
+    ann_index.build_pq_index(spark, path, books)
+    return path
+
+
+def test_pq_incremental_near_dups_matches_exact_loop(
+    spark, sf_dir, pq_index_path
+):
+    """Semantic dedup over the persisted PQ codes: the
+    codes-shortlist -> exact-re-rank loop returns the SAME pairs as
+    the full-vector loop on planted near-dups — ADC only selects, the
+    emitted cosine is exact — and the codes footprint a probe scans
+    is a fraction of the vector footprint (the 100 TB reason to rank
+    codes)."""
+    emb = workload.load(spark, sf_dir, "embeddings")
+    new = _perturbed_copies(spark, emb).localCheckpoint(eager=True)
+    pq_pairs = ann_index.incremental_near_dups_pq(
+        spark, pq_index_path, new, threshold=0.99, n_probe=3, shortlist=50
+    ).collect()
+    exact_pairs = ann_index.incremental_near_dups_indexed(
+        spark, pq_index_path, new, threshold=0.99, n_probe=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pq_pairs}
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact_pairs}
+    assert set(got) == set(want) and len(want) > 0
+    # both sides round an exact double cosine to 4dp; allow the ulp at
+    # a rounding boundary between the SQL and numpy evaluation orders
+    assert all(abs(got[k] - want[k]) <= 1e-4 + 1e-12 for k in want)
+    # every planted copy found its source
+    planted = {int(r["vec_id"]) for r in new.select("vec_id").collect()}
+    assert all((p - 10_000_000, p) in got for p in planted)
+    # the rank-stage scan footprint: probed codes bytes << vector bytes
+    fp = ann_index.index_scan_bytes(pq_index_path, list(range(8)))
+    assert 0 < fp["codes_bytes"] < fp["vector_bytes"] / 3
+
+
+def test_pq_incremental_codes_scan_partition_pruned(
+    spark, sf_dir, pq_index_path
+):
+    emb = workload.load(spark, sf_dir, "embeddings")
+    new = _perturbed_copies(spark, emb, every=31).localCheckpoint(eager=True)
+    out = ann_index.incremental_near_dups_pq(
+        spark, pq_index_path, new, threshold=0.99, n_probe=2, shortlist=10
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pruned_scans = sum(
+        "cell" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+    assert pruned_scans >= 2, "codes and vectors scans must both prune"
+
+
+def test_pq_incremental_append_completes_the_loop(spark, sf_dir, tmp_path):
+    """Nightly PQ shape: batch 1 probes + appends into BOTH persisted
+    tables (vectors and codes); batch 2 (exact copies of batch 1)
+    finds its batch-1 twins through the CODES it ranks — tonight's
+    rows visible in tomorrow's shortlist stage. Replayed append is a
+    no-op on both tables (if_absent layering)."""
+    from data_engineering_project_spark.operators import pq
+
+    path = str(tmp_path / "index")
+    emb = workload.load(spark, sf_dir, "embeddings")
+    ann_index.build_index(emb, path, k_cells=8, iters=2)
+    books = pq.pq_train(emb, m=4, k=16, iters=1)
+    ann_index.build_pq_index(spark, path, books)
+    batch1 = _perturbed_copies(
+        spark, emb, every=11, offset=10_000_000
+    ).localCheckpoint(eager=True)
+    ann_index.incremental_near_dups_pq(
+        spark, path, batch1, threshold=0.99, n_probe=3, shortlist=50,
+        append=True,
+    ).collect()
+    batch2 = batch1.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    pairs2 = ann_index.incremental_near_dups_pq(
+        spark, path, batch2, threshold=0.99, n_probe=3, shortlist=50
+    ).collect()
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2}
+    b1 = {int(r["vec_id"]) for r in batch1.select("vec_id").collect()}
+    assert all((p, p + 10_000_000) in got2 for p in b1)
+    # idempotent code append: replaying batch 1 adds zero code rows
+    n_codes = spark.read.parquet(path + "/codes").count()
+    ann_index.add_to_pq_index(spark, path, batch1, if_absent=True)
+    assert spark.read.parquet(path + "/codes").count() == n_codes
+    # and a double-write WITHIN one batch dedupes too
+    dup_batch = batch1.limit(1).unionByName(batch1.limit(1)).select(
+        (F.col("vec_id") + 77_000_000).alias("vec_id"), "embedding"
+    )
+    ann_index.add_to_pq_index(spark, path, dup_batch, if_absent=True)
+    assert spark.read.parquet(path + "/codes").count() == n_codes + 1
+    ann_index.add_to_index(spark, path, dup_batch, if_absent=True)
+    dup_id_rows = (
+        spark.read.parquet(path + "/cells")
+        .filter(F.col("vec_id") >= 77_000_000)
+        .count()
+    )
+    assert dup_id_rows == 1
+
+
 def test_pq_index_probe_matches_inmemory_composition(spark, sf_dir, index_path):
     """Persisted IVFPQ (codes cell-partitioned beside the inverted
     lists + codebook sidecar): the on-disk probe returns the IDENTICAL

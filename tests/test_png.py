@@ -12,9 +12,12 @@ from binascii import crc32
 import numpy as np
 
 from data_engineering_project_spark.multimodal import binary_ops
+import pytest
+
 from data_engineering_project_spark.multimodal.png import (
     decode_png,
     encode_png,
+    encode_png_interlaced,
 )
 
 SIG = b"\x89PNG\r\n\x1a\n"
@@ -105,7 +108,7 @@ def test_out_of_scope_and_corrupt_return_none():
     assert decode_png(bytes(bad)) is None
     # truncated
     assert decode_png(good[:-8]) is None
-    # 16-bit depth / interlaced: declared out of scope
+    # 16-bit depth: declared out of scope
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
     png16 = (
         SIG
@@ -114,6 +117,8 @@ def test_out_of_scope_and_corrupt_return_none():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(png16) is None
+    # interlaced is IN scope since round 12: a 1x1 Adam7 image is just
+    # pass 1 (one filtered scanline) and must decode
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
     png_i = (
         SIG
@@ -121,7 +126,9 @@ def test_out_of_scope_and_corrupt_return_none():
         + _chunk(b"IDAT", zlib.compress(bytes(4)))
         + _chunk(b"IEND", b"")
     )
-    assert decode_png(png_i) is None
+    assert np.array_equal(
+        decode_png(png_i), np.zeros((1, 1, 3), dtype=np.uint8)
+    )
     # palette index past the palette end
     pal_bad = _manual_png(
         1, 1, 3, bytes([0, 9]), extra_chunks=[(b"PLTE", bytes([1, 2, 3]))]
@@ -129,6 +136,103 @@ def test_out_of_scope_and_corrupt_return_none():
     assert decode_png(pal_bad) is None
     # not a PNG at all
     assert decode_png(b"definitely not a png") is None
+
+
+def test_adam7_known_answer_hand_built():
+    # 2x2 RGB interlaced, assembled literally: pass 1 carries pixel
+    # (0,0), pass 6 carries (0,1), pass 7 carries row 1 — each pass a
+    # standalone filter-0 scanline. Checks the decoder against the
+    # spec's pixel-extraction grid, not against our own encoder.
+    p00, p01 = bytes([10, 20, 30]), bytes([40, 50, 60])
+    p10, p11 = bytes([70, 80, 90]), bytes([100, 110, 120])
+    raw = (
+        bytes([0]) + p00  # pass 1
+        + bytes([0]) + p01  # pass 6
+        + bytes([0]) + p10 + p11  # pass 7
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_adam7_roundtrip_shapes_and_filters():
+    # shapes straddling the 8x8 pass grid: exact blocks, sub-block,
+    # non-multiples, single row/column
+    rng = np.random.default_rng(12)
+    for h, w in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (1, 9), (9, 1)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ftype in range(5):
+            back = decode_png(encode_png_interlaced(px, filter_type=ftype))
+            assert back is not None and np.array_equal(back, px), (h, w, ftype)
+
+
+def test_adam7_truncated_stream_returns_none():
+    px = np.arange(16 * 9 * 3, dtype=np.uint8).reshape(16, 9, 3)
+    good = encode_png_interlaced(px)
+    chunks = []
+    pos = len(SIG)
+    while pos < len(good):
+        (length,) = struct.unpack(">I", good[pos : pos + 4])
+        ctype = good[pos + 4 : pos + 8]
+        chunks.append((ctype, good[pos + 8 : pos + 8 + length]))
+        pos += 12 + length
+    idat = next(d for t, d in chunks if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    rebuilt = (
+        SIG
+        + _chunk(b"IHDR", next(d for t, d in chunks if t == b"IHDR"))
+        + _chunk(b"IDAT", zlib.compress(raw[:-10]))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(rebuilt) is None
+
+
+def test_decompress_bomb_rejected_before_inflation():
+    # crafted IHDR claims a 100k x 100k raster (30 GB raw) with a tiny
+    # DEFLATE bomb as IDAT: must return None without allocating
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (8 * 1024 * 1024), 9)
+    png = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png) is None
+
+
+def test_stream_longer_than_header_promises_returns_none():
+    # valid 4x4 dims but the DEFLATE stream inflates to extra bytes —
+    # the bounded decompressor must refuse, not silently truncate
+    raw = b"".join(bytes([0]) + bytes(12) for _ in range(4)) + b"EXTRA"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png) is None
+
+
+def test_encode_png_validates_input():
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filter_type=5)
+    with pytest.raises(ValueError):
+        encode_png_interlaced(np.zeros((2, 2, 4), dtype=np.uint8))
 
 
 def test_decode_image_dispatch_and_features():
