@@ -2307,7 +2307,14 @@ def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       tonight's rows visible to tomorrow's stream.
 
     One drain per (session, sf_dir): the verdict frame is a
-    checkpointed shared frame, like the other streaming entries."""
+    checkpointed shared frame, like the other streaming entries.
+
+    The corpus is a deterministic 1-in-5 slice (r12 suite-cost trim,
+    r11 verdict item 1): stream==batch is an identity over WHATEVER
+    corpus both sides see, so a smaller planted set proves the same
+    invariant at a fifth of the index-build and kernel cost — the
+    full-corpus scale posture of the underlying operators is carried
+    by the non-streaming entries and the x10/x100 sweeps."""
     import os as _os
     import re as _sre
 
@@ -2319,7 +2326,9 @@ def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        emb = load(spark, sf_dir, "embeddings")
+        emb = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 5 == 0
+        )
         app = spark.sparkContext.applicationId
         tag = _sre.sub(r"\W+", "_", sf_dir).strip("_")
         root = f"/tmp/spark_graft_stream/{app}/{tag}/vectors"
@@ -2328,7 +2337,7 @@ def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _ivf_cents16(spark, sf_dir)
         ann_index.build_index(emb, index_path, centroids=cents)
         batch1 = (
-            emb.filter(F.col("vec_id") % 11 == 0)
+            emb.filter(F.col("vec_id") % 55 == 0)
             .select(
                 (F.col("vec_id") + 10_000_000).alias("vec_id"),
                 F.expr(
@@ -6471,17 +6480,18 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _PQ_INDEX_BUILT:
         ann_index.build_pq_index(spark, path, books)
         _PQ_INDEX_BUILT.add(key)
-    persisted = ann_index.query_pq_index(
-        spark, path, queries, k=5, n_probe=4, shortlist=50
-    ).localCheckpoint(eager=True)
-    plan_df = ann_index.query_pq_index(
+    persisted_lazy = ann_index.query_pq_index(
         spark, path, queries, k=5, n_probe=4, shortlist=50
     )
-    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    # plan inspected BEFORE the checkpoint (which collapses lineage to
+    # an RDD scan) — ONE probe build serves both the plan audit and
+    # the value comparison, instead of assembling the probe twice
+    plan = persisted_lazy._jdf.queryExecution().executedPlan().toString()
     pruned_scans = sum(
         "cell" in seg.split("]")[0]
         for seg in plan.split("PartitionFilters")[1:]
     )
+    persisted = persisted_lazy.localCheckpoint(eager=True)
     cells = similarity.assign_cells(emb, cents)
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)

@@ -433,6 +433,15 @@ def main() -> int:
     for name in probe_list:
         per_run = []
         for _ in range(runs):
+            # drop Python-side refs to the previous run's frames FIRST:
+            # localCheckpoint blocks (e.g. conformal's 60M-row split
+            # table at x100) are only releasable by the JVM cleaner
+            # once py4j finalizers run, and letting them pile up across
+            # repeat runs is exactly the monotone-then-spike variance
+            # the r11 verdict flagged on conformal_price_interval
+            import gc as _gc
+
+            _gc.collect()
             spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
             force(workload.QUERIES[name](spark, WORK))

@@ -141,6 +141,81 @@ def build_replica(spark) -> None:
         print(f"built {table} x{K}", file=sys.stderr)
 
 
+def _pq_bytes_comparison() -> dict:
+    """Codes-path vs vector-path scan footprint of the incremental
+    near-dup loop on the ×K replica (r11 verdict item 3): build the
+    persisted IVF+PQ index over the replica's embeddings, probe it
+    with a planted batch, and record the on-disk bytes the rank stage
+    reads per path — cell-pruned PQ codes vs cell-pruned full vectors
+    — plus wall-clock for both loops. The 100 TB claim is that the
+    stored-side heavy scan shrinks by the code compression factor;
+    this measures it instead of asserting it."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators import ann_index
+    from data_engineering_project_spark.operators import pq as pq_ops
+    from data_engineering_project_spark.operators import similarity
+    from data_engineering_project_spark.session import get_spark
+
+    spark = get_spark("x10-pq-bytes")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{WORK}/embeddings.parquet")
+    path = os.path.join(tempfile.mkdtemp(prefix="x10_pq_"), "index")
+    cents = similarity.kmeans_fit(emb, k=16, iters=2)
+    ann_index.build_index(emb, path, centroids=cents)
+    books = pq_ops.pq_train(emb, m=4, k=16, iters=1)
+    ann_index.build_pq_index(spark, path, books)
+    new = (
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select(
+            (F.col("vec_id") + 100_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x * CAST(1.0 + 0.003 *"
+                " IF(pmod(xxhash64(concat(CAST(vec_id AS STRING), ':',"
+                " CAST(i AS STRING))), 2) = 0, 1.0, -1.0) AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probed = sorted(
+        r["cell"]
+        for r in similarity.probe_assignments(new, cents, n_probe=4)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    fp = ann_index.index_scan_bytes(path, probed)
+    t0 = time.perf_counter()
+    n_pq = ann_index.incremental_near_dups_pq(
+        spark, path, new, threshold=0.99, n_probe=4, shortlist=50
+    ).count()
+    pq_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_exact = ann_index.incremental_near_dups_indexed(
+        spark, path, new, threshold=0.99, n_probe=4
+    ).count()
+    exact_sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return {
+        "n_vectors": emb.count(),
+        "n_batch": new.count(),
+        "probed_cells": len(probed),
+        "rank_stage_codes_bytes": fp["codes_bytes"],
+        "rank_stage_vector_bytes": fp["vector_bytes"],
+        "codes_to_vector_ratio": round(
+            fp["codes_bytes"] / max(fp["vector_bytes"], 1), 4
+        ),
+        "pairs_codes_path": n_pq,
+        "pairs_vector_path": n_exact,
+        "pairs_equal": n_pq == n_exact,
+        "codes_path_sec": pq_sec,
+        "vector_path_sec": exact_sec,
+    }
+
+
 def main() -> int:
     if not os.environ.get("SPARK_GRAFT_X10_SKIP_BUILD"):
         from data_engineering_project_spark.session import get_spark
@@ -203,6 +278,7 @@ def main() -> int:
         "no_baseline_families": sorted(
             n for n, r in rows.items() if r["no_baseline"]
         ),
+        "pq_codes_bytes_comparison": _pq_bytes_comparison(),
         "queries": rows,
     }
     with open(os.path.join(REPO, "SCALING_X10.json"), "w") as fh:
