@@ -121,6 +121,10 @@ PROBE = [
     # (pq-encode + partitioned write + on-disk vs in-memory probe)
     "streaming_near_dups",
     "ivfpq_index_parity",
+    # r12: semantic dedup over the persisted PQ codes (ADC shortlist
+    # from pruned code directories + exact re-rank + exact-loop
+    # parity audit inside the entry)
+    "pq_near_dups_incremental",
 ]
 
 
@@ -511,6 +515,21 @@ def main() -> int:
         ann_recall = prev.get("ann_recall_at_5") or {}
     else:
         sub, ann_recall = _measure_recall(spark)
+    # optional: the codes-path vs vector-path comparison at the x100
+    # rung (200k vectors — the regime where the byte ratio should
+    # start buying wall-clock, unlike the x10 rung where ADC setup
+    # dominates). SPARK_GRAFT_X100_PQ_BYTES=1 measures; otherwise the
+    # committed section carries over.
+    if os.environ.get("SPARK_GRAFT_X100_PQ_BYTES"):
+        pq_bytes = xb._pq_bytes_comparison()
+    else:
+        pq_bytes = prev.get("pq_codes_bytes_comparison") or {}
+        if not pq_bytes and os.path.exists(out_path):
+            # full (non-partial) reruns never load `prev` — don't let
+            # them silently blank a measured section
+            pq_bytes = json.load(open(out_path)).get(
+                "pq_codes_bytes_comparison"
+            ) or {}
     no_baseline = sorted(n for n, r in rows.items() if r["no_baseline"])
     try:
         end_la = os.getloadavg()[0]
@@ -528,6 +547,7 @@ def main() -> int:
         "no_baseline_families": no_baseline,
         "ann_substitution": sub,
         "ann_recall_at_5": ann_recall,
+        "pq_codes_bytes_comparison": pq_bytes,
         "run_conditions": conditions,
         "queries": rows,
     }
