@@ -8,12 +8,16 @@ Python standard library, and the scanline unfiltering is numpy.
 Scope (returns None outside it, like every decoder here — a corrupt
 or exotic object in a 100 TB corpus must not kill the task):
 
-- 8-bit samples; color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA); all five scanline filters
+- every legal depth/color combination in the PNG spec: color types
+  0 (gray; depths 1/2/4/8/16), 2 (RGB; 8/16), 3 (palette; 1/2/4/8),
+  4 (gray+alpha; 8/16), 6 (RGBA; 8/16); all five scanline filters
   (None/Sub/Up/Average/Paeth); Adam7 interlace (each of the seven
   passes is an independently-filtered sub-image — unfilter per pass,
-  scatter into the output raster);
-- NOT decoded: 1/2/4/16-bit depths;
+  scatter into the output raster). Sub-byte rows are bit-packed
+  MSB-first with per-row padding; filtering is byte-level with
+  bpp=1 per the spec. 16-bit samples downconvert to 8-bit by taking
+  the high byte; sub-byte gray scales by 255/(2^d-1) (exact integers
+  for d in 1/2/4);
 - hostile objects are bounded BEFORE inflation: the IHDR-implied raw
   size is capped (a crafted huge-dimensions header + small DEFLATE
   bomb must not OOM the executor), the inflate runs through
@@ -41,6 +45,14 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2)
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 # hard ceiling on the post-inflate scanline bytes one object may claim
 # (from its IHDR, BEFORE any zlib work) — ~128 MiB covers a 6500x6500
@@ -71,13 +83,19 @@ def _adam7_dims(w: int, h: int):
     return dims
 
 
-def _expected_raw(w: int, h: int, ch: int, interlace: int) -> int:
+def _stride(w: int, ch: int, depth: int) -> int:
+    """Row byte count WITHOUT the filter byte: sub-byte samples are
+    bit-packed MSB-first with the row padded to a whole byte."""
+    return (w * ch * depth + 7) // 8
+
+
+def _expected_raw(w: int, h: int, ch: int, depth: int, interlace: int) -> int:
     """Scanline-stream byte count the IHDR promises (filter byte per
     row included) — the pre-inflation bound everything else trusts."""
     if interlace == 0:
-        return h * (1 + w * ch)
+        return h * (1 + _stride(w, ch, depth))
     return sum(
-        ph * (1 + pw * ch)
+        ph * (1 + _stride(pw, ch, depth))
         for pw, ph, *_ in _adam7_dims(w, h)
         if pw and ph
     )
@@ -127,15 +145,18 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, h: int, w: int, ch: int):
-    """Reverse the per-scanline filters → (h, w*ch) uint8 matrix.
+def _unfilter(raw: bytes, h: int, stride: int, ch: int):
+    """Reverse the per-scanline filters → (h, stride) uint8 byte
+    matrix. ``stride`` is ROW BYTES (not pixels) and ``ch`` is the
+    filter unit in bytes (``bpp``: 1 for sub-byte depths, bytes-per-
+    pixel otherwise) — per the spec, filtering is byte-level and the
+    "left neighbor" sits bpp bytes back regardless of bit packing.
 
     None/Up rows are whole-row numpy ops; Sub/Average/Paeth recur
     along x, so those rows walk a Python loop over the stride — fine
     for the bounded images a feature batch holds (and trivially
     replaced by a C scanline pass in production; the contract is the
     decode, not this loop)."""
-    stride = w * ch
     if len(raw) != h * (1 + stride):
         return None
     out = np.zeros((h, stride), dtype=np.int64)
@@ -171,24 +192,52 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int):
     return out.astype(np.uint8)
 
 
-def _deinterlace(raw: bytes, w: int, h: int, ch: int):
+def _unpack_samples(mat, w: int, ch: int, depth: int):
+    """(h, stride) unfiltered bytes → (h, w*ch) uint8 samples.
+
+    depth 8 is the identity; depth 16 keeps the HIGH byte of each
+    big-endian sample (the standard 16→8 downconversion); depths
+    1/2/4 (always ch==1: gray or palette index) unpack MSB-first
+    bit groups and drop the row-padding columns. Sub-byte GRAY values
+    are raw 0..2^d-1 here — the caller scales; palette indexes are
+    used as-is."""
+    h = mat.shape[0]
+    if depth == 8:
+        return mat[:, : w * ch]
+    if depth == 16:
+        return np.ascontiguousarray(mat[:, : w * ch * 2 : 2])
+    # 1/2/4-bit, single channel: unpack to bits then regroup
+    bits = np.unpackbits(mat, axis=1)
+    per = bits.shape[1] // depth
+    groups = bits[:, : per * depth].reshape(h, per, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :w]
+
+
+def _deinterlace(raw: bytes, w: int, h: int, ch: int, depth: int):
     """Adam7: the scanline stream is seven concatenated sub-images,
     each filtered as if it were a standalone PNG of its own pass
-    dimensions — unfilter each with the SAME five-filter engine, then
-    scatter its pixels onto the (x_start::x_step, y_start::y_step)
-    grid. Empty passes (a pass grid that misses a tiny image) occupy
-    zero bytes. → (h, w*ch) uint8 matrix, or None."""
+    dimensions (each pass bit-packs its own rows with its own
+    padding) — unfilter each with the SAME five-filter engine, unpack
+    its samples, then scatter onto the (x_start::x_step,
+    y_start::y_step) grid. Empty passes (a pass grid that misses a
+    tiny image) occupy zero bytes. → (h, w*ch) uint8 sample matrix,
+    or None."""
     out = np.zeros((h, w, ch), dtype=np.uint8)
+    bpp = max(1, ch * depth // 8)
     pos = 0
     for pw, ph, x0, xs, y0, ys in _adam7_dims(w, h):
         if not pw or not ph:
             continue
-        size = ph * (1 + pw * ch)
-        sub = _unfilter(raw[pos : pos + size], ph, pw, ch)
+        stride = _stride(pw, ch, depth)
+        size = ph * (1 + stride)
+        sub = _unfilter(raw[pos : pos + size], ph, stride, bpp)
         if sub is None:
             return None
         pos += size
-        out[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+        samples = _unpack_samples(sub, pw, ch, depth)
+        out[y0::ys, x0::xs] = samples.reshape(ph, pw, ch)
     if pos != len(raw):
         return None
     return out.reshape(h, w * ch)
@@ -212,15 +261,15 @@ def decode_png(payload: bytes):
         if (
             w <= 0
             or h <= 0
-            or depth != 8
             or color not in _CHANNELS
+            or depth not in _DEPTHS[color]
             or comp != 0
             or filt != 0
             or interlace not in (0, 1)
         ):
             return None
         ch = _CHANNELS[color]
-        expected = _expected_raw(w, h, ch, interlace)
+        expected = _expected_raw(w, h, ch, depth, interlace)
         # bound BEFORE inflating: a crafted IHDR (huge dims) plus a
         # small DEFLATE bomb must fail here, not in an executor OOM
         if expected > _MAX_RAW_BYTES:
@@ -232,23 +281,30 @@ def decode_png(payload: bytes):
         if raw is None:
             return None
         if interlace == 0:
-            mat = _unfilter(raw, h, w, ch)
-            if mat is None:
+            bpp = max(1, ch * depth // 8)
+            byte_mat = _unfilter(raw, h, _stride(w, ch, depth), bpp)
+            if byte_mat is None:
                 return None
+            mat = _unpack_samples(byte_mat, w, ch, depth)
         else:
-            mat = _deinterlace(raw, w, h, ch)
+            mat = _deinterlace(raw, w, h, ch, depth)
             if mat is None:
                 return None
         px = mat.reshape(h, w, ch)
+        if color != 3 and depth < 8:
+            # gray sub-byte: scale 0..2^d-1 onto 0..255 (exact: 255,
+            # 85, 17 for d=1/2/4); palette indexes stay raw
+            px = px * np.uint8(255 // ((1 << depth) - 1))
         if color == 2:  # RGB
-            return px
+            return np.ascontiguousarray(px)
         if color == 6:  # RGBA → drop alpha
             return np.ascontiguousarray(px[:, :, :3])
         if color == 0:  # gray → replicate
             return np.repeat(px, 3, axis=2)
         if color == 4:  # gray+alpha → replicate luma, drop alpha
             return np.repeat(px[:, :, :1], 3, axis=2)
-        # color == 3: palette lookup
+        # color == 3: palette lookup (PLTE is always 8-bit RGB
+        # regardless of the index depth)
         plte = next((d for t, d in chunks if t == b"PLTE"), None)
         if plte is None or len(plte) % 3:
             return None
@@ -364,4 +420,111 @@ def encode_png_interlaced(pixels, filter_type: int = 0) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def _chunk_bytes(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(samples, depth: int) -> bytes:
+    """Grayscale PNG writer for ALL legal gray depths (1/2/4/8/16) —
+    the known-answer source for the sub-byte and 16-bit decode paths.
+    ``samples`` is (h, w) of RAW sample values (0..2^depth-1 for
+    depth<=8; 0..65535 for depth 16). Rows are filter-0, bit-packed
+    MSB-first with per-row padding exactly as the spec requires."""
+    s = np.asarray(samples)
+    if s.ndim != 2:
+        raise ValueError(f"encode_png_gray wants HxW samples, got {s.shape}")
+    if depth not in _DEPTHS[0]:
+        raise ValueError(f"illegal gray depth {depth}")
+    hi = (1 << depth) - 1
+    if s.min() < 0 or s.max() > hi:
+        raise ValueError(f"samples out of range for depth {depth}")
+    h, w = s.shape
+    lines = []
+    for y in range(h):
+        if depth == 16:
+            row = s[y].astype(">u2").tobytes()
+        elif depth == 8:
+            row = s[y].astype(np.uint8).tobytes()
+        else:
+            bits = (
+                (s[y, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1))
+                & 1
+            ).reshape(-1)
+            row = np.packbits(bits).tobytes()  # packbits pads the row
+        lines.append(b"\x00" + row)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk_bytes(b"IHDR", ihdr)
+        + _chunk_bytes(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk_bytes(b"IEND", b"")
+    )
+
+
+def encode_png_palette(pixels, depth: int) -> bytes:
+    """Palette PNG writer (filter 0) for index depths 1/2/4/8 — the
+    known-answer source for the sub-byte palette path. Builds PLTE
+    from the raster's unique colors (first-seen order); raises if the
+    image has more colors than 2**depth indexes can address."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_png_palette wants HxWx3, got {px.shape}")
+    if depth not in _DEPTHS[3]:
+        raise ValueError(f"illegal palette depth {depth}")
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors: list[tuple[int, int, int]] = []
+    index: dict[tuple[int, int, int], int] = {}
+    idx = np.empty(len(flat), dtype=np.uint8)
+    for i, c in enumerate(map(tuple, flat.tolist())):
+        if c not in index:
+            index[c] = len(colors)
+            colors.append(c)
+        idx[i] = index[c]
+    if len(colors) > (1 << depth):
+        raise ValueError(f"{len(colors)} colors exceed depth-{depth} palette")
+    idx2 = idx.reshape(h, w)
+    lines = []
+    for y in range(h):
+        if depth == 8:
+            row = idx2[y].tobytes()
+        else:
+            bits = (
+                (idx2[y, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(-1)
+            row = np.packbits(bits).tobytes()
+        lines.append(b"\x00" + row)
+    plte = bytes(b for c in colors for b in c)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk_bytes(b"IHDR", ihdr)
+        + _chunk_bytes(b"PLTE", plte)
+        + _chunk_bytes(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk_bytes(b"IEND", b"")
+    )
+
+
+def encode_png_rgb16(pixels16) -> bytes:
+    """16-bit RGB PNG writer (filter 0) — known-answer source for the
+    16-bit triplet path. ``pixels16`` is (h, w, 3) uint16."""
+    px = np.asarray(pixels16, dtype=np.uint16)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_png_rgb16 wants HxWx3, got {px.shape}")
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].astype(">u2").tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk_bytes(b"IHDR", ihdr)
+        + _chunk_bytes(b"IDAT", zlib.compress(raw))
+        + _chunk_bytes(b"IEND", b"")
     )

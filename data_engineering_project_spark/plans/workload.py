@@ -2615,28 +2615,40 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks the multimodal hash-fallback surface to audio/video):
 
     Per document, a planted 2x2 RGB image whose 12 pixel bytes are the
-    first 12 bytes of sha256(doc_id) is PNG-ENCODED with scanline
-    filter ``doc_id % 5`` — every one of the five PNG filters
-    (None/Sub/Up/Average/Paeth) appears across the corpus — then flows
-    through the production path: opaque binary column, Arrow-batched
-    ``decode_and_featurize`` (which dispatches to the pure
-    stdlib+numpy ``multimodal/png.py`` codec: chunk CRCs, stdlib
-    zlib inflate, filter inversion), 16x16 nearest-neighbor resize
+    first 12 bytes of sha256(doc_id) is PNG-ENCODED in a CONTAINER
+    that rotates with ``doc_id % 4`` — (0) plain 8-bit RGB with
+    scanline filter ``doc_id % 5`` (every one of the five PNG filters
+    appears across the corpus), (1) 16-bit RGB whose high bytes are
+    the planted pixels (the decoder's 16→8 downconversion must keep
+    exactly those), (2) Adam7-interlaced 8-bit RGB (seven-pass
+    scatter), (3) sub-byte PALETTE at depth 2 (bit-packed indexes +
+    PLTE lookup) — then flows through the production path: opaque
+    binary column, Arrow-batched ``decode_and_featurize`` (which
+    dispatches to the pure stdlib+numpy ``multimodal/png.py``
+    codec: chunk CRCs, stdlib zlib inflate, filter inversion,
+    de-interlace, bit unpacking), 16x16 nearest-neighbor resize
     (exactly uniform for 2x2 sources), and the pixel_features
     descriptor.
 
     The oracle recomputes the expected channel means DIRECTLY from
-    sha256 in DuckDB — if any filter inversion, the inflate, the chunk
-    walk, or the resize were off by one bit anywhere in the corpus,
-    the 4-dp rounded means would not hash-match. A decode failure
-    would route payloads to the hash fallback and miss by construction
-    (fallback features are digest-derived, not pixel-derived).
-    Gray/palette/alpha color types and malformed-payload behavior are
-    pinned in tests/test_png.py."""
+    sha256 in DuckDB — the decoded raster is the same 2x2 image no
+    matter which container carried it, so if any filter inversion,
+    the inflate, the chunk walk, the Adam7 scatter, the 16-bit or
+    sub-byte sample path, or the resize were off by one bit anywhere
+    in the corpus, the 4-dp rounded means would not hash-match. A
+    decode failure would route payloads to the hash fallback and miss
+    by construction (fallback features are digest-derived, not
+    pixel-derived). Gray/alpha color types, per-depth known answers,
+    and malformed-payload behavior are pinned in tests/test_png.py."""
     import hashlib
 
     from data_engineering_project_spark.multimodal import binary_ops
-    from data_engineering_project_spark.multimodal.png import encode_png
+    from data_engineering_project_spark.multimodal.png import (
+        encode_png,
+        encode_png_interlaced,
+        encode_png_palette,
+        encode_png_rgb16,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
@@ -2652,7 +2664,18 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hashlib.sha256(str(int(d)).encode()).digest()[:12],
                     dtype=np.uint8,
                 ).reshape(2, 2, 3)
-                payloads.append(encode_png(px, filter_type=int(d) % 5))
+                mode = int(d) % 4
+                if mode == 0:
+                    payloads.append(encode_png(px, filter_type=int(d) % 5))
+                elif mode == 1:
+                    px16 = (px.astype(np.uint16) << 8) | px
+                    payloads.append(encode_png_rgb16(px16))
+                elif mode == 2:
+                    payloads.append(
+                        encode_png_interlaced(px, filter_type=int(d) % 5)
+                    )
+                else:  # 2x2 has at most 4 colors — depth-2 palette fits
+                    payloads.append(encode_png_palette(px, depth=2))
             yield pd.DataFrame(
                 {
                     "media_id": ids.astype(str),

@@ -17,7 +17,9 @@ import pytest
 from data_engineering_project_spark.multimodal.png import (
     decode_png,
     encode_png,
+    encode_png_gray,
     encode_png_interlaced,
+    encode_png_rgb16,
 )
 
 SIG = b"\x89PNG\r\n\x1a\n"
@@ -108,7 +110,7 @@ def test_out_of_scope_and_corrupt_return_none():
     assert decode_png(bytes(bad)) is None
     # truncated
     assert decode_png(good[:-8]) is None
-    # 16-bit depth: declared out of scope
+    # 16-bit RGB is IN scope since round 12: a 1x1 zero raster decodes
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
     png16 = (
         SIG
@@ -116,7 +118,18 @@ def test_out_of_scope_and_corrupt_return_none():
         + _chunk(b"IDAT", zlib.compress(bytes(7)))
         + _chunk(b"IEND", b"")
     )
-    assert decode_png(png16) is None
+    assert np.array_equal(decode_png(png16), np.zeros((1, 1, 3), dtype=np.uint8))
+    # ILLEGAL depth/color combos (spec §11.2.2) still return None:
+    # 16-bit palette and 4-bit RGB do not exist
+    for depth, color, rowbytes in [(16, 3, 3), (4, 2, 3)]:
+        ihdr_bad = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0)
+        png_bad = (
+            SIG
+            + _chunk(b"IHDR", ihdr_bad)
+            + _chunk(b"IDAT", zlib.compress(bytes(rowbytes)))
+            + _chunk(b"IEND", b"")
+        )
+        assert decode_png(png_bad) is None, (depth, color)
     # interlaced is IN scope since round 12: a 1x1 Adam7 image is just
     # pass 1 (one filtered scanline) and must decode
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
@@ -233,6 +246,187 @@ def test_encode_png_validates_input():
         encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filter_type=5)
     with pytest.raises(ValueError):
         encode_png_interlaced(np.zeros((2, 2, 4), dtype=np.uint8))
+
+
+def test_gray_1bit_checkerboard_with_row_padding():
+    # w=10 at depth 1 -> 2-byte rows with 6 padding bits; decoder must
+    # drop the padding columns and scale 0/1 to 0/255
+    s = np.indices((3, 10)).sum(axis=0) % 2
+    px = decode_png(encode_png_gray(s, depth=1))
+    want = np.repeat((s * 255).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(px, want)
+
+
+def test_gray_2bit_and_4bit_hand_built_known_answer():
+    # depth 2, w=3: samples 3,0,2 pack MSB-first as 0b11_00_10_00=0xC8
+    png2 = _manual_png_depth(3, 1, 2, 0, bytes([0, 0xC8]))
+    want2 = np.repeat(
+        np.array([[3 * 85, 0, 2 * 85]], dtype=np.uint8)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_png(png2), want2)
+    # depth 4, w=3: samples 15,1,9 pack as 0xF1, 0x90 (low nibble pad)
+    png4 = _manual_png_depth(3, 1, 4, 0, bytes([0, 0xF1, 0x90]))
+    want4 = np.repeat(
+        np.array([[255, 17, 9 * 17]], dtype=np.uint8)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_png(png4), want4)
+
+
+def test_sub_filter_on_subbyte_rows_uses_bpp_1():
+    # depth 4, w=4 -> 2 data bytes per row; filter 1 (Sub) with bpp=1:
+    # second byte accumulates the first BYTE (not "pixel")
+    # row bytes after unfilter: 0x12, 0x12+0x22=0x34 -> samples 1,2,3,4
+    png = _manual_png_depth(4, 1, 4, 0, bytes([1, 0x12, 0x22]))
+    want = np.repeat(
+        (np.array([[1, 2, 3, 4]], dtype=np.uint8) * 17)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_gray_16bit_takes_high_byte():
+    s = np.array([[0x1234, 0x00FF], [0xFF00, 0xABCD]], dtype=np.uint16)
+    px = decode_png(encode_png_gray(s, depth=16))
+    want = np.repeat(
+        np.array([[0x12, 0x00], [0xFF, 0xAB]], dtype=np.uint8)[:, :, None],
+        3,
+        axis=2,
+    )
+    assert np.array_equal(px, want)
+
+
+def test_rgb16_known_answer_and_sub_filter_bpp6():
+    px16 = (
+        np.arange(2 * 3 * 3, dtype=np.uint16).reshape(2, 3, 3) * 257 * 4
+    ) % 65536
+    got = decode_png(encode_png_rgb16(px16))
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+    # hand-built Sub-filtered 16-bit RGB row, w=2: bpp must be 6 bytes
+    # pixel0 = (0x0100, 0x0200, 0x0300) literal; pixel1 stored as
+    # delta, accumulating byte-wise 6 bytes back
+    row = bytes([1]) + bytes([1, 0, 2, 0, 3, 0]) + bytes([1, 0, 1, 0, 1, 0])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    png = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(row))
+        + _chunk(b"IEND", b"")
+    )
+    want = np.array([[[1, 2, 3], [2, 3, 4]]], dtype=np.uint8)
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_palette_2bit_indexes_are_raw_not_scaled():
+    # depth-2 palette: indexes 3,0,2,1 pack as 0b11_00_10_01 = 0xC9;
+    # indexes must hit PLTE directly (no 85x scaling)
+    plte = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+    )  # pal[0..3] = R,G,B,gray9
+    png = _manual_png_depth(
+        4, 1, 2, 3, bytes([0, 0xC9]), extra_chunks=[(b"PLTE", plte)]
+    )
+    want = np.array(
+        [[[9, 9, 9], [255, 0, 0], [0, 0, 255], [0, 255, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(png), want)
+    # index past palette end at depth 2
+    bad = _manual_png_depth(
+        1, 1, 2, 3, bytes([0, 0xC0]), extra_chunks=[(b"PLTE", bytes([1, 2, 3]))]
+    )
+    assert decode_png(bad) is None
+
+
+def test_adam7_interlaced_subbyte_and_16bit_roundtrip():
+    # Adam7 at depth 1 exercises PER-PASS bit packing (each pass pads
+    # its own rows); hand-scattering the spec grid rebuilds the raster
+    rng = np.random.default_rng(21)
+    s = rng.integers(0, 2, size=(9, 13), dtype=np.uint8)
+    sections = []
+    for x0, y0, xs, ys in [
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    ]:
+        sub = s[y0::ys, x0::xs]
+        if 0 in sub.shape:
+            continue
+        for row in sub:
+            sections.append(b"\x00" + np.packbits(row).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 13, 9, 1, 0, 0, 0, 1)
+    png = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(sections)))
+        + _chunk(b"IEND", b"")
+    )
+    want = np.repeat((s * 255)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(png), want)
+    # Adam7 16-bit gray: same scatter, 2-byte samples
+    s16 = rng.integers(0, 65536, size=(5, 6), dtype=np.uint16)
+    sections = []
+    for x0, y0, xs, ys in [
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    ]:
+        sub = s16[y0::ys, x0::xs]
+        if 0 in sub.shape:
+            continue
+        for row in sub:
+            sections.append(b"\x00" + row.astype(">u2").tobytes())
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 16, 0, 0, 0, 1)
+    png = (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(sections)))
+        + _chunk(b"IEND", b"")
+    )
+    want = np.repeat((s16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(png), want)
+
+
+def test_palette_encoder_roundtrip_all_depths():
+    from data_engineering_project_spark.multimodal.png import encode_png_palette
+
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4, 8):
+        ncolors = 1 << depth
+        pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncolors, size=(5, 9))
+        px = pal[idx]
+        back = decode_png(encode_png_palette(px, depth=depth))
+        assert np.array_equal(back, px), depth
+    with pytest.raises(ValueError):
+        # 5 distinct colors cannot fit a depth-2 palette
+        five = np.arange(5 * 3, dtype=np.uint8).reshape(1, 5, 3)
+        encode_png_palette(five, depth=2)
+
+
+def test_depth_encoder_validation():
+    with pytest.raises(ValueError):
+        encode_png_gray(np.zeros((2, 2, 1)), depth=8)
+    with pytest.raises(ValueError):
+        encode_png_gray(np.zeros((2, 2)), depth=3)
+    with pytest.raises(ValueError):
+        encode_png_gray(np.full((2, 2), 4), depth=2)
+    with pytest.raises(ValueError):
+        encode_png_rgb16(np.zeros((2, 2), dtype=np.uint16))
+
+
+def _manual_png_depth(w, h, depth, color_type, raw_scanlines, extra_chunks=()):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    for ctype, data in extra_chunks:
+        body += _chunk(ctype, data)
+    body += _chunk(b"IDAT", zlib.compress(raw_scanlines))
+    return SIG + body + _chunk(b"IEND", b"")
 
 
 def test_decode_image_dispatch_and_features():
