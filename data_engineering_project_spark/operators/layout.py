@@ -1,0 +1,224 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering
+for min/max file skipping.
+
+Beyond the reference surface (its engine serves a pre-built star
+schema; see SURVEY.md §2) — this is the lake-layout operator a 100 TB
+deployment needs: a fact table queried by TWO independent dimensions
+(e.g. part AND supplier, user AND day) can only be sorted by one of
+them, so parquet min/max statistics prune files for that dimension
+alone. Interleaving the bits of both keys onto a Morton curve makes
+every written file cover a small RECTANGLE in (x, y) space, so a
+two-sided box predicate skips files on both dimensions at once.
+
+Everything is Catalyst expressions (shiftleft / bitwiseAND / bitwiseOR
+over bigint) — whole-stage-codegen'd, no Python in the hot path — and
+deterministic integer math end-to-end, so the DuckDB oracles replay it
+exactly (`<<`, `&`, `|`, `//` behave identically on nonnegative
+BIGINT).
+
+Scale notes:
+- normalization is min/max linear scaling onto ``bits``-bit fixed
+  point: one map-side-combined aggregate over the table, broadcast
+  back as a 1-row frame.  Rank normalization (skew-proof occupancy)
+  would need a distributed rank — a range-partitioned prefix sum —
+  and is intentionally NOT used here so the layout key stays a pure
+  per-row expression replayable by the oracle; heavy key skew shows
+  up as uneven bucket counts, which `zorder_locality` exposes.
+- ``(x - mn) * (2^bits - 1)`` must stay inside int64: fine for any
+  key domain below ~1.4e14 at bits=16 (document keys, surrogate ids);
+  widen by pre-dividing or drop ``bits`` for wider domains.
+- the writer is ``repartitionByRange`` on the z-key (sampled range
+  boundaries — ~equal-sized output files regardless of key skew) +
+  ``sortWithinPartitions`` so row groups inside a file are tight too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (shift, mask) pairs spreading a 16-bit value so a second spread value
+# shifted left by one interleaves with it: the classic Morton magic
+# numbers for 16 -> 32 bit spreading.
+_SPREAD_16 = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits16(col: Column) -> Column:
+    """Spread the low 16 bits of ``col`` onto even bit positions
+    (b15..b0 -> bit 30, 28, ..., 0) — one half of a 2-D Morton key."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_16:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def spread_bits16_sql(expr: str) -> str:
+    """The DuckDB-replayable twin of :func:`spread_bits16` — same
+    shifts, same masks, fully parenthesized."""
+    x = f"(({expr}) & 65535)"
+    for shift, mask in _SPREAD_16:
+        x = f"((({x} | ({x} << {shift})) & {mask}))"
+    return x
+
+
+def scale_expr(col_name: str, mn_name: str, mx_name: str, bits: int = 16) -> Column:
+    """Min/max linear scaling onto [0, 2^bits - 1] in pure integer
+    math: ``(x - mn) * (2^bits - 1) div (mx - mn)`` — Spark's ``div``
+    is exact int64 division (NO float anywhere, so the DuckDB ``//``
+    twin replays it bit-exactly). A constant column (mx == mn) maps to
+    0 everywhere rather than dividing by zero."""
+    hi = (1 << bits) - 1
+    return F.expr(
+        f"CASE WHEN `{mx_name}` <= `{mn_name}` THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(`{col_name}` - `{mn_name}` AS BIGINT) * {hi} "
+        f"div CAST(`{mx_name}` - `{mn_name}` AS BIGINT) END"
+    )
+
+
+def zorder_key(xs: Column, ys: Column) -> Column:
+    """Interleave two 16-bit-scaled values into a 32-bit Morton key:
+    x takes even bits, y odd bits."""
+    return spread_bits16(xs).bitwiseOR(F.shiftleft(spread_bits16(ys), 1))
+
+
+def with_zorder(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 16, out: str = "zkey"
+) -> DataFrame:
+    """df + min/max-scaled ``_xs``/``_ys`` fixed-point dims + the
+    Morton key ``out``. The scaling stats come from one aggregate,
+    broadcast back as a single-row frame (no shuffle of ``df``)."""
+    stats = df.agg(
+        F.min(xcol).alias("_xmn"),
+        F.max(xcol).alias("_xmx"),
+        F.min(ycol).alias("_ymn"),
+        F.max(ycol).alias("_ymx"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    xs = scale_expr(xcol, "_xmn", "_xmx", bits)
+    ys = scale_expr(ycol, "_ymn", "_ymx", bits)
+    return (
+        j.withColumn("_xs", xs)
+        .withColumn("_ys", ys)
+        .withColumn(out, zorder_key(F.col("_xs"), F.col("_ys")))
+        .drop("_xmn", "_xmx", "_ymn", "_ymx")
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    path: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Materialize ``df`` as ``n_files`` parquet files clustered along
+    the (xcol, ycol) Morton curve: range-partition on the z-key
+    (sampled boundaries -> balanced files even under key skew), sort
+    rows inside each file so row-group stats are tight as well, drop
+    the helper columns before writing."""
+    keyed = with_zorder(df, xcol, ycol, bits)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("_xs", "_ys", "zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_locality(
+    df: DataFrame, xcol: str, ycol: str, n_buckets: int = 64, bits: int = 16
+) -> DataFrame:
+    """Per-zbucket rectangle audit: equal-width buckets over the z
+    domain (the file boundaries an equal-width writer would produce)
+    with each bucket's row count and its min/max span in BOTH scaled
+    dimensions. On z-ordered data every bucket covers a small tile;
+    the same audit keyed on a single-column sort would show full-range
+    spans in the other dimension."""
+    width = (1 << (2 * bits)) // n_buckets
+    keyed = with_zorder(df, xcol, ycol, bits)
+    return (
+        keyed.withColumn("zbucket", F.expr(f"zkey div {width}"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_xs").alias("x_min"),
+            F.max("_xs").alias("x_max"),
+            F.min("_ys").alias("y_min"),
+            F.max("_ys").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def pruning_audit(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    n_files: int = 64,
+    bits: int = 16,
+    box=(24576, 32767, 24576, 32767),
+) -> DataFrame:
+    """Simulated min/max file skipping, z-layout vs linear-sort layout,
+    one output row per layout.
+
+    Both layouts get ``n_files`` equal-width buckets ("files"): the z
+    layout buckets the Morton key, the linear layout buckets the
+    scaled x alone (the best a single-column sort can do). A file must
+    be READ iff its [min, max] stats on both dimensions intersect the
+    box predicate — exactly the decision a parquet reader makes from
+    footer statistics. Columns: layout, files_total, files_scanned,
+    rows_in_scanned_files, rows_matching (identical for both layouts —
+    the answer doesn't change, only the I/O does).
+    """
+    xlo, xhi, ylo, yhi = box
+    zwidth = (1 << (2 * bits)) // n_files
+    xwidth = (1 << bits) // n_files
+    keyed = with_zorder(df, xcol, ycol, bits).select("_xs", "_ys", "zkey")
+
+    def audit(bucket: Column, layout: str) -> DataFrame:
+        per_file = (
+            keyed.withColumn("_file", bucket)
+            .groupBy("_file")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    (
+                        F.col("_xs").between(xlo, xhi)
+                        & F.col("_ys").between(ylo, yhi)
+                    ).cast("bigint")
+                ).alias("n_match"),
+                F.min("_xs").alias("x_min"),
+                F.max("_xs").alias("x_max"),
+                F.min("_ys").alias("y_min"),
+                F.max("_ys").alias("y_max"),
+            )
+        )
+        scanned = (
+            (F.col("x_max") >= xlo)
+            & (F.col("x_min") <= xhi)
+            & (F.col("y_max") >= ylo)
+            & (F.col("y_min") <= yhi)
+        ).cast("bigint")
+        return per_file.agg(
+            F.count("*").alias("files_total"),
+            F.sum(scanned).alias("files_scanned"),
+            F.sum(F.col("n_rows") * scanned).alias("rows_in_scanned_files"),
+            F.sum("n_match").alias("rows_matching"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "files_total",
+            "files_scanned",
+            "rows_in_scanned_files",
+            "rows_matching",
+        )
+
+    zed = audit(F.expr(f"zkey div {zwidth}"), "zorder")
+    lin = audit(F.expr(f"_xs div {xwidth}"), "linear_x")
+    return zed.unionByName(lin).orderBy("layout")

@@ -17536,6 +17536,138 @@ def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_cte(x: str, y: str, table: str) -> str:
+    """Shared oracle CTE: min/max scale ``x``/``y`` onto 16-bit fixed
+    point and interleave into the Morton key — the exact integer twin
+    of operators/layout.py (DuckDB ``//`` == Spark ``div`` on
+    nonnegative BIGINT; same shifts and masks via spread_bits16_sql)."""
+    from data_engineering_project_spark.operators.layout import spread_bits16_sql
+
+    sx = spread_bits16_sql("xs")
+    sy = spread_bits16_sql("ys")
+    return f"""
+WITH s AS (
+  SELECT CAST(MIN({x}) AS BIGINT) AS xmn, CAST(MAX({x}) AS BIGINT) AS xmx,
+         CAST(MIN({y}) AS BIGINT) AS ymn, CAST(MAX({y}) AS BIGINT) AS ymx
+  FROM {table}
+), k AS (
+  SELECT
+    CASE WHEN xmx <= xmn THEN CAST(0 AS BIGINT)
+         ELSE CAST({x} AS BIGINT) - xmn END * 65535
+      // (CASE WHEN xmx <= xmn THEN CAST(1 AS BIGINT) ELSE xmx - xmn END) AS xs,
+    CASE WHEN ymx <= ymn THEN CAST(0 AS BIGINT)
+         ELSE CAST({y} AS BIGINT) - ymn END * 65535
+      // (CASE WHEN ymx <= ymn THEN CAST(1 AS BIGINT) ELSE ymx - ymn END) AS ys
+  FROM {table}, s
+), z AS (
+  SELECT xs, ys, ({sx} | ({sy} << 1)) AS zkey FROM k
+)"""
+
+
+@register(
+    "zorder_locality",
+    _zorder_cte("l_partkey", "l_suppkey", "lineitem")
+    + """
+SELECT zkey // 67108864 AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(xs) AS x_min, MAX(xs) AS x_max,
+       MIN(ys) AS y_min, MAX(ys) AS y_max
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+""",
+)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout key + per-bucket rectangle audit
+    (operators/layout.py — beyond the reference: lake-layout operator
+    for 2-D min/max file skipping).
+
+    lineitem's (l_partkey, l_suppkey) are min/max-scaled onto 16-bit
+    fixed point (pure int64 ``div`` — no float anywhere, so DuckDB
+    ``//`` replays it bit-exactly), bit-interleaved into a 32-bit
+    Morton key via shiftleft/& mask chains (whole-stage-codegen'd JVM
+    expressions), then bucketed into the 64 equal-width z ranges an
+    equal-width writer would emit as files. Each output row is one
+    "file" with its min/max span in BOTH dimensions — on z-ordered
+    data every bucket covers one small tile (span ~1/8 of each domain
+    at 64 buckets), which is the property that makes two-sided
+    predicates skip files; a single-column sort would show full-range
+    spans in the other dimension. The physical writer
+    (layout.zorder_write: repartitionByRange on the z-key +
+    sortWithinPartitions) and REAL parquet-footer pruning are pinned
+    in tests/test_layout.py."""
+    from data_engineering_project_spark.operators import layout
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return layout.zorder_locality(li, "l_partkey", "l_suppkey", n_buckets=64)
+
+
+@register(
+    "zorder_pruning_audit",
+    _zorder_cte("l_partkey", "l_suppkey", "lineitem")
+    + """
+, zf AS (
+  SELECT zkey // 67108864 AS f, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN xs BETWEEN 24576 AND 32767
+                        AND ys BETWEEN 24576 AND 32767
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         MIN(xs) AS x_min, MAX(xs) AS x_max,
+         MIN(ys) AS y_min, MAX(ys) AS y_max
+  FROM z GROUP BY f
+), lf AS (
+  SELECT xs // 1024 AS f, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN xs BETWEEN 24576 AND 32767
+                        AND ys BETWEEN 24576 AND 32767
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         MIN(xs) AS x_min, MAX(xs) AS x_max,
+         MIN(ys) AS y_min, MAX(ys) AS y_max
+  FROM z GROUP BY f
+), fz AS (
+  SELECT *, CASE WHEN x_max >= 24576 AND x_min <= 32767
+                  AND y_max >= 24576 AND y_min <= 32767
+                 THEN 1 ELSE 0 END AS scanned FROM zf
+), fl AS (
+  SELECT *, CASE WHEN x_max >= 24576 AND x_min <= 32767
+                  AND y_max >= 24576 AND y_min <= 32767
+                 THEN 1 ELSE 0 END AS scanned FROM lf
+)
+SELECT 'zorder' AS layout, COUNT(*) AS files_total,
+       CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+       CAST(SUM(n_rows * scanned) AS BIGINT) AS rows_in_scanned_files,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matching
+FROM fz
+UNION ALL
+SELECT 'linear_x', COUNT(*),
+       CAST(SUM(scanned) AS BIGINT),
+       CAST(SUM(n_rows * scanned) AS BIGINT),
+       CAST(SUM(n_match) AS BIGINT)
+FROM fl
+ORDER BY layout
+""",
+)
+def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated min/max file skipping: z-order layout vs the best a
+    single-column sort can do, same 64 files, same two-sided box
+    predicate (the center 1/8 x 1/8 tile of the scaled key space —
+    "this part range at these suppliers").
+
+    A file must be read iff its per-file [min, max] footer stats on
+    BOTH dimensions intersect the box — exactly the skip decision a
+    parquet reader makes. The z layout's 64 equal-width key ranges are
+    8192x8192 tiles, so the box intersects ~1 file; the linear layout
+    prunes on x alone and must read every y for the matching x range
+    (~8 of 64 files). rows_matching is identical for both layouts by
+    construction — the ANSWER never depends on layout, only the bytes
+    read do, and that identity doubles as the audit's self-check. The
+    same ~8x holds per added constrained dimension at 100 TB, where a
+    "file" is a real parquet object and the skip comes from footers
+    (physical-footer variant pinned in tests/test_layout.py)."""
+    from data_engineering_project_spark.operators import layout
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return layout.pruning_audit(li, "l_partkey", "l_suppkey", n_files=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (mechanical).
 #
@@ -17668,6 +17800,8 @@ _REGISTERED_ROUND: dict[str, int] = {
     "streaming_near_dups": 11,
     "ivfpq_index_parity": 11,
     "pq_near_dups_incremental": 12,
+    "zorder_locality": 12,
+    "zorder_pruning_audit": 12,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py
