@@ -17668,6 +17668,101 @@ def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.pruning_audit(li, "l_partkey", "l_suppkey", n_files=64)
 
 
+_BUCKETED_TABLES: dict = {}
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Session-shared bucketed orders/lineitem pair (sources/bucketed):
+    built once per (application, sf_dir) — the write-once shuffle that
+    buys every later join on the key its co-location. External tables
+    under the system temp dir; catalog names carry the sf tag so two
+    scale factors never collide inside one session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = _BUCKETED_TABLES.get(key)
+    if names is None:
+        import os
+        import re as _re2
+        import tempfile
+
+        from data_engineering_project_spark.sources import bucketed
+
+        tag = _re2.sub(
+            r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/"))
+        )
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_bucketed",
+            spark.sparkContext.applicationId,
+            tag,
+        )
+        ot, lt = f"sg_orders_bkt_{tag}", f"sg_lineitem_bkt_{tag}"
+        bucketed.write_bucketed(
+            load(spark, sf_dir, "orders"),
+            ot,
+            base + "/orders",
+            "o_orderkey",
+            n_buckets=8,
+        )
+        bucketed.write_bucketed(
+            load(spark, sf_dir, "lineitem"),
+            lt,
+            base + "/lineitem",
+            "l_orderkey",
+            n_buckets=8,
+        )
+        _BUCKETED_TABLES[key] = names = (ot, lt)
+    return names
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       TRUE AS join_shuffle_free
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY priority
+ORDER BY priority
+""",
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed tables
+    (sources/bucketed.py — beyond the reference: at 100 TB the
+    dominant join cost is the all-to-all shuffle, and hash-clustering
+    both tables into the same bucket count on the join key at WRITE
+    time removes it from every downstream join forever).
+
+    orders and lineitem are materialized once per session bucketed
+    by orderkey (8 buckets, sorted within buckets), then joined with
+    the merge strategy. ``join_shuffle_free`` is the MECHANICAL plan
+    attestation: True iff the executed plan is a SortMergeJoin with
+    ZERO Exchange on either side (sources/bucketed.join_is_shuffle_
+    free) — not a claim, a plan inspection; the per-priority revenue
+    values prove through the DuckDB twin that the co-located join
+    returns exactly the rows a plain join does. The contrast case
+    (plain parquet scan join DOES shuffle both sides) is pinned in
+    tests/test_bucketed.py."""
+    from data_engineering_project_spark.sources import bucketed
+
+    ot, lt = _bucketed_pair(spark, sf_dir)
+    joined = bucketed.colocated_join(
+        spark, ot, lt, "o_orderkey", "l_orderkey"
+    )
+    shuffle_free = bucketed.join_is_shuffle_free(joined)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .withColumn("join_shuffle_free", F.lit(shuffle_free))
+        .orderBy("priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (mechanical).
 #
@@ -17802,6 +17897,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "pq_near_dups_incremental": 12,
     "zorder_locality": 12,
     "zorder_pruning_audit": 12,
+    "bucketed_colocated_join": 12,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py
