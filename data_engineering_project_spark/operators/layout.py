@@ -16,6 +16,12 @@ deterministic integer math end-to-end, so the DuckDB oracles replay it
 exactly (`<<`, `&`, `|`, `//` behave identically on nonnegative
 BIGINT).
 
+This module is the CANONICAL 2-D Morton pipeline (r12): it supersedes
+the float-normalized per-bit loop in ``sources/layout.py`` for the
+2-column case — ``sources.layout.write_zordered`` delegates here —
+while that module keeps the generic 1/3-column key, the single-column
+clustered write, and small-file compaction.
+
 Scale notes:
 - normalization is min/max linear scaling onto ``bits``-bit fixed
   point: one map-side-combined aggregate over the table, broadcast

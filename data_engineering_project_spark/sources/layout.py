@@ -114,7 +114,22 @@ def write_zordered(
     """Multi-column clustered write via a Morton key: range-partition
     and sort on the interleaved key so parquet min/max statistics prune
     predicates on ANY of the cluster columns (the single-column case
-    degenerates to :func:`write_clustered`). Same one-shuffle cost."""
+    degenerates to :func:`write_clustered`). Same one-shuffle cost.
+
+    The common 2-column case delegates to ``operators/layout.py`` —
+    the canonical Morton pipeline (exact int64 fixed-point scaling +
+    magic-number bit spreading, oracle-replayable and driver-checked
+    by the ``zorder_locality`` / ``zorder_pruning_audit`` registry
+    entries); this module keeps the generic float-normalized 1/3-column
+    key for the remaining arities."""
+    if len(cluster_by) == 2 and mode == "overwrite":
+        from data_engineering_project_spark.operators import layout as _morton
+
+        _morton.zorder_write(
+            df, cluster_by[0], cluster_by[1], path,
+            n_files=num_files or 64, bits=bits,
+        )
+        return
     keyed = df.withColumn("__z", zorder_key(df, cluster_by, bits))
     clustered = (
         keyed.repartitionByRange(num_files, "__z")

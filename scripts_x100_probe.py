@@ -125,6 +125,13 @@ PROBE = [
     # from pruned code directories + exact re-rank + exact-loop
     # parity audit inside the entry)
     "pq_near_dups_incremental",
+    # r12: layout operators — the Morton-key pruning audit (two
+    # full-scan aggregates over 60 M lineitem rows; cost must stay
+    # linear in rows) and the bucketed co-located join (one-time
+    # bucketed CTAS of orders+lineitem, then the shuffle-free merge
+    # join + aggregate)
+    "zorder_pruning_audit",
+    "bucketed_colocated_join",
 ]
 
 

@@ -216,6 +216,111 @@ def _pq_bytes_comparison() -> dict:
     }
 
 
+def _layout_pruning_comparison() -> dict:
+    """Physical footer pruning on the ×K replica (r12 capability):
+    write the replica's lineitem both z-ordered on (l_partkey,
+    l_suppkey) and linear-sorted on l_partkey, then make the parquet
+    reader's skip decision from REAL footer min/max stats for the
+    tile-aligned two-sided box — files and on-disk bytes scanned per
+    layout. The 100 TB claim is that multi-dimensional clustering
+    prunes on BOTH predicate dimensions where a sort prunes on one;
+    this measures it on ×K data instead of asserting it."""
+    import glob
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq_meta
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators import layout
+    from data_engineering_project_spark.session import get_spark
+
+    spark = get_spark("x10-layout")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{WORK}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    pmn, pmx, smn, smx = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+
+    def preimage(mn, mx, lo=24576, hi=32767):
+        span = mx - mn
+        return (mn + -(-lo * span // 65535), mn + -(-(hi + 1) * span // 65535) - 1)
+
+    box = (*preimage(pmn, pmx), *preimage(smn, smx))
+    base = tempfile.mkdtemp(prefix="x10_layout_")
+    n_files = 64
+    t0 = time.perf_counter()
+    layout.zorder_write(
+        li, "l_partkey", "l_suppkey", f"{base}/z", n_files=n_files
+    )
+    z_write_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(f"{base}/l")
+    )
+    l_write_sec = round(time.perf_counter() - t0, 3)
+
+    def scan_stats(path: str) -> dict:
+        total = scanned = total_bytes = scanned_bytes = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq_meta.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            size = os.path.getsize(f)
+            total += 1
+            total_bytes += size
+            idx = {
+                md.schema.column(i).name: i for i in range(len(md.schema))
+            }
+            mins, maxs = {}, {}
+            for col in ("l_partkey", "l_suppkey"):
+                mins[col] = min(
+                    md.row_group(g).column(idx[col]).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                maxs[col] = max(
+                    md.row_group(g).column(idx[col]).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+            if (
+                maxs["l_partkey"] >= box[0]
+                and mins["l_partkey"] <= box[1]
+                and maxs["l_suppkey"] >= box[2]
+                and mins["l_suppkey"] <= box[3]
+            ):
+                scanned += 1
+                scanned_bytes += size
+        return {
+            "files_total": total,
+            "files_scanned": scanned,
+            "bytes_total": total_bytes,
+            "bytes_scanned": scanned_bytes,
+        }
+
+    zs, ls = scan_stats(f"{base}/z"), scan_stats(f"{base}/l")
+    n_match = li.filter(
+        F.col("l_partkey").between(box[0], box[1])
+        & F.col("l_suppkey").between(box[2], box[3])
+    ).count()
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_rows": li.count(),
+        "n_files": n_files,
+        "rows_matching_box": n_match,
+        "zorder": {**zs, "write_sec": z_write_sec},
+        "linear_x": {**ls, "write_sec": l_write_sec},
+        "bytes_scanned_ratio_z_to_linear": round(
+            zs["bytes_scanned"] / max(ls["bytes_scanned"], 1), 4
+        ),
+    }
+
+
 def main() -> int:
     if not os.environ.get("SPARK_GRAFT_X10_SKIP_BUILD"):
         from data_engineering_project_spark.session import get_spark
@@ -279,6 +384,7 @@ def main() -> int:
             n for n, r in rows.items() if r["no_baseline"]
         ),
         "pq_codes_bytes_comparison": _pq_bytes_comparison(),
+        "layout_pruning_comparison": _layout_pruning_comparison(),
         "queries": rows,
     }
     with open(os.path.join(REPO, "SCALING_X10.json"), "w") as fh:
