@@ -132,6 +132,9 @@ PROBE = [
     # join + aggregate)
     "zorder_pruning_audit",
     "bucketed_colocated_join",
+    # r12: month-partitioned fact CTAS + DPP join (the partitioned
+    # write dominates; the pruned read must stay ~quarter-sized)
+    "dynamic_partition_pruning_join",
 ]
 
 
