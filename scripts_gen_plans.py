@@ -61,6 +61,9 @@ SHOWCASE = {
     "ivfpq_recall": "composed IVFPQ: probe-pruned candidate pairs semi-join the broadcast-ADC scored pairs BEFORE the rank window",
     "customer_name_linkage": "record linkage: distinct-name dictionary (rows never hit the quadratic stage), block-key equi-join with levenshtein riding post-join codegen — no cartesian anywhere",
     "part_phonetic_linkage": "phonetic linkage: the consonant-skeleton key is a pure regexp/substr chain evaluated inside the scan-side projection; same dictionary-equi-join-levenshtein shape as the suffix-block family",
+    "zorder_locality": "Morton layout key: fixed-point scaling + bit spreading ride scan-side codegen; ONE stats broadcast + one 64-group aggregate — no extra fact shuffle",
+    "bucketed_colocated_join": "bucketed co-located join: the SortMergeJoin consumes both bucketed scans DIRECTLY (no Exchange below the join — that shuffle was paid once at write time); the only exchanges left belong to the 5-group aggregate and final sort",
+    "dynamic_partition_pruning_join": "DPP: the fact scan's PartitionFilters carry a runtime dynamicpruning subquery from the quarter-filtered dim — only matching month directories are read",
 }
 
 
@@ -78,7 +81,15 @@ def trimmed_plan(df, max_lines: int = 40) -> str:
         keep = [
             ln
             for ln in block.splitlines()
-            if any(k in ln for k in ("Scan parquet", "PushedFilters", "ReadSchema"))
+            if any(
+                k in ln
+                for k in (
+                    "Scan parquet",
+                    "PushedFilters",
+                    "ReadSchema",
+                    "PartitionFilters",
+                )
+            )
         ]
         details.append("\n".join(keep))
     out = tree
