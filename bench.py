@@ -240,10 +240,20 @@ def main() -> None:
     # Full per-query regression surface → file; compact line → stdout.
     # SPARK_GRAFT_BENCH_DETAIL redirects the file (scripts_x10_bench.py
     # uses it so a ×10 run can never clobber the committed sf0.1
-    # baseline it compares against).
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # baseline it compares against). The repo-root file is ONLY
+    # written for default-SF (sf0.1) runs — a smoke run at another SF
+    # would otherwise silently replace the committed baseline (it did,
+    # round 12) — other SFs land beside it with an SF-tagged name.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if not detail_path:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        detail_path = os.path.join(
+            repo,
+            "BENCH_DETAIL.json"
+            if tag == "sf0.1"
+            else f"BENCH_DETAIL.{tag}.json",
+        )
     try:
         end_la = os.getloadavg()[0]
     except OSError:
