@@ -216,15 +216,29 @@ def _pq_bytes_comparison() -> dict:
     }
 
 
-def _layout_pruning_comparison() -> dict:
+def _layout_pruning_comparison(
+    xcol: str = "l_partkey",
+    ycol: str = "l_suppkey",
+    full_width: bool = False,
+) -> dict:
     """Physical footer pruning on the ×K replica (r12 capability):
-    write the replica's lineitem both z-ordered on (l_partkey,
-    l_suppkey) and linear-sorted on l_partkey, then make the parquet
-    reader's skip decision from REAL footer min/max stats for the
-    tile-aligned two-sided box — files and on-disk bytes scanned per
-    layout. The 100 TB claim is that multi-dimensional clustering
-    prunes on BOTH predicate dimensions where a sort prunes on one;
-    this measures it on ×K data instead of asserting it."""
+    write the replica's lineitem both z-ordered on (xcol, ycol) and
+    linear-sorted on xcol, then make the parquet reader's skip
+    decision from REAL footer min/max stats for the tile-aligned
+    two-sided box — files and on-disk bytes scanned per layout. The
+    100 TB claim is that multi-dimensional clustering prunes on BOTH
+    predicate dimensions where a sort prunes on one; this measures it
+    on ×K data instead of asserting it.
+
+    Measured at TWO dimension pairs because the replica construction
+    makes them behave differently, and both outcomes are informative:
+    (l_partkey, l_suppkey) is DIAGONALLY CORRELATED on the replica
+    (each key-shifted block pairs only with itself), which is
+    z-order's known losing regime — a single-column sort already
+    co-locates a correlated second dimension for free, while the
+    Morton interleave pays its compression penalty for nothing;
+    (l_partkey, l_quantity) stays INDEPENDENT at every replica
+    factor, which is the regime the operator exists for."""
     import glob
     import tempfile
     import time
@@ -237,12 +251,16 @@ def _layout_pruning_comparison() -> dict:
 
     spark = get_spark("x10-layout")
     spark.sparkContext.setLogLevel("ERROR")
-    li = spark.read.parquet(f"{WORK}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey"
-    )
+    li = spark.read.parquet(f"{WORK}/lineitem.parquet")
+    if not full_width:
+        # 2-column projection isolates the clustering-key behavior;
+        # full_width keeps every payload column — the realistic fact
+        # shape, where file size barely depends on row order and the
+        # bytes ratio tracks the files ratio
+        li = li.select(xcol, ycol)
     pmn, pmx, smn, smx = li.agg(
-        F.min("l_partkey"), F.max("l_partkey"),
-        F.min("l_suppkey"), F.max("l_suppkey"),
+        F.min(xcol), F.max(xcol),
+        F.min(ycol), F.max(ycol),
     ).first()
 
     def preimage(mn, mx, lo=24576, hi=32767):
@@ -253,14 +271,12 @@ def _layout_pruning_comparison() -> dict:
     base = tempfile.mkdtemp(prefix="x10_layout_")
     n_files = 64
     t0 = time.perf_counter()
-    layout.zorder_write(
-        li, "l_partkey", "l_suppkey", f"{base}/z", n_files=n_files
-    )
+    layout.zorder_write(li, xcol, ycol, f"{base}/z", n_files=n_files)
     z_write_sec = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     (
-        li.repartitionByRange(n_files, "l_partkey")
-        .sortWithinPartitions("l_partkey")
+        li.repartitionByRange(n_files, xcol)
+        .sortWithinPartitions(xcol)
         .write.mode("overwrite")
         .parquet(f"{base}/l")
     )
@@ -279,7 +295,7 @@ def _layout_pruning_comparison() -> dict:
                 md.schema.column(i).name: i for i in range(len(md.schema))
             }
             mins, maxs = {}, {}
-            for col in ("l_partkey", "l_suppkey"):
+            for col in (xcol, ycol):
                 mins[col] = min(
                     md.row_group(g).column(idx[col]).statistics.min
                     for g in range(md.num_row_groups)
@@ -289,10 +305,10 @@ def _layout_pruning_comparison() -> dict:
                     for g in range(md.num_row_groups)
                 )
             if (
-                maxs["l_partkey"] >= box[0]
-                and mins["l_partkey"] <= box[1]
-                and maxs["l_suppkey"] >= box[2]
-                and mins["l_suppkey"] <= box[3]
+                maxs[xcol] >= box[0]
+                and mins[xcol] <= box[1]
+                and maxs[ycol] >= box[2]
+                and mins[ycol] <= box[3]
             ):
                 scanned += 1
                 scanned_bytes += size
@@ -305,11 +321,12 @@ def _layout_pruning_comparison() -> dict:
 
     zs, ls = scan_stats(f"{base}/z"), scan_stats(f"{base}/l")
     n_match = li.filter(
-        F.col("l_partkey").between(box[0], box[1])
-        & F.col("l_suppkey").between(box[2], box[3])
+        F.col(xcol).between(box[0], box[1])
+        & F.col(ycol).between(box[2], box[3])
     ).count()
     shutil.rmtree(base, ignore_errors=True)
     return {
+        "dims": [xcol, ycol],
         "n_rows": li.count(),
         "n_files": n_files,
         "rows_matching_box": n_match,
@@ -384,7 +401,17 @@ def main() -> int:
             n for n, r in rows.items() if r["no_baseline"]
         ),
         "pq_codes_bytes_comparison": _pq_bytes_comparison(),
-        "layout_pruning_comparison": _layout_pruning_comparison(),
+        "layout_pruning_comparison": {
+            "correlated_dims": _layout_pruning_comparison(
+                "l_partkey", "l_suppkey"
+            ),
+            "independent_dims": _layout_pruning_comparison(
+                "l_partkey", "l_quantity"
+            ),
+            "independent_dims_full_width": _layout_pruning_comparison(
+                "l_partkey", "l_quantity", full_width=True
+            ),
+        },
         "queries": rows,
     }
     with open(os.path.join(REPO, "SCALING_X10.json"), "w") as fh:
