@@ -240,20 +240,30 @@ def main() -> None:
     # Full per-query regression surface → file; compact line → stdout.
     # SPARK_GRAFT_BENCH_DETAIL redirects the file (scripts_x10_bench.py
     # uses it so a ×10 run can never clobber the committed sf0.1
-    # baseline it compares against). The repo-root file is ONLY
-    # written for default-SF (sf0.1) runs — a smoke run at another SF
-    # would otherwise silently replace the committed baseline (it did,
-    # round 12) — other SFs land beside it with an SF-tagged name.
+    # baseline it compares against). The committed repo-root baseline
+    # (BENCH_DETAIL.json) is written ONLY under an explicit opt-in —
+    # SPARK_GRAFT_COMMIT_BASELINE=1 — because ANY same-SF run would
+    # otherwise silently replace it (a smoke run did in round 12; the
+    # driver's own hot-box run did through the other door at the r12
+    # close). Every non-opt-in run lands in a gitignored sibling: the
+    # default-SF run as BENCH_DETAIL.latest.json, other SFs as
+    # BENCH_DETAIL.sf<N>.json. The SF tag comes from the same regex
+    # the `sf` field uses (ADVICE r12: a differently-named directory
+    # holding sf0.1 data, or a trailing path tag, must not invent an
+    # un-ignored filename from its basename).
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
     if not detail_path:
         repo = os.path.dirname(os.path.abspath(__file__))
-        tag = os.path.basename(sf_dir.rstrip("/"))
-        detail_path = os.path.join(
-            repo,
-            "BENCH_DETAIL.json"
-            if tag == "sf0.1"
-            else f"BENCH_DETAIL.{tag}.json",
-        )
+        tag = f"sf{m.group(1)}" if m else "untagged"
+        if tag == "sf0.1":
+            name = (
+                "BENCH_DETAIL.json"
+                if os.environ.get("SPARK_GRAFT_COMMIT_BASELINE")
+                else "BENCH_DETAIL.latest.json"
+            )
+        else:
+            name = f"BENCH_DETAIL.{tag}.json"
+        detail_path = os.path.join(repo, name)
     try:
         end_la = os.getloadavg()[0]
     except OSError:

@@ -491,10 +491,13 @@ def main() -> int:
         # unflaggable (ADVICE r9): it is marked no_baseline and the
         # flag falls back to the x10-rung ratio (x10 -> x100 is a
         # 10x data factor, so >13 is the same +30% tolerance).
-        if r1 is not None:
-            flag = bool(r1 > K * 1.3 and t100 > 5.0)
-        else:
-            flag = bool(r10 is not None and r10 > 10 * 1.3 and t100 > 5.0)
+        # The rung ratio is consulted even WITH a baseline (r12
+        # verdict item 3): accelerating growth — e.g. x3 at the first
+        # 10x rung, x33 at the second — must not hide under a total
+        # that stays within x130 of sf0.1.
+        exceeds_total = r1 is not None and r1 > K * 1.3
+        exceeds_rung = r10 is not None and r10 > 10 * 1.3
+        flag = bool((exceeds_total or exceeds_rung) and t100 > 5.0)
         fr = first_run[name]
         rows[name] = {
             "sf0.1_sec": t1,
