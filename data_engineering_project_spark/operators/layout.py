@@ -97,7 +97,30 @@ def with_zorder(
 ) -> DataFrame:
     """df + min/max-scaled ``_xs``/``_ys`` fixed-point dims + the
     Morton key ``out``. The scaling stats come from one aggregate,
-    broadcast back as a single-row frame (no shuffle of ``df``)."""
+    broadcast back as a single-row frame (no shuffle of ``df``).
+
+    ``bits`` is capped at 16 — :func:`spread_bits16` masks its input
+    to the low 16 bits, so a wider request would silently collide
+    distinct keys (and break the 1 << (2*bits) bucket math in
+    :func:`zorder_locality`). Wider fixed-point domains belong to the
+    generic float-normalized path in ``sources/layout.py`` (ADVICE
+    r12). The helper names this pipeline adds (``_xmn``/``_xmx``/
+    ``_ymn``/``_ymx``/``_xs``/``_ys``/``out``) are reserved: input
+    columns with those names would turn the stats crossJoin ambiguous
+    or be silently replaced, so they fail loudly instead."""
+    if not 1 <= bits <= 16:
+        raise ValueError(
+            f"bits must be in [1, 16] (got {bits}): spread_bits16 is a"
+            " 16-bit spreader; use sources/layout.zorder_key for wider"
+            " fixed-point domains"
+        )
+    reserved = {"_xmn", "_xmx", "_ymn", "_ymx", "_xs", "_ys", out}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the z-order pipeline's"
+            " reserved helper names — rename them before z-ordering"
+        )
     stats = df.agg(
         F.min(xcol).alias("_xmn"),
         F.max(xcol).alias("_xmx"),
@@ -120,18 +143,24 @@ def zorder_write(
     xcol: str,
     ycol: str,
     path: str,
-    n_files: int,
+    n_files: int | None,
     bits: int = 16,
 ) -> None:
     """Materialize ``df`` as ``n_files`` parquet files clustered along
     the (xcol, ycol) Morton curve: range-partition on the z-key
     (sampled boundaries -> balanced files even under key skew), sort
     rows inside each file so row-group stats are tight as well, drop
-    the helper columns before writing."""
+    the helper columns before writing. ``n_files=None`` keeps Spark's
+    range-partitioning default (``spark.sql.shuffle.partitions``),
+    matching ``sources/layout.write_clustered`` (ADVICE r12)."""
     keyed = with_zorder(df, xcol, ycol, bits)
+    ranged = (
+        keyed.repartitionByRange("zkey")
+        if n_files is None
+        else keyed.repartitionByRange(n_files, "zkey")
+    )
     (
-        keyed.repartitionByRange(n_files, "zkey")
-        .sortWithinPartitions("zkey")
+        ranged.sortWithinPartitions("zkey")
         .drop("_xs", "_ys", "zkey")
         .write.mode("overwrite")
         .parquet(path)

@@ -116,18 +116,30 @@ def write_zordered(
     predicates on ANY of the cluster columns (the single-column case
     degenerates to :func:`write_clustered`). Same one-shuffle cost.
 
-    The common 2-column case delegates to ``operators/layout.py`` —
-    the canonical Morton pipeline (exact int64 fixed-point scaling +
-    magic-number bit spreading, oracle-replayable and driver-checked
-    by the ``zorder_locality`` / ``zorder_pruning_audit`` registry
-    entries); this module keeps the generic float-normalized 1/3-column
-    key for the remaining arities."""
-    if len(cluster_by) == 2 and mode == "overwrite":
+    The common 2-column OVERWRITE at bits<=16 delegates to
+    ``operators/layout.py`` — the canonical Morton pipeline (exact
+    int64 fixed-point scaling + magic-number bit spreading,
+    oracle-replayable and driver-checked by the ``zorder_locality`` /
+    ``zorder_pruning_audit`` registry entries); this module keeps the
+    generic float-normalized key for the remaining arities, for
+    bits>16, and for appends. ``num_files=None`` keeps Spark's
+    range-partitioning default on BOTH paths (ADVICE r12 — the
+    delegation must not change the default file count, nor remap an
+    explicit 0, which repartitionByRange rejects on either path).
+
+    NOTE on appends: every write normalizes with the min/max of the
+    rows being written, so an append never shares the exact key of the
+    data already in the directory — per-file stats still prune, but
+    old and new files tile the space under different scalings. A lake
+    that appends z-ordered data should periodically rewrite the
+    directory (``compact_small_files`` with a re-sort, or a fresh
+    overwrite) to restore one global layout."""
+    if len(cluster_by) == 2 and mode == "overwrite" and bits <= 16:
         from data_engineering_project_spark.operators import layout as _morton
 
         _morton.zorder_write(
             df, cluster_by[0], cluster_by[1], path,
-            n_files=num_files or 64, bits=bits,
+            n_files=num_files, bits=bits,
         )
         return
     keyed = df.withColumn("__z", zorder_key(df, cluster_by, bits))

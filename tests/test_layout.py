@@ -209,3 +209,52 @@ def test_spread_sql_twin_matches_column_twin():
         [vals],
     ).fetchall()
     assert [r[0] for r in got] == [_py_spread16(v) for v in vals]
+
+
+def test_with_zorder_rejects_bits_over_16_and_reserved_columns(spark):
+    """ADVICE r12: spread_bits16 masks to 16 bits, so bits>16 would
+    silently collide distinct keys; and the pipeline's helper names
+    must not be silently replaced or turned ambiguous by the stats
+    crossJoin."""
+    df = spark.createDataFrame([(1, 2)], "x: bigint, y: bigint")
+    with pytest.raises(ValueError, match=r"bits must be in \[1, 16\]"):
+        layout.with_zorder(df, "x", "y", bits=17)
+    with pytest.raises(ValueError, match="bits must be"):
+        layout.with_zorder(df, "x", "y", bits=0)
+    clash = spark.createDataFrame([(1, 2, 3)], "x: bigint, y: bigint, zkey: bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        layout.with_zorder(clash, "x", "y")
+    clash2 = spark.createDataFrame([(1, 2, 3)], "x: bigint, y: bigint, _xs: bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        layout.with_zorder(clash2, "x", "y")
+
+
+def test_zorder_write_default_file_count_is_shuffle_partitions(spark, tmp_path):
+    """ADVICE r12: n_files=None keeps Spark's range-partitioning
+    default (spark.sql.shuffle.partitions), matching write_clustered —
+    the 2-column delegation must not invent a hardcoded 64."""
+    df = spark.range(2000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 2000).alias("y")
+    )
+    out = str(tmp_path / "zdefault")
+    layout.zorder_write(df, "x", "y", out, n_files=None)
+    n = len(glob.glob(f"{out}/*.parquet"))
+    # under AQE the unpinned range exchange may coalesce below the
+    # configured count on tiny data — the invariant is "session
+    # default semantics, never a hardcoded 64"
+    assert 1 <= n <= int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_write_zordered_bits_over_16_uses_generic_path(spark, tmp_path):
+    """bits>16 routes 2-column writes to the float-normalized generic
+    key instead of silently truncating in the 16-bit spreader."""
+    from data_engineering_project_spark.sources.layout import write_zordered
+
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") * 13 % 1000).alias("y")
+    )
+    out = str(tmp_path / "zwide")
+    write_zordered(df, out, cluster_by=["x", "y"], num_files=4, bits=20)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"x", "y"}
