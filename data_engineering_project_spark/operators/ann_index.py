@@ -402,18 +402,19 @@ def incremental_near_dups_pq(
     cells = spark.read.parquet(_cells_dir(path)).filter(
         F.col("cell").isin(probed)
     )
-    cands = (
-        codes.select(id_col, "cell")
-        .join(probes.select("query_id", "cell"), "cell")
-        .select("query_id", id_col)
-    )
+    # grouped IVFADC kernel (r13): the cell-pruned codes stream through
+    # the scorer ONCE — no (query, id) candidate pair frame, no join,
+    # no Q-fold row amplification; the probe map ships driver-side
+    # (bounded: |batch| x n_probe entries). This is what keeps the
+    # rank stage's cost proportional to the bytes it reads (the m-byte
+    # codes) instead of to the materialized pair count.
     qp = new.select(id_col, vec_col).toPandas()
-    sl = pq_ops.pq_adc_topk(
-        codes.select(id_col, "codes"),
+    sl = pq_ops.pq_adc_topk_grouped(
+        codes.select(id_col, "codes", "cell"),
         books,
         qp,
+        probes.select("query_id", "cell").toPandas(),
         k=shortlist,
-        candidates=cands,
         id_col=id_col,
         query_id_col=id_col,
         query_vec_col=vec_col,
@@ -515,7 +516,10 @@ def query_pq_index(
     # hand-kept copies of the shortlist->fetch->rerank block
     return pq_ops.ivfpq_topk(
         cells,
-        codes.select(id_col, "codes"),
+        # keep `cell` on the codes frame: ivfpq_topk's grouped kernel
+        # consumes it directly, so the pruned partition scan feeds the
+        # scorer without a cell-assignment join
+        codes.select(id_col, "codes", "cell"),
         books,
         cents,
         queries,

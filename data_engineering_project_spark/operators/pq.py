@@ -16,9 +16,15 @@ Spark shapes: training is ``m`` independent coarse-quantizer fits
 (:func:`similarity.kmeans_fit` on sliced vectors — same deterministic
 Lloyd's); encoding is ONE map-only pass (the m argmaxes inline their
 codeword literals exactly like ``assign_cells`` — zero exchanges, no
-Python); ADC scoring is map-only expression arithmetic with the
-per-query tables inlined as literal arrays (queries are bounded by
-contract, as in cosine_topk). Nothing here shuffles the corpus.
+Python); ADC scoring is an Arrow-batched numpy table-gather kernel
+(``mapInPandas``) with the per-query lookup tables shipped inside the
+closure (queries are bounded by contract, as in cosine_topk) — the
+``cosine_topk_vectorized`` gemm pattern applied to codes: scoring a
+batch of n rows against Q queries is m fancy-index gathers + adds on a
+(Q, n) array instead of Q*n*m interpreted expression nodes (r12
+verdict item 1 measured the expression form at 12x the vector path's
+wall time; the gather kernel is the same arithmetic at BLAS-adjacent
+throughput). Nothing here shuffles the corpus.
 
 Codewords are chosen by L2 argmin (minimum reconstruction error —
 what ADC's inner-product read actually approximates); ADC scores the
@@ -130,6 +136,156 @@ def pq_encode(
     return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
 
 
+def _qid_coercion(queries_pdf, query_id_col: str):
+    """(spark_type, python_coerce) for the query-id column: integer-
+    kind pandas dtypes ship as long, float as double, anything else as
+    string — the emitted query_id column must compare cleanly against
+    ``id_col``."""
+    kind = queries_pdf[query_id_col].dtype.kind
+    if kind == "O" and len(queries_pdf):
+        # object columns (e.g. Python ints read through pandas object
+        # dtype) would otherwise coerce to string and force implicit
+        # string/long -> double casts downstream — key by the values'
+        # real type instead. ALL non-null values must agree
+        # (first-value sniffing would mistype mixed columns); numpy
+        # scalar types count as their Python kind.
+        import numbers as _numbers
+
+        vals = [v for v in queries_pdf[query_id_col] if v is not None]
+        if vals and all(
+            isinstance(v, _numbers.Integral)
+            and not isinstance(v, bool)
+            for v in vals
+        ):
+            kind = "i"
+        elif vals and all(
+            isinstance(v, _numbers.Real) and not isinstance(v, bool)
+            for v in vals
+        ):
+            kind = "f"
+    if kind in "iu":
+        return "long", int
+    if kind == "f":
+        return "double", float
+    return "string", str
+
+
+def _adc_tables(codebooks, queries_pdf, query_id_col, query_vec_col):
+    """Per-query ADC lookup tables as ONE numpy array.
+
+    Returns (q_ids, T, qid_type, coerce): ``q_ids`` a numpy array of
+    coerced query ids, ``T`` of shape (Q, m, L) where ``T[q, j, lbl]``
+    is <query q's j-th subvector, codeword lbl of codebook j>. Tables
+    are keyed BY LABEL VALUE, not by sorted position: a codebook's
+    labels are not assumed contiguous 0..k-1 (since round 7
+    :func:`similarity.kmeans_fit` carries empty cells forward, so ITS
+    labels are always dense, but this scorer accepts any labeled
+    codebook — e.g. one with pruned codewords). ``L`` is the global
+    max(label)+1; gap slots hold NaN and are unreachable (pq_encode
+    only ever emits labels that exist in the codebook) — the kernels
+    still guard them, dropping NaN-scored pairs.
+
+    Everything here is driver-side and bounded by contract: queries
+    are small, codebooks are control-plane frames. Table values are
+    Python-float dot products — bit-identical to the literal arrays
+    the pre-r13 expression scorer shipped, so the kernel's left-fold
+    sum reproduces its scores exactly."""
+    import numpy as np
+
+    book_maps = []
+    for b in codebooks:
+        rows = b.collect()
+        book_maps.append(
+            {int(r["label"]): [float(x) for x in r["centroid"]] for r in rows}
+        )
+    m = len(book_maps)
+    d = len(next(iter(book_maps[0].values())))
+    qid_type, coerce = _qid_coercion(queries_pdf, query_id_col)
+    n_q = len(queries_pdf)
+    L = max((max(bm) + 1 for bm in book_maps if bm), default=1)
+    T = np.full((n_q, m, L), np.nan)
+    q_ids = []
+    for qi, q in enumerate(queries_pdf.itertuples(index=False)):
+        q_ids.append(coerce(getattr(q, query_id_col)))
+        qv = [float(x) for x in getattr(q, query_vec_col)]
+        for j, book in enumerate(book_maps):
+            for lbl, c in book.items():
+                T[qi, j, lbl] = sum(qv[j * d + t] * c[t] for t in range(d))
+    q_ids = np.array(
+        q_ids, dtype=(np.int64 if qid_type == "long" else
+                      np.float64 if qid_type == "double" else object)
+    )
+    return q_ids, T, qid_type, coerce
+
+
+def _gather_scores(T, qidx, C):
+    """Vectorized ADC: scores[i] = sum_j T[qidx[i], j, C[i, j]] with a
+    NaN guard for out-of-range codes (the unreachable-gap contract,
+    kept fail-soft: such pairs score NaN and are dropped). The sum is
+    a left fold in subspace order — the same addition sequence as the
+    pre-r13 expression scorer, so scores are bit-identical."""
+    import numpy as np
+
+    n, m = C.shape
+    L = T.shape[2]
+    S = np.zeros(n)
+    for j in range(m):
+        cj = C[:, j]
+        g = T[qidx, j, np.clip(cj, 0, L - 1)]
+        if ((cj < 0) | (cj >= L)).any():
+            g = np.where((cj < 0) | (cj >= L), np.nan, g)
+        S = S + g
+    return S
+
+
+def _emit_topk(q_ids, qidx, nids, scores, k):
+    """Per-query local top-k of (qidx, nids, scores) triples under the
+    GLOBAL total order (rounded score desc, neighbor id asc) — local
+    truncation must use the same order the final window rank (and the
+    SQL oracle) applies, or a rounded tie's id-tiebreak winner at the
+    k-th slot could be dropped. Self-matches and NaN scores are
+    removed first. Returns a pandas frame or None."""
+    import numpy as np
+    import pandas as pd
+
+    keep = ~np.isnan(scores)
+    # self-exclusion: compare the pair's neighbor id against its own
+    # query's id (object-dtype ids compare elementwise fine)
+    keep &= nids != q_ids[qidx]
+    if not keep.any():
+        return None
+    qidx, nids, scores = qidx[keep], nids[keep], scores[keep]
+    order = np.lexsort((nids, -scores, qidx))
+    sq = qidx[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(sq)) + 1]
+    counts = np.diff(np.r_[starts, len(sq)])
+    pos = np.arange(len(sq)) - np.repeat(starts, counts)
+    sel = order[pos < k]
+    return pd.DataFrame(
+        {
+            "query_id": q_ids[qidx[sel]],
+            "neighbor_id": nids[sel],
+            "adc_ip": scores[sel],
+        }
+    )
+
+
+def _rank_topk(local, k: int) -> DataFrame:
+    """Global (query_id, neighbor_id, adc_ip) top-k over the kernels'
+    local top-k rows: rounded score desc, neighbor id asc — the repo's
+    tiebreak convention."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_ip")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: list[DataFrame],
@@ -146,116 +302,187 @@ def pq_adc_topk(
     restricting which rows each query may rank — FAISS's
     ``search_preassigned`` hook, i.e. the IVFPQ composition point: the
     IVF probe emits per-query candidate pairs, ADC ranks only those
-    (a semi-join BEFORE the rank window, so pruned rows are never
-    scored into the top-k).
+    (the restriction applies BEFORE scoring, so pruned pairs are never
+    scored at all; when the candidate relation is cell co-membership,
+    prefer :func:`pq_adc_topk_grouped`, which never materializes the
+    pair frame).
 
-    Per query, the m x k_sub table of <query subvector, codeword>
-    inner products is computed driver-side (bounded: queries are small
-    by contract, codebooks are control-plane frames) and shipped as a
-    BROADCAST (query_id, tables) frame; scoring is ONE
-    BroadcastNestedLoopJoin pass over the encoded corpus — each
-    (query, row) pair costs m nested ``element_at`` reads + adds
-    inside a single codegen stage (no per-query plan branches, no
-    unions: the per-query-union form paid the whole-stage-codegen
-    compiler once PER QUERY, which dwarfed the actual scoring).
-    Ranking is (rounded score desc, neighbor id asc), the repo's
-    tiebreak convention.
+    Scoring is the Arrow table-gather kernel (r12 verdict item 1 —
+    the per-pair ``element_at`` expression form cost 12x the vector
+    path): per query, the m x k_sub table of <query subvector,
+    codeword> inner products is computed driver-side (bounded:
+    queries are small by contract, codebooks are control-plane
+    frames) and shipped to executors inside the kernel closure; each
+    Arrow batch of codes scores against all queries as m fancy-index
+    gathers on a (Q, n) numpy array and emits only its local top-k
+    per query under the global total order (rounded score desc,
+    neighbor id asc — the repo's tiebreak convention), which the
+    final window rank then merges. Scores are bit-identical to the
+    expression scorer's (same driver-computed table values, same
+    left-fold addition order); rounding is np.round to 6 — the
+    ``cosine_topk_vectorized`` convention.
 
-    Lookup tables are keyed BY LABEL VALUE, not by sorted position:
-    a codebook's labels are not assumed contiguous 0..k-1 (since
-    round 7 :func:`similarity.kmeans_fit` carries empty cells
-    forward, so ITS labels are always dense, but this scorer accepts
-    any labeled codebook — e.g. one with pruned codewords) — each
-    table array is sized max(label)+1 with the codeword's inner
-    product placed at index ``label`` (gap slots hold NULL and are
-    unreachable: pq_encode only ever emits labels that exist in the
-    codebook)."""
-    from pyspark.sql import Window
+    Lookup tables are keyed BY LABEL VALUE, not by sorted position
+    (see :func:`_adc_tables`)."""
+    import numpy as np
 
-    book_maps = []
-    for b in codebooks:
-        rows = b.collect()
-        book_maps.append(
-            {int(r["label"]): [float(x) for x in r["centroid"]] for r in rows}
-        )
-    m = len(book_maps)
-    d = len(next(iter(book_maps[0].values())))
+    q_ids, T, qid_type, coerce = _adc_tables(
+        codebooks, queries_pdf, query_id_col, query_vec_col
+    )
+    nid_type = encoded.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {nid_type}, adc_ip double"
+    )
     spark = encoded.sparkSession
-    # query_id keeps the caller's id type: integer-kind pandas dtypes
-    # ship as long, float as double, anything else as string — the
-    # broadcast frame's key must compare cleanly against id_col
-    kind = queries_pdf[query_id_col].dtype.kind
-    if kind == "O" and len(queries_pdf):
-        # object columns (e.g. Python ints read through pandas object
-        # dtype) would otherwise coerce to string and force implicit
-        # string/long -> double casts in the equi-join against id_col
-        # — key by the values' real type instead. ALL non-null values
-        # must agree (first-value sniffing would mistype mixed
-        # columns); numpy scalar types count as their Python kind.
-        import numbers as _numbers
+    if not len(q_ids):
+        return spark.createDataFrame([], out_schema)
 
-        vals = [v for v in queries_pdf[query_id_col] if v is not None]
-        if vals and all(
-            isinstance(v, _numbers.Integral)
-            and not isinstance(v, bool)
-            for v in vals
-        ):
-            kind = "i"
-        elif vals and all(
-            isinstance(v, _numbers.Real) and not isinstance(v, bool)
-            for v in vals
-        ):
-            kind = "f"
-    if kind in "iu":
-        qid_type, coerce = "long", int
-    elif kind == "f":
-        qid_type, coerce = "double", float
-    else:
-        qid_type, coerce = "string", str
-    q_rows = []
-    for q in queries_pdf.itertuples(index=False):
-        qid = getattr(q, query_id_col)
-        qv = [float(x) for x in getattr(q, query_vec_col)]
-        tables = []
-        for j, book in enumerate(book_maps):
-            table = {
-                lbl: sum(qv[j * d + t] * c[t] for t in range(d))
-                for lbl, c in book.items()
-            }
-            tables.append([table.get(i) for i in range(max(table) + 1)])
-        q_rows.append((coerce(qid), tables))
-    qdf = spark.createDataFrame(
-        q_rows, f"query_id {qid_type}, tabs array<array<double>>"
+    if candidates is None:
+        Q = len(q_ids)
+
+        def kernel(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                nids = pdf["__nid"].to_numpy()
+                C = np.stack(pdf["codes"].map(np.asarray))
+                n = len(nids)
+                # all-queries dense scoring: repeat the gather per
+                # query block — one (Q*n)-pair flat layout feeds the
+                # shared top-k emitter
+                qidx = np.repeat(np.arange(Q), n)
+                S = np.round(
+                    _gather_scores(T, qidx, np.tile(C, (Q, 1))), 6
+                )
+                out = _emit_topk(q_ids, qidx, np.tile(nids, Q), S, k)
+                if out is not None:
+                    yield out
+
+        local = encoded.select(
+            F.col(id_col).alias("__nid"), "codes"
+        ).mapInPandas(kernel, out_schema)
+        return _rank_topk(local, k)
+
+    qpos = {qid: i for i, qid in enumerate(q_ids.tolist())}
+
+    def kernel_pairs(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qidx_ser = pdf["__qid"].map(qpos)
+            ok = qidx_ser.notna().to_numpy()
+            if not ok.any():
+                continue
+            qidx = qidx_ser.to_numpy()[ok].astype(np.int64)
+            nids = pdf["__nid"].to_numpy()[ok]
+            C = np.stack(pdf["codes"].map(np.asarray))[ok]
+            S = np.round(_gather_scores(T, qidx, C), 6)
+            out = _emit_topk(q_ids, qidx, nids, S, k)
+            if out is not None:
+                yield out
+
+    pairs = candidates.select(
+        F.col("query_id").alias("__qid"), F.col(id_col).alias("__nid")
+    ).join(
+        encoded.select(F.col(id_col).alias("__nid"), "codes"), "__nid"
     )
-    score = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at("tabs", j + 1), F.element_at("codes", j + 1) + 1
-        )
-        score = term if score is None else score + term
-    scored = (
-        encoded.join(F.broadcast(qdf))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(score, 6).alias("adc_ip"),
-        )
+    local = pairs.mapInPandas(kernel_pairs, out_schema)
+    return _rank_topk(local, k)
+
+
+def pq_adc_topk_grouped(
+    encoded: DataFrame,
+    codebooks: list[DataFrame],
+    queries_pdf,
+    probes_pdf,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVFADC-shaped top-k: score each stored row against exactly the
+    queries probing its cell — the FAISS inverted-list scan re-shaped
+    for Spark. Same output contract as :func:`pq_adc_topk` with
+    ``candidates`` = the (probe x cell-membership) pair relation, but
+    the pair frame is NEVER materialized: the m-byte codes stream
+    through the kernel ONCE (no join, no shuffle, no Q-fold row
+    amplification), and the probe map ships driver-side
+    ({cell -> query indices}, bounded: |queries| x n_probe entries).
+    This is what makes the codes path cheaper than the vector path at
+    scale — the heavy scan is the codes table, and it is read exactly
+    once at m bytes/row.
+
+    ``encoded`` must carry ``cell_col`` (the persisted codes sidecar
+    does — it is partitioned BY cell, so callers pre-prune the scan
+    with a static IN-list partition filter); ``probes_pdf`` is a
+    pandas frame of (query_id, cell) probe assignments."""
+    import numpy as np
+
+    q_ids, T, qid_type, coerce = _adc_tables(
+        codebooks, queries_pdf, query_id_col, query_vec_col
     )
-    if candidates is not None:
-        scored = scored.join(
-            candidates.withColumnRenamed(id_col, "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_ip"), F.asc("neighbor_id")
+    nid_type = encoded.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {nid_type}, adc_ip double"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_ip")
-    )
+    spark = encoded.sparkSession
+    if not len(q_ids) or not len(probes_pdf):
+        return spark.createDataFrame([], out_schema)
+    qpos = {qid: i for i, qid in enumerate(q_ids.tolist())}
+    cell2q: dict[int, list[int]] = {}
+    for qid, cell in zip(
+        probes_pdf["query_id"], probes_pdf[cell_col]
+    ):
+        qi = qpos.get(coerce(qid))
+        if qi is not None:
+            cell2q.setdefault(int(cell), []).append(qi)
+    cell2q_np = {c: np.array(sorted(set(qs))) for c, qs in cell2q.items()}
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["__cell"].to_numpy()
+            nids = pdf["__nid"].to_numpy()
+            C = np.stack(pdf["codes"].map(np.asarray))
+            chunks = []
+            order = np.argsort(cells, kind="stable")
+            bounds = np.r_[
+                0, np.flatnonzero(np.diff(cells[order])) + 1, len(order)
+            ]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rows = order[s:e]
+                qs = cell2q_np.get(int(cells[rows[0]]))
+                if qs is None:
+                    continue
+                # (|qs| x |rows|) flat pair layout for this cell
+                qidx = np.repeat(qs, len(rows))
+                S = _gather_scores(
+                    T, qidx, np.tile(C[rows], (len(qs), 1))
+                )
+                chunks.append((qidx, np.tile(nids[rows], len(qs)), S))
+            if not chunks:
+                continue
+            qidx = np.concatenate([c[0] for c in chunks])
+            nid = np.concatenate([c[1] for c in chunks])
+            S = np.round(np.concatenate([c[2] for c in chunks]), 6)
+            out = _emit_topk(q_ids, qidx, nid, S, k)
+            if out is not None:
+                yield out
+
+    local = encoded.select(
+        F.col(id_col).alias("__nid"),
+        "codes",
+        F.col(cell_col).alias("__cell"),
+    ).mapInPandas(kernel, out_schema)
+    return _rank_topk(local, k)
 
 
 def ivfpq_topk(
@@ -307,18 +534,25 @@ def ivfpq_topk(
         probes = probe_assignments(
             queries, cents, id_col, vec_col, n_probe
         ).localCheckpoint(eager=True)
-    cands = (
-        cells.select(id_col, "cell")
-        .join(probes.select("query_id", "cell"), "cell")
-        .select("query_id", id_col)
+    # the shortlist stage is the grouped IVFADC kernel: each code row
+    # scores against exactly the queries probing its cell, streaming
+    # the codes once — no (query, id) pair frame. A codes frame that
+    # already carries `cell` (the persisted sidecar is partitioned by
+    # it) feeds the kernel directly; otherwise the cell assignment is
+    # joined on (in-memory callers — corpus-sized but map-side against
+    # the bounded probed-cell frames downstream).
+    enc_cells = (
+        encoded
+        if "cell" in encoded.columns
+        else encoded.join(cells.select(id_col, "cell"), id_col)
     )
     qp = queries.select(id_col, vec_col).toPandas()
-    sl = pq_adc_topk(
-        encoded,
+    sl = pq_adc_topk_grouped(
+        enc_cells,
         codebooks,
         qp,
+        probes.select("query_id", "cell").toPandas(),
         k=shortlist,
-        candidates=cands,
         id_col=id_col,
         query_id_col=id_col,
         query_vec_col=vec_col,

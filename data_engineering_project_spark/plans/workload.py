@@ -6408,6 +6408,43 @@ def _ann_index_path(spark, sf_dir) -> str:
     return path
 
 
+def _ann_index_path_near_dups(spark, sf_dir) -> str:
+    """Index for the PQ near-dup loop with nlist SCALED to the corpus —
+    ``max(16, n_vec // 1000)``, the same rule the ×100 probe's ANN
+    substitution uses (scripts_x100_probe). A fixed 16-cell quantizer
+    makes probed-cell population grow linearly with the corpus while
+    the probing batch also grows, so the ADC rank stage's candidate
+    count grows QUADRATICALLY — the r12 verdict's one weak component
+    (ratio_vs_x10 33.5 at the second 10x rung). Constant ~1000-row
+    cells keep per-query candidates flat and the loop linear.
+
+    At the driver's tested SFs (n_vec <= 2000 -> nlist == 16) this is
+    the IDENTICAL quantizer (kmeans_fit is deterministic from the
+    lowest-id init), so the fixture REUSES the session-shared index —
+    same outputs, zero extra build cost; only the x10/x100 replicas
+    (20k -> 20 cells, 200k -> 200 cells) build their own."""
+    emb = load(spark, sf_dir, "embeddings")
+    nlist = max(16, emb.count() // 1000)
+    if nlist == 16:
+        return _ann_index_path(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "near_dups")
+    path = _ANN_INDEX_PATHS.get(key)
+    if path is None:
+        import os
+        import tempfile
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ann_index_nd",
+            spark.sparkContext.applicationId,
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        cents = similarity.kmeans_fit(emb, k=int(nlist), iters=2)
+        ann_index.build_index(emb, path, centroids=cents)
+        _ANN_INDEX_PATHS[key] = path
+    return path
+
+
 @register(
     "ann_index_parity",
     """
@@ -6499,7 +6536,9 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_cents16(spark, sf_dir)
     books = _pq_books(spark, sf_dir)
     path = _ann_index_path(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    # keyed by PATH (not sf_dir) so the scaled near-dup fixture shares
+    # this build whenever its path coincides with the shared index
+    key = (spark.sparkContext.applicationId, path, "pq")
     if key not in _PQ_INDEX_BUILT:
         ann_index.build_pq_index(spark, path, books)
         _PQ_INDEX_BUILT.add(key)
@@ -6581,10 +6620,12 @@ def q_pq_near_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       disk, not just in theory (measured ~0.2 at m=4 over 64-dim
       float vectors; fp64 embeddings would make it ~64x)."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = _ivf_cents16(spark, sf_dir)
     books = _pq_books(spark, sf_dir)
-    path = _ann_index_path(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    # nlist scales with the corpus (r12 verdict item 1): identical to
+    # the shared 16-cell index at every driver-tested SF, constant
+    # cell population at the x10/x100 rungs
+    path = _ann_index_path_near_dups(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, path, "pq")
     if key not in _PQ_INDEX_BUILT:
         ann_index.build_pq_index(spark, path, books)
         _PQ_INDEX_BUILT.add(key)
@@ -6622,9 +6663,12 @@ def q_pq_near_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planted_found = sum(
         1 for (a, b) in got if b == a + 10_000_000
     )
+    # probe under the INDEX's own (scaled) centroid sidecar — the
+    # bytes measurement must cover exactly the cells the loop read
+    sidecar_cents = spark.read.parquet(ann_index._cents_dir(path))
     probed_cells = sorted(
         r["cell"]
-        for r in similarity.probe_assignments(new, cents, n_probe=4)
+        for r in similarity.probe_assignments(new, sidecar_cents, n_probe=4)
         .select("cell")
         .distinct()
         .collect()
@@ -17962,10 +18006,21 @@ _REWIRED: dict[str, int] = {
     # pre-inflation size cap + bounded decompressobj + Adam7 support
     "embedding_incremental_near_dups": 12,
     "embedding_near_dups_indexed": 12,
-    "ivfpq_index_parity": 12,
-    "ivfpq_rerank_recall": 12,
     "streaming_near_dups": 12,
     "media_decode_png": 12,
+    # round 13: ADC scoring rewired from the per-pair element_at
+    # BroadcastNestedLoopJoin expression onto the Arrow table-gather
+    # kernel (pq_adc_topk) / the cell-grouped IVFADC kernel
+    # (pq_adc_topk_grouped, consumed by ivfpq_topk, query_pq_index and
+    # incremental_near_dups_pq) — scores are bit-identical by
+    # construction (same driver-computed tables, same left-fold sum)
+    # and pytest pins pair-form==grouped-form row equality, but the
+    # badges must attest the shipping kernels (r12 verdict item 1)
+    "pq_adc_recall": 13,
+    "ivfpq_recall": 13,
+    "ivfpq_rerank_recall": 13,
+    "ivfpq_index_parity": 13,
+    "pq_near_dups_incremental": 13,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.

@@ -164,7 +164,12 @@ def _pq_bytes_comparison() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(f"{WORK}/embeddings.parquet")
     path = os.path.join(tempfile.mkdtemp(prefix="x10_pq_"), "index")
-    cents = similarity.kmeans_fit(emb, k=16, iters=2)
+    # nlist scales with the replica corpus — the same max(16, n/1000)
+    # rule the workload fixture and the ann-substitution probe use
+    # (r12 verdict item 1: a fixed 16-cell quantizer makes the rank
+    # stage's candidate count quadratic across rungs)
+    nlist = max(16, emb.count() // 1000)
+    cents = similarity.kmeans_fit(emb, k=int(nlist), iters=2)
     ann_index.build_index(emb, path, centroids=cents)
     books = pq_ops.pq_train(emb, m=4, k=16, iters=1)
     ann_index.build_pq_index(spark, path, books)
@@ -202,6 +207,7 @@ def _pq_bytes_comparison() -> dict:
     return {
         "n_vectors": emb.count(),
         "n_batch": new.count(),
+        "nlist": int(nlist),
         "probed_cells": len(probed),
         "rank_stage_codes_bytes": fp["codes_bytes"],
         "rank_stage_vector_bytes": fp["vector_bytes"],

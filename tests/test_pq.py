@@ -303,3 +303,65 @@ def test_ivfpq_topk_rerank_recovers_order(spark, emb, books, encoded):
     # k rows per query, ranked by cosine desc
     per_q = composed.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in per_q)
+
+
+def test_grouped_kernel_matches_candidate_pair_form(spark, emb, books, encoded):
+    """pq_adc_topk_grouped (cell-aware IVFADC kernel, r13) must return
+    EXACTLY the rows of pq_adc_topk with candidates = the probe x
+    cell-membership pair relation — the grouped form is a plan change
+    (codes stream once, no pair frame), never an answer change."""
+    from data_engineering_project_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    cells = similarity.assign_cells(emb, cents)
+    probes = similarity.probe_assignments(queries, cents, n_probe=3)
+    cands = (
+        cells.select("vec_id", "cell")
+        .join(probes.select("query_id", "cell"), "cell")
+        .select("query_id", "vec_id")
+    )
+    qp = queries.select("vec_id", "embedding").toPandas()
+    pair_form = pq.pq_adc_topk(encoded, books, qp, k=7, candidates=cands)
+    grouped_form = pq.pq_adc_topk_grouped(
+        encoded.join(cells.select("vec_id", "cell"), "vec_id"),
+        books,
+        qp,
+        probes.select("query_id", "cell").toPandas(),
+        k=7,
+    )
+    a = sorted(map(tuple, pair_form.collect()))
+    b = sorted(map(tuple, grouped_form.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_adc_candidates_with_unknown_query_ids_are_dropped(spark, emb, books, encoded):
+    """Candidate pairs whose query_id is not in the query set never
+    produce output rows (the pre-r13 broadcast form could not emit
+    them either — no query row to join)."""
+    import pandas as pd
+
+    qp = emb.filter(F.col("vec_id") == 3).select("vec_id", "embedding").toPandas()
+    cands = spark.createDataFrame(
+        [(3, 7), (3, 9), (999_999, 11)], "query_id long, vec_id long"
+    )
+    rows = pq.pq_adc_topk(encoded, books, qp, k=10, candidates=cands).collect()
+    assert {r["query_id"] for r in rows} == {3}
+    assert {r["neighbor_id"] for r in rows} == {7, 9}
+
+
+def test_grouped_kernel_empty_probes_and_queries(spark, emb, books, encoded):
+    """Degenerate inputs return empty frames with the contract schema."""
+    import pandas as pd
+
+    from data_engineering_project_spark.operators import similarity
+
+    cents = similarity.kmeans_fit(emb, k=4, iters=1)
+    cells = similarity.assign_cells(emb, cents)
+    enc_cells = encoded.join(cells.select("vec_id", "cell"), "vec_id")
+    empty_q = emb.filter(F.col("vec_id") < 0).select("vec_id", "embedding").toPandas()
+    out = pq.pq_adc_topk_grouped(
+        enc_cells, books, empty_q, pd.DataFrame({"query_id": [], "cell": []}), k=3
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "adc_ip"]
