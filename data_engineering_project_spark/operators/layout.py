@@ -92,6 +92,173 @@ def zorder_key(xs: Column, ys: Column) -> Column:
     return spread_bits16(xs).bitwiseOR(F.shiftleft(spread_bits16(ys), 1))
 
 
+# (shift, mask) pairs spreading a 10-bit value onto every THIRD bit
+# position (b9..b0 -> bit 27, 24, ..., 0) — the classic 3-D Morton
+# magic numbers. 10 bits/axis keeps every intermediate below 2^28, so
+# the chain is overflow-safe on SIGNED int64 in both Spark and DuckDB
+# (the 21-bit/axis variant's masks shift live bits past bit 63, where
+# the two engines' overflow semantics diverge).
+_SPREAD3_10 = (
+    (16, 0x30000FF),
+    (8, 0x300F00F),
+    (4, 0x30C30C3),
+    (2, 0x9249249),
+)
+
+
+def spread_bits3(col: Column) -> Column:
+    """Spread the low 10 bits of ``col`` onto every third bit position
+    — one third of a 3-D Morton key."""
+    x = col.bitwiseAND(F.lit(0x3FF))
+    for shift, mask in _SPREAD3_10:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def spread_bits3_sql(expr: str) -> str:
+    """The DuckDB-replayable twin of :func:`spread_bits3` — same
+    shifts, same masks, fully parenthesized."""
+    x = f"(({expr}) & 1023)"
+    for shift, mask in _SPREAD3_10:
+        x = f"((({x} | ({x} << {shift})) & {mask}))"
+    return x
+
+
+def zorder3_key(xs: Column, ys: Column, zs: Column) -> Column:
+    """Interleave three 10-bit-scaled values into a 30-bit Morton key:
+    x takes bits 0,3,6..., y bits 1,4,7..., z bits 2,5,8..."""
+    return (
+        spread_bits3(xs)
+        .bitwiseOR(F.shiftleft(spread_bits3(ys), 1))
+        .bitwiseOR(F.shiftleft(spread_bits3(zs), 2))
+    )
+
+
+def with_zorder3(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    zcol: str,
+    bits: int = 10,
+    out: str = "zkey",
+) -> DataFrame:
+    """df + min/max-scaled ``_xs``/``_ys``/``_zs`` fixed-point dims +
+    the 3-D Morton key ``out`` — the exact-integer pipeline of
+    :func:`with_zorder` extended to three dimensions (r12 verdict
+    item 7). One stats aggregate, broadcast back; the key is pure
+    shift/and/or codegen. ``bits`` caps at 10 per axis (1024 cells
+    per dimension — file-level clustering needs no more; the generic
+    float path in ``sources/layout.py`` serves wider requests)."""
+    if not 1 <= bits <= 10:
+        raise ValueError(
+            f"bits must be in [1, 10] (got {bits}): spread_bits3 is a"
+            " 10-bit spreader; use sources/layout.zorder_key for wider"
+            " fixed-point domains"
+        )
+    reserved = {
+        "_xmn", "_xmx", "_ymn", "_ymx", "_zmn", "_zmx",
+        "_xs", "_ys", "_zs", out,
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the z-order pipeline's"
+            " reserved helper names — rename them before z-ordering"
+        )
+    stats = df.agg(
+        F.min(xcol).alias("_xmn"),
+        F.max(xcol).alias("_xmx"),
+        F.min(ycol).alias("_ymn"),
+        F.max(ycol).alias("_ymx"),
+        F.min(zcol).alias("_zmn"),
+        F.max(zcol).alias("_zmx"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    return (
+        j.withColumn("_xs", scale_expr(xcol, "_xmn", "_xmx", bits))
+        .withColumn("_ys", scale_expr(ycol, "_ymn", "_ymx", bits))
+        .withColumn("_zs", scale_expr(zcol, "_zmn", "_zmx", bits))
+        .withColumn(
+            out, zorder3_key(F.col("_xs"), F.col("_ys"), F.col("_zs"))
+        )
+        .drop("_xmn", "_xmx", "_ymn", "_ymx", "_zmn", "_zmx")
+    )
+
+
+def pruning_audit3(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    zcol: str,
+    n_files: int = 64,
+    bits: int = 10,
+    box=(384, 511, 384, 511, 384, 511),
+) -> DataFrame:
+    """Simulated min/max file skipping for a THREE-sided box predicate,
+    3-D z-layout vs linear-sort layout, one output row per layout —
+    the :func:`pruning_audit` contract extended to 3 dimensions.
+
+    With F equal-width files on the 3-D curve each file covers a
+    ~F^(-1/3) span of EVERY axis (64 files -> 1/4 of each domain), so
+    a three-sided box prunes on all three dimensions at once; the
+    linear layout prunes on x alone and reads every (y, z) for the
+    matching x range. ``rows_matching`` is identical for both layouts
+    by construction — the audit's self-check that layout never changes
+    the answer."""
+    xlo, xhi, ylo, yhi, zlo, zhi = box
+    zwidth = max(1, (1 << (3 * bits)) // n_files)
+    xwidth = max(1, (1 << bits) // n_files)
+    keyed = with_zorder3(df, xcol, ycol, zcol, bits).select(
+        "_xs", "_ys", "_zs", "zkey"
+    )
+
+    def audit(bucket: Column, layout: str) -> DataFrame:
+        per_file = (
+            keyed.withColumn("_file", bucket)
+            .groupBy("_file")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    (
+                        F.col("_xs").between(xlo, xhi)
+                        & F.col("_ys").between(ylo, yhi)
+                        & F.col("_zs").between(zlo, zhi)
+                    ).cast("bigint")
+                ).alias("n_match"),
+                F.min("_xs").alias("x_min"),
+                F.max("_xs").alias("x_max"),
+                F.min("_ys").alias("y_min"),
+                F.max("_ys").alias("y_max"),
+                F.min("_zs").alias("z_min"),
+                F.max("_zs").alias("z_max"),
+            )
+        )
+        scanned = (
+            (F.col("x_max") >= xlo)
+            & (F.col("x_min") <= xhi)
+            & (F.col("y_max") >= ylo)
+            & (F.col("y_min") <= yhi)
+            & (F.col("z_max") >= zlo)
+            & (F.col("z_min") <= zhi)
+        ).cast("bigint")
+        return per_file.agg(
+            F.count("*").alias("files_total"),
+            F.sum(scanned).alias("files_scanned"),
+            F.sum(F.col("n_rows") * scanned).alias("rows_in_scanned_files"),
+            F.sum("n_match").alias("rows_matching"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "files_total",
+            "files_scanned",
+            "rows_in_scanned_files",
+            "rows_matching",
+        )
+
+    zed = audit(F.expr(f"zkey div {zwidth}"), "zorder3")
+    lin = audit(F.expr(f"_xs div {xwidth}"), "linear_x")
+    return zed.unionByName(lin).orderBy("layout")
+
+
 def with_zorder(
     df: DataFrame, xcol: str, ycol: str, bits: int = 16, out: str = "zkey"
 ) -> DataFrame:

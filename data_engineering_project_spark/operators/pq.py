@@ -441,7 +441,28 @@ def pq_adc_topk_grouped(
         qi = qpos.get(coerce(qid))
         if qi is not None:
             cell2q.setdefault(int(cell), []).append(qi)
-    cell2q_np = {c: np.array(sorted(set(qs))) for c, qs in cell2q.items()}
+    # CSR-style probe map for fully vectorized pair expansion (a
+    # per-cell Python loop pays small-array numpy overhead ~nlist
+    # times per batch — measured 3x the kernel's real work at
+    # nlist=200): flat_q holds each cell's sorted query indices
+    # contiguously, cell_off/cell_len index into it by cell id.
+    cmax = max(cell2q, default=-1)
+    cell_len = np.zeros(cmax + 1 or 1, dtype=np.int64)
+    cell_off = np.zeros(cmax + 1 or 1, dtype=np.int64)
+    flat_parts = []
+    run = 0
+    for c in range(cmax + 1):
+        qs = sorted(set(cell2q.get(c, ())))
+        cell_len[c] = len(qs)
+        cell_off[c] = run
+        run += len(qs)
+        if qs:
+            flat_parts.append(np.array(qs, dtype=np.int64))
+    flat_q = (
+        np.concatenate(flat_parts)
+        if flat_parts
+        else np.empty(0, dtype=np.int64)
+    )
 
     def kernel(batches):
         import numpy as np
@@ -449,31 +470,24 @@ def pq_adc_topk_grouped(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cells = pdf["__cell"].to_numpy()
+            cells = pdf["__cell"].to_numpy().astype(np.int64)
             nids = pdf["__nid"].to_numpy()
             C = np.stack(pdf["codes"].map(np.asarray))
-            chunks = []
-            order = np.argsort(cells, kind="stable")
-            bounds = np.r_[
-                0, np.flatnonzero(np.diff(cells[order])) + 1, len(order)
-            ]
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                rows = order[s:e]
-                qs = cell2q_np.get(int(cells[rows[0]]))
-                if qs is None:
-                    continue
-                # (|qs| x |rows|) flat pair layout for this cell
-                qidx = np.repeat(qs, len(rows))
-                S = _gather_scores(
-                    T, qidx, np.tile(C[rows], (len(qs), 1))
-                )
-                chunks.append((qidx, np.tile(nids[rows], len(qs)), S))
-            if not chunks:
+            n = len(cells)
+            valid = (cells >= 0) & (cells <= cmax)
+            cc = np.where(valid, cells, 0)
+            counts = np.where(valid, cell_len[cc], 0)
+            total = int(counts.sum())
+            if total == 0:
                 continue
-            qidx = np.concatenate([c[0] for c in chunks])
-            nid = np.concatenate([c[1] for c in chunks])
-            S = np.round(np.concatenate([c[2] for c in chunks]), 6)
-            out = _emit_topk(q_ids, qidx, nid, S, k)
+            # pair layout: row i repeats once per query probing its
+            # cell; within-row position walks that cell's query slice
+            row_rep = np.repeat(np.arange(n), counts)
+            starts = np.cumsum(counts) - counts
+            pos = np.arange(total) - np.repeat(starts, counts)
+            qidx = flat_q[cell_off[cc[row_rep]] + pos]
+            S = np.round(_gather_scores(T, qidx, C[row_rep]), 6)
+            out = _emit_topk(q_ids, qidx, nids[row_rep], S, k)
             if out is not None:
                 yield out
 

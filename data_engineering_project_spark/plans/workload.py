@@ -17712,6 +17712,118 @@ def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.pruning_audit(li, "l_partkey", "l_suppkey", n_files=64)
 
 
+def _zorder3_cte(x: str, y: str, z: str, table: str) -> str:
+    """Shared oracle CTE: min/max scale ``x``/``y``/``z`` onto 10-bit
+    fixed point and interleave into the 3-D Morton key — the exact
+    integer twin of operators/layout.with_zorder3 (DuckDB ``//`` ==
+    Spark ``div`` on nonnegative BIGINT; same shifts and masks via
+    spread_bits3_sql; every intermediate < 2^28, so signed-int64
+    overflow semantics never come into play)."""
+    from data_engineering_project_spark.operators.layout import spread_bits3_sql
+
+    sx = spread_bits3_sql("xs")
+    sy = spread_bits3_sql("ys")
+    sz = spread_bits3_sql("zs")
+
+    def scale(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} <= {mn} THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST({col} AS BIGINT) - {mn} END * 1023"
+            f" // (CASE WHEN {mx} <= {mn} THEN CAST(1 AS BIGINT)"
+            f" ELSE {mx} - {mn} END)"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT CAST(MIN({x}) AS BIGINT) AS xmn, CAST(MAX({x}) AS BIGINT) AS xmx,
+         CAST(MIN({y}) AS BIGINT) AS ymn, CAST(MAX({y}) AS BIGINT) AS ymx,
+         CAST(MIN({z}) AS BIGINT) AS zmn, CAST(MAX({z}) AS BIGINT) AS zmx
+  FROM {table}
+), k AS (
+  SELECT {scale(x, 'xmn', 'xmx')} AS xs,
+         {scale(y, 'ymn', 'ymx')} AS ys,
+         {scale(z, 'zmn', 'zmx')} AS zs
+  FROM {table}, s
+), m AS (
+  SELECT xs, ys, zs, ({sx} | ({sy} << 1) | ({sz} << 2)) AS zkey FROM k
+)"""
+
+
+@register(
+    "zorder3_pruning_audit",
+    _zorder3_cte("l_orderkey", "l_partkey", "l_suppkey", "lineitem")
+    + """
+, zf AS (
+  SELECT zkey // 16777216 AS f, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN xs BETWEEN 384 AND 511
+                        AND ys BETWEEN 384 AND 511
+                        AND zs BETWEEN 384 AND 511
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         MIN(xs) AS x_min, MAX(xs) AS x_max,
+         MIN(ys) AS y_min, MAX(ys) AS y_max,
+         MIN(zs) AS z_min, MAX(zs) AS z_max
+  FROM m GROUP BY f
+), lf AS (
+  SELECT xs // 16 AS f, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN xs BETWEEN 384 AND 511
+                        AND ys BETWEEN 384 AND 511
+                        AND zs BETWEEN 384 AND 511
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         MIN(xs) AS x_min, MAX(xs) AS x_max,
+         MIN(ys) AS y_min, MAX(ys) AS y_max,
+         MIN(zs) AS z_min, MAX(zs) AS z_max
+  FROM m GROUP BY f
+), fz AS (
+  SELECT *, CASE WHEN x_max >= 384 AND x_min <= 511
+                  AND y_max >= 384 AND y_min <= 511
+                  AND z_max >= 384 AND z_min <= 511
+                 THEN 1 ELSE 0 END AS scanned FROM zf
+), fl AS (
+  SELECT *, CASE WHEN x_max >= 384 AND x_min <= 511
+                  AND y_max >= 384 AND y_min <= 511
+                  AND z_max >= 384 AND z_min <= 511
+                 THEN 1 ELSE 0 END AS scanned FROM lf
+)
+SELECT 'zorder3' AS layout, COUNT(*) AS files_total,
+       CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+       CAST(SUM(n_rows * scanned) AS BIGINT) AS rows_in_scanned_files,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matching
+FROM fz
+UNION ALL
+SELECT 'linear_x', COUNT(*),
+       CAST(SUM(scanned) AS BIGINT),
+       CAST(SUM(n_rows * scanned) AS BIGINT),
+       CAST(SUM(n_match) AS BIGINT)
+FROM fl
+ORDER BY layout
+""",
+)
+def q_zorder3_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Morton layout pruning (r13, the r12 verdict's stretch item):
+    lineitem's (l_orderkey, l_partkey, l_suppkey) scaled onto 10-bit
+    exact-integer fixed point, interleaved into a 30-bit Morton key
+    (operators/layout.with_zorder3 — overflow-safe magic-number
+    spreading, whole-stage-codegen'd, DuckDB-replayed bit-exactly by
+    this oracle), then audited for min/max file skipping under a
+    THREE-sided box (the center 1/8-per-axis tile: "these orders,
+    these parts, these suppliers").
+
+    With 64 equal-width files the 3-D curve gives every file a
+    ~64^(-1/3) = 1/4 span of EVERY axis, so the box touches ~1 file;
+    the linear layout prunes on x alone and reads every (y, z) for
+    the matching x range (~8 of 64 files). rows_matching is identical
+    across layouts by construction — layout changes bytes read, never
+    the answer."""
+    from data_engineering_project_spark.operators import layout
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    return layout.pruning_audit3(
+        li, "l_orderkey", "l_partkey", "l_suppkey", n_files=64
+    )
+
+
 _BUCKETED_TABLES: dict = {}
 
 
@@ -17804,6 +17916,65 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("join_shuffle_free", F.lit(shuffle_free))
         .orderBy("priority")
+    )
+
+
+@register(
+    "bucketed_point_lookup",
+    """
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       ROUND(o_totalprice, 2) AS total_price,
+       TRUE AS bucket_pruned,
+       CAST(1 AS BIGINT) AS buckets_selected,
+       CAST(8 AS BIGINT) AS buckets_total
+FROM orders
+WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+""",
+)
+def q_bucketed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING for point lookups (r13 — the read-side
+    complement to the co-located join): an equality predicate on a
+    bucketed table's bucket key scans ONE bucket's files, because the
+    literal hashes straight to its bucket — no sort order, no
+    directory layout, no footer stats involved. On a 100 TB table in
+    1024 buckets a key lookup touches ~0.1% of the bytes; the same
+    write-once clustering shuffle that deleted the join exchange pays
+    for this too.
+
+    The lookup runs through sources/bucketed.bucket_pruned_lookup,
+    which plans AND executes inside the
+    autoBucketedScan-disabled window (Spark's heuristic only credits
+    bucketed scans for joins/aggregates, not pruning) and parses the
+    MECHANICAL attestation off the FileScan node:
+    ``SelectedBucketsCount: 1 out of 8``. Those two numbers are
+    returned as columns and value-checked by the oracle — if pruning
+    ever regresses to a full scan (8 of 8), the driver's hash gate
+    fails, not just a test. The looked-up row itself (min orderkey —
+    deterministic at every SF) proves through the DuckDB twin that
+    pruning never changes the answer. The files-scanned comparison
+    (bucketed-pruned vs plain parquet footer-stats) lives in the ×10
+    scaling artifact (`bucket_pruning_comparison`)."""
+    from data_engineering_project_spark.sources import bucketed
+
+    ot, _lt = _bucketed_pair(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    key_val = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    look, sel, tot = bucketed.bucket_pruned_lookup(
+        spark, ot, "o_orderkey", [key_val]
+    )
+    return (
+        look.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .withColumn(
+            "bucket_pruned",
+            F.lit(sel is not None and tot is not None and sel < tot),
+        )
+        .withColumn("buckets_selected", F.lit(sel).cast("long"))
+        .withColumn("buckets_total", F.lit(tot).cast("long"))
     )
 
 
@@ -18053,6 +18224,8 @@ _REGISTERED_ROUND: dict[str, int] = {
     "zorder_pruning_audit": 12,
     "bucketed_colocated_join": 12,
     "dynamic_partition_pruning_join": 12,
+    "bucketed_point_lookup": 13,
+    "zorder3_pruning_audit": 13,
 }
 
 # Production-hash (xxhash64) near-dup twins: benchmarked (bench.py

@@ -75,3 +75,50 @@ def join_is_shuffle_free(joined: DataFrame) -> bool:
     requirement directly, so Catalyst inserts no shuffle.)"""
     plan = joined._jdf.queryExecution().executedPlan().toString()
     return "SortMergeJoin" in plan and "Exchange" not in plan
+
+
+def bucket_pruned_lookup(
+    spark: SparkSession,
+    table: str,
+    key: str,
+    values: list,
+):
+    """Point/IN lookup on a bucketed table's bucket key with BUCKET
+    PRUNING — the read-side complement to the join-side shuffle
+    deletion: the literals hash to their buckets and the scan reads
+    ONLY those buckets' files (`SelectedBucketsCount: v out of n` on
+    the FileScan node), so a key lookup on a 100 TB table touches
+    1/n_buckets of it without any sort order or directory layout —
+    the same write-once clustering pays for both joins and lookups.
+
+    Spark's auto-bucketed-scan heuristic
+    (``spark.sql.sources.bucketing.autoBucketedScan.enabled``)
+    disables bucketed reading for scan-only plans — it only credits
+    join/aggregate distribution, not pruning — so the lookup is
+    PLANNED AND EXECUTED inside a window with that heuristic off
+    (planning is lazy: just building the frame under the conf and
+    restoring it before the action would silently re-plan without
+    pruning). The result is small by definition (a key lookup), so it
+    is materialized eagerly inside the window; the session conf is
+    restored either way.
+
+    Returns ``(result_df, buckets_selected, buckets_total)`` —
+    (None, None) for the counts if the scan carried no bucket-pruning
+    evidence (e.g. ``table`` is not bucketed on ``key``)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        df = spark.table(table).filter(F.col(key).isin(*values))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        out = df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, prev)
+    if m:
+        return out, int(m.group(1)), int(m.group(2))
+    return out, None, None

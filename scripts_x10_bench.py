@@ -222,6 +222,112 @@ def _pq_bytes_comparison() -> dict:
     }
 
 
+def _bucket_pruning_comparison() -> dict:
+    """Files/bytes a POINT LOOKUP touches on the ×K replica's orders:
+    bucketed (hash-clustered, bucket pruning via
+    sources/bucketed.bucket_pruned_lookup) vs plain parquet where the
+    skip decision comes from real footer min/max stats (the best an
+    unclustered table offers). The 100 TB claim is that the write-once
+    clustering shuffle buys key lookups a 1/n_buckets scan forever;
+    this measures the selected-bucket file/byte footprint instead of
+    asserting it."""
+    import tempfile
+
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.session import get_spark
+    from data_engineering_project_spark.sources import bucketed
+
+    spark = get_spark("xk-bucket-pruning")
+    spark.sparkContext.setLogLevel("ERROR")
+    orders = spark.read.parquet(f"{WORK}/orders.parquet")
+    base = tempfile.mkdtemp(prefix="xk_bkt_")
+    n_buckets = 16
+    table = "sg_xk_orders_bkt_probe"
+    bucketed.write_bucketed(
+        orders, table, f"{base}/orders", "o_orderkey", n_buckets
+    )
+    # a MID-RANGE key, not the min: the extreme keys are footer
+    # pruning's degenerate best case (only one file's [min, max] can
+    # contain the global min), which would flatter the plain layout's
+    # contrast; a middle key straddles every unclustered file's range
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    key = int(
+        orders.filter(F.col("o_orderkey") >= (int(lo) + int(hi)) // 2)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    look, sel, tot = bucketed.bucket_pruned_lookup(
+        spark, table, "o_orderkey", [key]
+    )
+    n_rows = look.count()
+    # the selected bucket's physical files: bucketed file names carry
+    # the bucket id suffix (part-...._NNNNN.c000...), and the id is
+    # pmod(murmur3(key), n) — the same hash() the writer used
+    bucket_id = spark.sql(
+        f"SELECT pmod(hash(CAST({key} AS BIGINT)), {n_buckets})"
+    ).collect()[0][0]
+    files = [
+        f
+        for f in os.listdir(f"{base}/orders")
+        if f.endswith(".parquet")
+    ]
+    sel_files = [f for f in files if f"_{bucket_id:05d}." in f]
+    sel_bytes = sum(
+        os.path.getsize(os.path.join(base, "orders", f)) for f in sel_files
+    )
+    tot_bytes = sum(
+        os.path.getsize(os.path.join(base, "orders", f)) for f in files
+    )
+    # plain contrast: same data, same file count, no clustering — a
+    # file is read iff its footer min/max straddles the key
+    plain = f"{base}/plain"
+    orders.repartition(n_buckets).write.mode("overwrite").parquet(plain)
+    plain_total = plain_scanned = plain_scan_bytes = plain_bytes = 0
+    for f in sorted(os.listdir(plain)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(plain, f)
+        md = papq.ParquetFile(fp).metadata
+        if md.num_rows == 0:
+            continue
+        plain_total += 1
+        plain_bytes += os.path.getsize(fp)
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        mn = min(
+            md.row_group(g).column(idx["o_orderkey"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(g).column(idx["o_orderkey"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        if mn <= key <= mx:
+            plain_scanned += 1
+            plain_scan_bytes += os.path.getsize(fp)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "n_orders": orders.count(),
+        "lookup_key": key,
+        "lookup_rows": n_rows,
+        "n_buckets": n_buckets,
+        "buckets_selected": sel,
+        "buckets_total": tot,
+        "bucketed_files_total": len(files),
+        "bucketed_files_scanned": len(sel_files),
+        "bucketed_bytes_total": tot_bytes,
+        "bucketed_bytes_scanned": sel_bytes,
+        "plain_files_total": plain_total,
+        "plain_files_scanned": plain_scanned,
+        "plain_bytes_total": plain_bytes,
+        "plain_bytes_scanned": plain_scan_bytes,
+    }
+
+
 def _layout_pruning_comparison(
     xcol: str = "l_partkey",
     ycol: str = "l_suppkey",
@@ -407,6 +513,7 @@ def main() -> int:
             n for n, r in rows.items() if r["no_baseline"]
         ),
         "pq_codes_bytes_comparison": _pq_bytes_comparison(),
+        "bucket_pruning_comparison": _bucket_pruning_comparison(),
         "layout_pruning_comparison": {
             "correlated_dims": _layout_pruning_comparison(
                 "l_partkey", "l_suppkey"

@@ -81,3 +81,48 @@ def test_sorted_buckets_skip_the_sort(spark, pair):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_point_lookup_prunes_to_hashed_buckets(spark, pair):
+    """r13: an equality/IN predicate on the bucket key scans ONLY the
+    buckets the literals hash into (SelectedBucketsCount on the scan
+    node), and the answer equals the plain-parquet lookup."""
+    orders, _ = pair
+    keys = [int(r[0]) for r in orders.select("o_orderkey").limit(3).collect()]
+    look, sel, tot = bucketed.bucket_pruned_lookup(
+        spark, "t_orders_bkt", "o_orderkey", keys[:1]
+    )
+    assert tot == 8 and sel == 1
+    want = orders.filter(F.col("o_orderkey") == keys[0]).collect()
+    assert sorted(map(tuple, look.collect())) == sorted(map(tuple, want))
+    # IN-list: at most one bucket per literal, never the full scan
+    look3, sel3, tot3 = bucketed.bucket_pruned_lookup(
+        spark, "t_orders_bkt", "o_orderkey", keys
+    )
+    assert tot3 == 8 and 1 <= sel3 <= len(keys)
+    assert look3.count() == orders.filter(F.col("o_orderkey").isin(keys)).count()
+
+
+def test_point_lookup_restores_auto_bucketed_scan_conf(spark, pair):
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    before = spark.conf.get(conf_key)
+    bucketed.bucket_pruned_lookup(spark, "t_orders_bkt", "o_orderkey", [1])
+    assert spark.conf.get(conf_key) == before
+    # and restored even when the lookup raises (bad column name)
+    with pytest.raises(Exception):
+        bucketed.bucket_pruned_lookup(spark, "t_orders_bkt", "nope", [1])
+    assert spark.conf.get(conf_key) == before
+
+
+def test_point_lookup_on_unbucketed_scan_reports_none(spark, pair, tmp_path):
+    """A table without bucketing metadata yields (None, None) counts —
+    the caller's attestation column goes False instead of lying."""
+    orders, _ = pair
+    orders.limit(100).write.mode("overwrite").parquet(str(tmp_path / "plain"))
+    spark.read.parquet(str(tmp_path / "plain")).createOrReplaceTempView(
+        "t_plain_view"
+    )
+    look, sel, tot = bucketed.bucket_pruned_lookup(
+        spark, "t_plain_view", "o_orderkey", [1]
+    )
+    assert sel is None and tot is None

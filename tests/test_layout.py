@@ -258,3 +258,78 @@ def test_write_zordered_bits_over_16_uses_generic_path(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert set(back.columns) == {"x", "y"}
+
+
+def _py_spread3(v: int) -> int:
+    v &= 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def test_zorder3_key_matches_python_reference(spark):
+    pts = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+           (1023, 1023, 1023), (123, 456, 789)]
+    df = spark.createDataFrame(pts, "x: bigint, y: bigint, z: bigint")
+    got = {
+        (r.x, r.y, r.z): r.k
+        for r in df.select(
+            "x", "y", "z",
+            layout.zorder3_key(
+                F.col("x"), F.col("y"), F.col("z")
+            ).alias("k"),
+        ).collect()
+    }
+    for x, y, z in pts:
+        naive = sum(
+            (((x >> b) & 1) << (3 * b))
+            | (((y >> b) & 1) << (3 * b + 1))
+            | (((z >> b) & 1) << (3 * b + 2))
+            for b in range(10)
+        )
+        assert got[(x, y, z)] == naive == (
+            _py_spread3(x) | (_py_spread3(y) << 1) | (_py_spread3(z) << 2)
+        ), (x, y, z)
+    assert got[(1, 0, 0)] == 1 and got[(0, 1, 0)] == 2 and got[(0, 0, 1)] == 4
+    assert got[(1023, 1023, 1023)] == (1 << 30) - 1
+
+
+def test_zorder3_spread_sql_twin_matches_column_twin():
+    import duckdb
+
+    sql = layout.spread_bits3_sql("v")
+    got = duckdb.sql(
+        f"SELECT v, {sql} AS s FROM (SELECT UNNEST(RANGE(0, 1024)) AS v)"
+    ).fetchall()
+    assert all(s == _py_spread3(v) for v, s in got)
+
+
+def test_pruning_audit3_three_sided_box_beats_linear(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    rows = {
+        r["layout"]: r
+        for r in layout.pruning_audit3(
+            li, "l_orderkey", "l_partkey", "l_suppkey", n_files=64
+        ).collect()
+    }
+    z, lin = rows["zorder3"], rows["linear_x"]
+    # identical answers, fewer files AND fewer rows scanned on 3-D
+    assert z["rows_matching"] == lin["rows_matching"]
+    assert z["files_total"] == lin["files_total"] == 64
+    assert z["files_scanned"] < lin["files_scanned"]
+    assert z["rows_in_scanned_files"] < lin["rows_in_scanned_files"]
+
+
+def test_with_zorder3_validates_bits_and_reserved(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "x: bigint, y: bigint, z: bigint")
+    with pytest.raises(ValueError, match=r"bits must be in \[1, 10\]"):
+        layout.with_zorder3(df, "x", "y", "z", bits=11)
+    clash = spark.createDataFrame(
+        [(1, 2, 3, 4)], "x: bigint, y: bigint, z: bigint, _zs: bigint"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        layout.with_zorder3(clash, "x", "y", "z")
