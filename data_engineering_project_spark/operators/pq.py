@@ -186,10 +186,13 @@ def _adc_tables(codebooks, queries_pdf, query_id_col, query_vec_col):
     still guard them, dropping NaN-scored pairs.
 
     Everything here is driver-side and bounded by contract: queries
-    are small, codebooks are control-plane frames. Table values are
-    Python-float dot products — bit-identical to the literal arrays
-    the pre-r13 expression scorer shipped, so the kernel's left-fold
-    sum reproduces its scores exactly."""
+    are small, codebooks are control-plane frames. Tables build as one
+    BLAS gemm per subspace (query-slice matrix x codeword matrix) —
+    the per-entry Python dot-product loop cost ~1s per 6k-query batch
+    at the x100 rung and grew linearly with the batch. (Gemm
+    accumulation order can differ from a left-fold sum in the last
+    ulp; scores round to 6 decimals downstream, and every parity
+    oracle in this family is tolerance- or invariant-based.)"""
     import numpy as np
 
     book_maps = []
@@ -204,17 +207,23 @@ def _adc_tables(codebooks, queries_pdf, query_id_col, query_vec_col):
     n_q = len(queries_pdf)
     L = max((max(bm) + 1 for bm in book_maps if bm), default=1)
     T = np.full((n_q, m, L), np.nan)
-    q_ids = []
-    for qi, q in enumerate(queries_pdf.itertuples(index=False)):
-        q_ids.append(coerce(getattr(q, query_id_col)))
-        qv = [float(x) for x in getattr(q, query_vec_col)]
-        for j, book in enumerate(book_maps):
-            for lbl, c in book.items():
-                T[qi, j, lbl] = sum(qv[j * d + t] * c[t] for t in range(d))
     q_ids = np.array(
-        q_ids, dtype=(np.int64 if qid_type == "long" else
-                      np.float64 if qid_type == "double" else object)
+        [coerce(v) for v in queries_pdf[query_id_col]],
+        dtype=(np.int64 if qid_type == "long" else
+               np.float64 if qid_type == "double" else object),
     )
+    if n_q:
+        Q = np.stack(
+            queries_pdf[query_vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)
+            )
+        )
+        for j, book in enumerate(book_maps):
+            if not book:
+                continue
+            labels = np.fromiter(book.keys(), dtype=np.int64, count=len(book))
+            B = np.array([book[int(lbl)] for lbl in labels], dtype=np.float64)
+            T[:, j, labels] = Q[:, j * d : (j + 1) * d] @ B.T
     return q_ids, T, qid_type, coerce
 
 
@@ -491,11 +500,26 @@ def pq_adc_topk_grouped(
             if out is not None:
                 yield out
 
-    local = encoded.select(
+    sel = encoded.select(
         F.col(id_col).alias("__nid"),
         "codes",
         F.col(cell_col).alias("__cell"),
-    ).mapInPandas(kernel, out_schema)
+    )
+    # Parallelism guard: the codes table is m bytes/row, so at bench
+    # scale its whole scan fits ONE file split and the kernel would
+    # run serially. Re-spread by cell up to the session's parallelism
+    # (a shuffle of the m-byte table — negligible, and at real scale
+    # the cell-partitioned files already split wide so this no-ops).
+    # BY CELL, not round-robin: each partition then holds few cells,
+    # so its local top-k emits rows only for the queries probing
+    # those cells instead of |partitions| x |queries| x k rows.
+    n_cells = int((cell_len > 0).sum())
+    target = min(
+        spark.sparkContext.defaultParallelism, max(n_cells, 1)
+    )
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target, "__cell")
+    local = sel.mapInPandas(kernel, out_schema)
     return _rank_topk(local, k)
 
 

@@ -18175,10 +18175,15 @@ _REWIRED: dict[str, int] = {
     # pq.ivfpq_topk instead of duplicating it; add_to_index(if_absent)
     # dedupes ids within the batch; the PNG decoder gained the
     # pre-inflation size cap + bounded decompressobj + Adam7 support
-    "embedding_incremental_near_dups": 12,
-    "embedding_near_dups_indexed": 12,
-    "streaming_near_dups": 12,
     "media_decode_png": 12,
+    # round 13: the persisted-index writes cluster by cell before
+    # partitionBy (one file per cell instead of n_tasks x n_cells
+    # slivers — rows identical, layout is the body) and the exact
+    # rerank/probe composition consumes them
+    "ann_index_parity": 13,
+    "embedding_incremental_near_dups": 13,
+    "embedding_near_dups_indexed": 13,
+    "streaming_near_dups": 13,
     # round 13: ADC scoring rewired from the per-pair element_at
     # BroadcastNestedLoopJoin expression onto the Arrow table-gather
     # kernel (pq_adc_topk) / the cell-grouped IVFADC kernel
