@@ -18184,6 +18184,10 @@ _REWIRED: dict[str, int] = {
     "embedding_incremental_near_dups": 13,
     "embedding_near_dups_indexed": 13,
     "streaming_near_dups": 13,
+    # round 13: write_bucketed pre-clusters on the writer's bucket-id
+    # expression (one file per bucket instead of n_tasks per bucket —
+    # rows and join plans identical, layout is the body)
+    "bucketed_colocated_join": 13,
     # round 13: ADC scoring rewired from the per-pair element_at
     # BroadcastNestedLoopJoin expression onto the Arrow table-gather
     # kernel (pq_adc_topk) / the cell-grouped IVFADC kernel

@@ -37,11 +37,26 @@ def write_bucketed(
 ) -> None:
     """Materialize ``df`` hash-clustered into ``n_buckets`` on ``key``
     (optionally sorted within buckets so the merge join skips its Sort
-    too). Overwrites both the catalog entry and the path."""
+    too). Overwrites both the catalog entry and the path.
+
+    The frame is pre-clustered on the WRITER'S bucket-id expression
+    (``pmod(hash(key), n)`` — Spark's bucket spec uses the same
+    Murmur3 ``hash()``), so each bucket's rows land in one task and
+    the table materializes as ~``n_buckets`` files. Without it every
+    upstream task writes its own file per bucket — n_tasks x
+    n_buckets small files (measured 512 at the x10 replica's 32-task
+    orders), whose per-file open cost erodes exactly the point-lookup
+    win bucketing exists to buy (r13; same lesson as the ANN index's
+    cell-partitioned write)."""
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = (
-        df.write.mode("overwrite")
+        df.repartition(
+            n_buckets, F.expr(f"pmod(hash(`{key}`), {n_buckets})")
+        )
+        .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .bucketBy(n_buckets, key)

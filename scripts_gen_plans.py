@@ -64,6 +64,12 @@ SHOWCASE = {
     "zorder_locality": "Morton layout key: fixed-point scaling + bit spreading ride scan-side codegen; ONE stats broadcast + one 64-group aggregate — no extra fact shuffle",
     "bucketed_colocated_join": "bucketed co-located join: the SortMergeJoin consumes both bucketed scans DIRECTLY (no Exchange below the join — that shuffle was paid once at write time); the only exchanges left belong to the 5-group aggregate and final sort",
     "dynamic_partition_pruning_join": "DPP: the fact scan's PartitionFilters carry a runtime dynamicpruning subquery from the quarter-filtered dim — only matching month directories are read",
+    "zorder3_pruning_audit": "3-D Morton key: three fixed-point scalings + the 30-bit interleave all ride scan-side codegen; ONE stats broadcast + two 64-group aggregates, no extra fact shuffle",
+    # bucketed_point_lookup's attestation is value-carried (the
+    # SelectedBucketsCount numbers are oracle-checked columns) and its
+    # returned frame is a checkpoint, so its plan page would show an
+    # RDD scan — the bucketed-scan plan text lives in
+    # tests/test_bucketed.py instead
 }
 
 
