@@ -135,6 +135,13 @@ PROBE = [
     # r12: month-partitioned fact CTAS + DPP join (the partitioned
     # write dominates; the pruned read must stay ~quarter-sized)
     "dynamic_partition_pruning_join",
+    # r13: the 3-D Morton pruning audit (three-dim scaling + 30-bit
+    # interleave over the full lineitem, two 64-group aggregates) and
+    # the bucketed point lookup (shares the bucketed CTAS with
+    # bucketed_colocated_join; the lookup itself must stay
+    # bucket-sized regardless of corpus growth)
+    "zorder3_pruning_audit",
+    "bucketed_point_lookup",
 ]
 
 

@@ -193,16 +193,31 @@ def _pq_bytes_comparison() -> dict:
         .collect()
     )
     fp = ann_index.index_scan_bytes(path, probed)
-    t0 = time.perf_counter()
-    n_pq = ann_index.incremental_near_dups_pq(
-        spark, path, new, threshold=0.99, n_probe=4, shortlist=50
-    ).count()
-    pq_sec = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    n_exact = ann_index.incremental_near_dups_indexed(
-        spark, path, new, threshold=0.99, n_probe=4
-    ).count()
-    exact_sec = round(time.perf_counter() - t0, 3)
+
+    # Each path runs TWICE and the headline compares warm-to-warm,
+    # with both samples committed (r13): the single-shot protocol was
+    # asymmetric — the codes path ran first and paid the session's
+    # one-time codegen/worker/GC costs for the probe stage that the
+    # vector path then reused warm, so the committed ratio measured
+    # run order, not the paths.
+    def timed(fn):
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        return n, samples
+
+    n_pq, pq_samples = timed(
+        lambda: ann_index.incremental_near_dups_pq(
+            spark, path, new, threshold=0.99, n_probe=4, shortlist=50
+        ).count()
+    )
+    n_exact, exact_samples = timed(
+        lambda: ann_index.incremental_near_dups_indexed(
+            spark, path, new, threshold=0.99, n_probe=4
+        ).count()
+    )
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return {
         "n_vectors": emb.count(),
@@ -217,8 +232,10 @@ def _pq_bytes_comparison() -> dict:
         "pairs_codes_path": n_pq,
         "pairs_vector_path": n_exact,
         "pairs_equal": n_pq == n_exact,
-        "codes_path_sec": pq_sec,
-        "vector_path_sec": exact_sec,
+        "codes_path_sec": pq_samples[-1],
+        "vector_path_sec": exact_samples[-1],
+        "codes_path_samples": pq_samples,
+        "vector_path_samples": exact_samples,
     }
 
 
