@@ -104,7 +104,7 @@ def add_to_index(
         assigned = assigned.dropDuplicates([id_col])
         assigned = assigned.localCheckpoint(eager=True)
         target_cells = sorted(
-            r["cell"] for r in assigned.select("cell").distinct().collect()
+            {r["cell"] for r in assigned.select("cell").collect()}
         )
         existing = (
             spark.read.parquet(_cells_dir(path))
@@ -148,8 +148,10 @@ def query_index(
     probes = probe_assignments(
         queries, cents, id_col, vec_col, n_probe
     ).localCheckpoint(eager=True)
+    # driver-side distinct over the collected |q| x n_probe cell rows
+    # (a distinct() job shuffled the same tiny frame for the same set)
     probed_cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
+        {r["cell"] for r in probes.select("cell").collect()}
     )
     cells = spark.read.parquet(_cells_dir(path)).filter(
         F.col("cell").isin(probed_cells)
@@ -210,8 +212,9 @@ def incremental_near_dups_indexed(
     probes = probe_assignments(
         new, cents, id_col, vec_col, n_probe
     ).localCheckpoint(eager=True)
+    # driver-side distinct (see query_index): one collect, no shuffle
     probed = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
+        {r["cell"] for r in probes.select("cell").collect()}
     )
     stored_cells = spark.read.parquet(_cells_dir(path)).filter(
         F.col("cell").isin(probed)
@@ -303,7 +306,8 @@ def add_to_pq_index(
     from data_engineering_project_spark.operators import pq as pq_ops
 
     cents = spark.read.parquet(_cents_dir(path))
-    books = read_codebooks(spark, path)
+    # rows, not frames: pq_encode builds codeword literals driver-side
+    books = read_codebook_rows(spark, path)
     assigned = assign_cells(new_vectors, cents, id_col, vec_col)
     codes = pq_ops.pq_encode(new_vectors, books, id_col, vec_col).join(
         assigned.select(id_col, "cell"), id_col
@@ -312,7 +316,7 @@ def add_to_pq_index(
         codes = codes.dropDuplicates([id_col])
         codes = codes.localCheckpoint(eager=True)
         target_cells = sorted(
-            r["cell"] for r in codes.select("cell").distinct().collect()
+            {r["cell"] for r in codes.select("cell").collect()}
         )
         existing = (
             spark.read.parquet(_codes_dir(path))
@@ -412,16 +416,20 @@ def incremental_near_dups_pq(
     The new batch is collected driver-side for the ADC lookup tables
     (micro-batch bounded by contract, exactly like the query side of
     :func:`query_pq_index`)."""
+    import pandas as pd
+
     from data_engineering_project_spark.operators import pq as pq_ops
 
     cents = spark.read.parquet(_cents_dir(path))
-    books = read_codebooks(spark, path)
+    # ONE collect of the books sidecar instead of 1 + m filtered scans
+    books = read_codebook_rows(spark, path)
     probes = probe_assignments(
         new, cents, id_col, vec_col, n_probe
     ).localCheckpoint(eager=True)
-    probed = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    )
+    # one collect serves the partition-filter cell list AND the grouped
+    # kernel's probe map (was a distinct() job + a toPandas job)
+    pc_rows = probes.select("query_id", "cell").collect()
+    probed = sorted({r["cell"] for r in pc_rows})
     codes = spark.read.parquet(_codes_dir(path)).filter(
         F.col("cell").isin(probed)
     )
@@ -439,7 +447,12 @@ def incremental_near_dups_pq(
         codes.select(id_col, "codes", "cell"),
         books,
         qp,
-        probes.select("query_id", "cell").toPandas(),
+        pd.DataFrame(
+            {
+                "query_id": [r["query_id"] for r in pc_rows],
+                "cell": [r["cell"] for r in pc_rows],
+            }
+        ),
         k=shortlist,
         id_col=id_col,
         query_id_col=id_col,
@@ -531,6 +544,23 @@ def read_codebooks(spark: SparkSession, path: str) -> list[DataFrame]:
     ]
 
 
+def read_codebook_rows(spark: SparkSession, path: str) -> list[list]:
+    """Sidecar → per-subspace lists of (label, centroid) rows in ONE
+    scan + collect (the sidecar is a bounded control-plane table).
+    The probe path consumes driver-side rows anyway (the ADC lookup
+    tables are built on the driver), so reading the books as m
+    separate filtered-scan jobs paid m extra job round-trips per probe
+    for rows the driver immediately collected — guide §5. Row values
+    are identical to :func:`read_codebooks`'s frames collected
+    per-subspace (same files, same cells)."""
+    rows = spark.read.parquet(_books_dir(path)).collect()
+    m = max(int(r["subspace"]) for r in rows) + 1
+    books: list[list] = [[] for _ in range(m)]
+    for r in rows:
+        books[int(r["subspace"])].append(r)
+    return books
+
+
 def query_pq_index(
     spark: SparkSession,
     path: str,
@@ -551,15 +581,27 @@ def query_pq_index(
     layout is never an answer change (pinned by the
     ``ivfpq_index_parity`` workload entry and tests/test_ann_index.py).
     """
+    import pandas as pd
+
     from data_engineering_project_spark.operators import pq as pq_ops
 
     cents = spark.read.parquet(_cents_dir(path))
-    books = read_codebooks(spark, path)
+    # ONE collect of the books sidecar (the driver builds the ADC
+    # tables from rows anyway) instead of 1 + m filtered-scan jobs
+    books = read_codebook_rows(spark, path)
     probes = probe_assignments(
         queries, cents, id_col, vec_col, n_probe
     ).localCheckpoint(eager=True)
-    probed_cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
+    # one collect serves BOTH the partition-filter cell list and the
+    # grouped kernel's driver-side probe map (the distinct() job and
+    # the toPandas job each re-walked the same |q| x n_probe rows)
+    pc_rows = probes.select("query_id", "cell").collect()
+    probed_cells = sorted({r["cell"] for r in pc_rows})
+    probes_pdf = pd.DataFrame(
+        {
+            "query_id": [r["query_id"] for r in pc_rows],
+            "cell": [r["cell"] for r in pc_rows],
+        }
     )
     cells = spark.read.parquet(_cells_dir(path)).filter(
         F.col("cell").isin(probed_cells)
@@ -586,4 +628,5 @@ def query_pq_index(
         id_col=id_col,
         vec_col=vec_col,
         probes=probes,
+        probes_pdf=probes_pdf,
     )

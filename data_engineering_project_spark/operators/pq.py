@@ -123,7 +123,7 @@ def pq_encode(
     whole-stage-codegen pass with their codewords inlined as
     literals, the assign_cells shape times m. At k<=256 the codes
     array is the m-byte compressed representation."""
-    book_rows = [b.collect() for b in codebooks]
+    book_rows = _book_rows(codebooks)
     m = len(book_rows)
     dim = len(df.select(vec_col).limit(1).collect()[0][0])
     d = dim // m
@@ -134,6 +134,14 @@ def pq_encode(
         for j, rows in enumerate(book_rows)
     ]
     return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def _book_rows(codebooks) -> list:
+    """Collect codebooks that are still DataFrames; pass through
+    already-collected row sequences unchanged."""
+    return [
+        b.collect() if hasattr(b, "collect") else b for b in codebooks
+    ]
 
 
 def _qid_coercion(queries_pdf, query_id_col: str):
@@ -197,7 +205,10 @@ def _adc_tables(codebooks, queries_pdf, query_id_col, query_vec_col):
 
     book_maps = []
     for b in codebooks:
-        rows = b.collect()
+        # a codebook may arrive as a DataFrame or as its already-
+        # collected rows (callers that hold the control-plane rows
+        # driver-side skip one collect job per subspace — guide §5)
+        rows = b.collect() if hasattr(b, "collect") else b
         book_maps.append(
             {int(r["label"]): [float(x) for x in r["centroid"]] for r in rows}
         )
@@ -535,6 +546,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: DataFrame | None = None,
+    probes_pdf=None,
 ) -> DataFrame:
     """The COMPOSED production IVFPQ retriever: IVF probe prunes WHICH
     rows a query touches, ADC ranks ONLY those into a ``shortlist``,
@@ -567,11 +579,17 @@ def ivfpq_topk(
 
     # ``probes`` lets a caller that already probed (e.g. the persisted
     # index, which needs the probed-cell list for partition pruning)
-    # hand the checkpointed frame through instead of re-scoring
+    # hand the checkpointed frame through instead of re-scoring;
+    # ``probes_pdf`` additionally hands the driver-side (query_id,
+    # cell) rows through, skipping this call's toPandas job over the
+    # same tiny frame (guide §5: control-plane rows the driver already
+    # holds should not round-trip through an executor job)
     if probes is None:
         probes = probe_assignments(
             queries, cents, id_col, vec_col, n_probe
         ).localCheckpoint(eager=True)
+    if probes_pdf is None:
+        probes_pdf = probes.select("query_id", "cell").toPandas()
     # the shortlist stage is the grouped IVFADC kernel: each code row
     # scores against exactly the queries probing its cell, streaming
     # the codes once — no (query, id) pair frame. A codes frame that
@@ -589,7 +607,7 @@ def ivfpq_topk(
         enc_cells,
         codebooks,
         qp,
-        probes.select("query_id", "cell").toPandas(),
+        probes_pdf,
         k=shortlist,
         id_col=id_col,
         query_id_col=id_col,

@@ -2237,14 +2237,25 @@ def q_embedding_near_dups_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # PartitionFilters)
     plan = indexed_lazy._jdf.queryExecution().executedPlan().toString()
     indexed = indexed_lazy.localCheckpoint(eager=True)
+    # checkpoint the in-memory twin: the two exceptAll directions each
+    # re-ran the full rectangle kernel (r13 — one exec + one fused
+    # count job instead of two jobs x two executions)
     inmem = similarity.embedding_near_dups_incremental(
         emb, new, threshold=0.99, n_probe=4,
         cents=_ivf_cents16(spark, sf_dir),
-    )
+        # the session already holds the corpus assigned under this
+        # exact quantizer (stored_probes=1 == the argmax assignment):
+        # reuse it instead of re-running the argmax scan (r13) — at
+        # lake scale this is "read the inverted-lists table", which is
+        # precisely what the indexed side does
+        stored_cells=_ivf_cells16_assigned(spark, sf_dir),
+    ).localCheckpoint(eager=True)
     cols = ["id_a", "id_b", "cosine"]
     diff = (
-        indexed.select(*cols).exceptAll(inmem.select(*cols)).count()
-        + inmem.select(*cols).exceptAll(indexed.select(*cols)).count()
+        indexed.select(*cols)
+        .exceptAll(inmem.select(*cols))
+        .unionAll(inmem.select(*cols).exceptAll(indexed.select(*cols)))
+        .count()
     )
     new_ids = new.select("vec_id")
     n_new = new_ids.count()
@@ -6504,9 +6515,14 @@ def q_ann_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inmem = similarity.ivf_topk(emb, queries, cents, k=5, n_probe=4)
     cols = ["query_id", "neighbor_id", "cosine"]
+    # each exceptAll direction re-executed BOTH probe pipelines; one
+    # checkpoint per side + a fused union count runs each pipeline
+    # once (r13). The plan audit below inspects the lazy frame, whose
+    # lineage the checkpoint does not mutate.
+    p_ck = persisted.select(*cols).localCheckpoint(eager=True)
+    i_ck = inmem.select(*cols).localCheckpoint(eager=True)
     diff = (
-        persisted.select(*cols).exceptAll(inmem.select(*cols)).count()
-        + inmem.select(*cols).exceptAll(persisted.select(*cols)).count()
+        p_ck.exceptAll(i_ck).unionAll(i_ck.exceptAll(p_ck)).count()
     )
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     seg = (
@@ -6554,13 +6570,13 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     cents = _ivf_cents16(spark, sf_dir)
-    books = _pq_books(spark, sf_dir)
+    books = _pq_book_rows(spark, sf_dir)
     path = _ann_index_path(spark, sf_dir)
     # keyed by PATH (not sf_dir) so the scaled near-dup fixture shares
     # this build whenever its path coincides with the shared index
     key = (spark.sparkContext.applicationId, path, "pq")
     if key not in _PQ_INDEX_BUILT:
-        ann_index.build_pq_index(spark, path, books)
+        ann_index.build_pq_index(spark, path, _pq_books(spark, sf_dir))
         _PQ_INDEX_BUILT.add(key)
     persisted_lazy = ann_index.query_pq_index(
         spark, path, queries, k=5, n_probe=4, shortlist=50
@@ -6578,18 +6594,32 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )
+    # checkpoint the in-memory probe: the two exceptAll directions each
+    # re-executed the full composition (r13 — one exec + one fused
+    # count job instead of two jobs x two executions)
     inmem = pq_ops.ivfpq_topk(
         cells, enc, books, cents, queries, k=5, n_probe=4, shortlist=50
-    )
+    ).localCheckpoint(eager=True)
     cols = ["query_id", "neighbor_id", "cosine"]
     diff = (
-        persisted.select(*cols).exceptAll(inmem.select(*cols)).count()
-        + inmem.select(*cols).exceptAll(persisted.select(*cols)).count()
+        persisted.select(*cols)
+        .exceptAll(inmem.select(*cols))
+        .unionAll(inmem.select(*cols).exceptAll(persisted.select(*cols)))
+        .count()
     )
-    back = ann_index.read_codebooks(spark, path)
-    books_equal = len(back) == len(books) and all(
-        sorted(map(tuple, bm.collect())) == sorted(map(tuple, bd.collect()))
-        for bm, bd in zip(books, back)
+    # sidecar roundtrip: ONE collect of the books table, compared per
+    # subspace against the in-memory rows — same float-exact equality
+    # as the previous per-subspace frame collects (r13)
+    back_rows = spark.read.parquet(ann_index._books_dir(path)).collect()
+    by_j: dict = {}
+    for r in back_rows:
+        by_j.setdefault(int(r["subspace"]), []).append(
+            (r["label"], list(r["centroid"]))
+        )
+    books_equal = sorted(by_j) == list(range(len(books))) and all(
+        sorted((r["label"], list(r["centroid"])) for r in books[j])
+        == sorted(by_j[j])
+        for j in range(len(books))
     )
     return queries.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
@@ -6687,11 +6717,14 @@ def q_pq_near_dups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes measurement must cover exactly the cells the loop read
     sidecar_cents = spark.read.parquet(ann_index._cents_dir(path))
     probed_cells = sorted(
-        r["cell"]
-        for r in similarity.probe_assignments(new, sidecar_cents, n_probe=4)
-        .select("cell")
-        .distinct()
-        .collect()
+        {
+            r["cell"]
+            for r in similarity.probe_assignments(
+                new, sidecar_cents, n_probe=4
+            )
+            .select("cell")
+            .collect()
+        }
     )
     fp = ann_index.index_scan_bytes(path, probed_cells)
     return local_rows(spark, 
@@ -6736,6 +6769,24 @@ def _pq_books(spark, sf_dir) -> list:
     return books
 
 
+_PQ_BOOK_ROWS_CACHE: dict = {}
+
+
+def _pq_book_rows(spark, sf_dir) -> list:
+    """The shared codebooks as driver-side row lists, collected once
+    per session (r13): every ADC/encode consumer builds its literal
+    tables from rows anyway, so handing frames around cost one collect
+    job per subspace per entry for identical values (guide §5). The
+    frames stay available via _pq_books for consumers that need a
+    DataFrame (the sidecar write in build_pq_index)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _PQ_BOOK_ROWS_CACHE.get(key)
+    if rows is None:
+        rows = [b.collect() for b in _pq_books(spark, sf_dir)]
+        _PQ_BOOK_ROWS_CACHE[key] = rows
+    return rows
+
+
 @register(
     "pq_adc_recall",
     """
@@ -6767,7 +6818,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific (partial-agg sum order), so the oracle pins
     invariants, same contract as ivf_recall_check."""
     emb = load(spark, sf_dir, "embeddings")
-    books = _pq_books(spark, sf_dir)
+    books = _pq_book_rows(spark, sf_dir)
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )
@@ -6841,7 +6892,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     cents = _ivf_cents16(spark, sf_dir)
-    books = _pq_books(spark, sf_dir)
+    books = _pq_book_rows(spark, sf_dir)
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )
@@ -6863,7 +6914,10 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
-    n_corpus = enc_all.count()
+    # |enc_all| == |corpus| + |planted| by construction (pq_encode is a
+    # projection): the parquet metadata count replaces a job that
+    # re-executed the planted encode expressions (r13, same number)
+    n_corpus = emb.count() + len(qp)
     cand_counts = (
         survivors.groupBy("query_id").agg(F.count(F.lit(1)).alias("c"))
     ).collect()
@@ -6935,7 +6989,7 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     cents = _ivf_cents16(spark, sf_dir)
-    books = _pq_books(spark, sf_dir)
+    books = _pq_book_rows(spark, sf_dir)
     enc = _shared_frame(
         spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
     )

@@ -324,3 +324,21 @@ def test_pq_index_probe_matches_inmemory_composition(spark, sf_dir, index_path):
         for seg in plan.split("PartitionFilters")[1:]
     )
     assert pruned_scans >= 2, "codes and vectors scans must both prune"
+
+
+def test_read_codebook_rows_matches_read_codebooks(spark, sf_dir, index_path):
+    """r13: the single-collect sidecar read returns the same
+    per-subspace (label, centroid) values as the m filtered-scan
+    frames (float-exact — same files, same cells)."""
+    from data_engineering_project_spark.operators import pq
+
+    emb = workload.load(spark, sf_dir, "embeddings")
+    books = pq.pq_train(emb, m=2, k=4, iters=1)
+    ann_index.build_pq_index(spark, index_path, books)
+    frames = ann_index.read_codebooks(spark, index_path)
+    rows = ann_index.read_codebook_rows(spark, index_path)
+    assert len(frames) == len(rows)
+    for bf, br in zip(frames, rows):
+        assert sorted(
+            (r["label"], list(r["centroid"])) for r in bf.collect()
+        ) == sorted((r["label"], list(r["centroid"])) for r in br)

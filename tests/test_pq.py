@@ -365,3 +365,20 @@ def test_grouped_kernel_empty_probes_and_queries(spark, emb, books, encoded):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "adc_ip"]
+
+
+def test_collected_book_rows_score_identically_to_frames(spark, emb, books, encoded):
+    """r13: ADC consumers accept pre-collected codebook rows (the
+    driver builds its lookup tables from rows anyway — passing rows
+    skips one collect job per subspace). Scores and ranks must be
+    BIT-identical to the DataFrame form, and encode must produce the
+    identical codes."""
+    book_rows = [b.collect() for b in books]
+    qp = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").toPandas()
+    a = sorted(map(tuple, pq.pq_adc_topk(encoded, books, qp, k=10).collect()))
+    b = sorted(map(tuple, pq.pq_adc_topk(encoded, book_rows, qp, k=10).collect()))
+    assert a == b
+    enc_rows = pq.pq_encode(emb.limit(50), book_rows)
+    enc_frames = pq.pq_encode(emb.limit(50), books)
+    assert enc_rows.exceptAll(enc_frames).count() == 0
+    assert enc_frames.exceptAll(enc_rows).count() == 0
