@@ -79,9 +79,25 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Session-memoized base-table RELATIONS (r13, guide §7.3): every
+# `spark.read.parquet(path)` call costs ~100 ms of single-threaded
+# driver work (file listing + footer schema inference) before any
+# action runs, and the registry's ~540 load() calls paid it per call
+# for immutable inputs. Memoizing the LAZY frame is plan reuse, not
+# result caching — every action still scans the parquet files; only
+# the relation construction (schema/footer) is shared, exactly what
+# `spark.table` does through a catalog entry on a real lake.
+_TABLE_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _ensure_session_confs(spark)
-    return read_testdata(spark, sf_dir, table)
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    df = _TABLE_FRAMES.get(key)
+    if df is None:
+        df = read_testdata(spark, sf_dir, table)
+        _TABLE_FRAMES[key] = df
+    return df
 
 
 # Deterministic intermediate frames shared ACROSS queries in one
