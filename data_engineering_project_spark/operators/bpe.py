@@ -143,42 +143,48 @@ def _merge_seq_delta(
     the trainer's hottest remaining path. Empty delta ⇔ no (a,b)
     occurrence (the stale-inverted-index no-op)."""
     out: list[str] = []
-    starts: list[int] = []  # original index of each out-token's first symbol
-    merged: list[int] = []  # out-positions holding a merged (a+b) token
+    # sparse site map out-position -> original index of the merged
+    # (a, b) occurrence: only boundaries ADJACENT to a merge site
+    # change, and out[q+1] there is either a merged token (mapped) or
+    # the original symbol at (site's j) + 2 — so the full per-token
+    # starts list the previous form built (one list entry per output
+    # token, ~40% of the trainer's wall) is never needed.
+    p2j: dict[int, int] = {}
     i = 0
     n = len(syms)
     while True:
         try:
             j = syms.index(a, i)
         except ValueError:
-            starts.extend(range(i, n))
             out.extend(syms[i:])
             break
         if j < n - 1 and syms[j + 1] == b:
-            starts.extend(range(i, j))
             out.extend(syms[i:j])
-            merged.append(len(out))
-            starts.append(j)
+            p2j[len(out)] = j
             out.append(a + b)
             i = j + 2
         else:
-            starts.extend(range(i, j + 1))
             out.extend(syms[i : j + 1])
             i = j + 1
         if i >= n:
             break
-    if not merged:
+    if not p2j:
         return syms, {}
     delta: dict[tuple[str, str], int] = {}
     boundaries = set()
-    for p in merged:
+    last = len(out) - 1
+    for p in p2j:
         delta[(a, b)] = delta.get((a, b), 0) - 1
         if p > 0:
             boundaries.add(p - 1)
-        if p < len(out) - 1:
+        if p < last:
             boundaries.add(p)
     for q in boundaries:  # boundary between out[q] and out[q+1]
-        s = starts[q + 1]
+        # original start of out[q+1]: a merged token carries its own
+        # j; otherwise q is some site's right boundary (q in p2j) and
+        # the next token starts at that site's j + 2
+        nxt = p2j.get(q + 1)
+        s = nxt if nxt is not None else p2j[q] + 2
         old = (syms[s - 1], syms[s])
         new = (out[q], out[q + 1])
         delta[old] = delta.get(old, 0) - 1
@@ -226,9 +232,15 @@ def train_bpe_from_counts(
             pair_counts[p] = pair_counts.get(p, 0) + c
             pair_words.setdefault(p, set()).add(wi)
     # lazy-deletion max-heap over (-count, pair): heappop order IS the
-    # (count DESC, pair ASC) tiebreak; an entry is live iff it matches
-    # the dict's current count (every count change pushes a fresh
-    # entry, so the current value is always present in the heap).
+    # (count DESC, pair ASC) tiebreak. Entries are pushed on count
+    # INCREASES only; decreases leave stale-HIGH entries that are
+    # corrected when popped (re-push the current count and keep
+    # popping). Invariant: every pair's current count is <= its best
+    # heap entry, so a popped entry matching its current count is the
+    # true (max count, min pair) — identical selection to the
+    # push-on-every-change form, which flooded the heap with one entry
+    # per decrement (profiled: 387k heappops for 2000 merges, 1.8 s of
+    # the trainer's 3.3 s; now ~1 pop per merge + corrections).
     heap: list[tuple[int, tuple[str, str]]] = [
         (-c, p) for p, c in pair_counts.items()
     ]
@@ -239,9 +251,14 @@ def train_bpe_from_counts(
         best = None
         while heap:
             negc, p = heapq.heappop(heap)
-            if pair_counts.get(p) == -negc:
+            cur = pair_counts.get(p)
+            if cur == -negc:
                 best = (p, -negc)
                 break
+            if cur is not None and cur < -negc:
+                # stale-high: restore the corrected entry so the pair
+                # stays represented, keep searching
+                heapq.heappush(heap, (-cur, p))
         if best is None:
             break
         (a, b), bc = best
@@ -266,8 +283,12 @@ def train_bpe_from_counts(
                     pair_words.setdefault(p, set()).add(wi)
                 nc = pair_counts.get(p, 0) + d * c
                 if nc > 0:
+                    grew = nc > pair_counts.get(p, 0)
                     pair_counts[p] = nc
-                    heapq.heappush(heap, (-nc, p))
+                    if grew:
+                        # push only when the count grew — a decrease
+                        # leaves a stale-high entry the pop corrects
+                        heapq.heappush(heap, (-nc, p))
                 else:
                     pair_counts.pop(p, None)
                     # drop the inverted-index entry too: no word
@@ -369,6 +390,80 @@ def apply_bpe(
                 row["lossless"] = lossless
                 rows.append(row)
             yield pd.DataFrame(rows)
+
+    return df.select(*keep, text_col).mapInPandas(kernel, out_fields)
+
+
+def apply_bpe_multi(
+    df: DataFrame,
+    text_col: str,
+    merge_sets: list[list[Merge]],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encoding stats under SEVERAL merge sets in ONE Arrow pass:
+    ``(keep_cols…, n_words, n_chars, n_subwords_<i>…, lossless_<i>…)``.
+
+    The monotone-compression audits encode the same corpus under a
+    full vocabulary and a rank prefix; running :func:`apply_bpe` per
+    set re-paid the scan, the JVM↔Python transfer and the Python word
+    loop once per set (guide §4: the boundary crossing is the cost —
+    cross it once). Tokenization is shared; each set keeps its own
+    per-partition word cache; ``n_chars`` is ``len(text)`` (one more
+    aggregate the callers previously computed in a separate job).
+    Per-set stats are bit-identical to apply_bpe's."""
+    import pandas as pd
+
+    keep = list(keep_cols or [])
+    rank_sets = [
+        {(a, b): i for i, (a, b, _) in enumerate(ms)} for ms in merge_sets
+    ]
+    n_sets = len(rank_sets)
+    out_fields = ", ".join(
+        [f"{df.schema[c].name} {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["n_words long", "n_chars long"]
+        + [f"n_subwords_{i} long" for i in range(n_sets)]
+        + [f"lossless_{i} boolean" for i in range(n_sets)]
+    )
+    _CACHE_CAP = 200_000
+
+    def kernel(batches):
+        caches: list[dict] = [{} for _ in range(n_sets)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cache in caches:
+                if len(cache) > _CACHE_CAP:
+                    cache.clear()
+            texts = pdf[text_col].tolist()
+            col_nw = []
+            col_nc = []
+            col_ns = [[] for _ in range(n_sets)]
+            col_ll = [[] for _ in range(n_sets)]
+            for text in texts:
+                words = [w for w in (text or "").split(" ") if w]
+                col_nw.append(len(words))
+                col_nc.append(len(text or ""))
+                for si in range(n_sets):
+                    cache, ranks = caches[si], rank_sets[si]
+                    n_sub = 0
+                    lossless = True
+                    for w in words:
+                        subs = cache.get(w)
+                        if subs is None:
+                            subs = encode_word(w, ranks)
+                            cache[w] = subs
+                        n_sub += len(subs)
+                        if "".join(subs) != w:
+                            lossless = False
+                    col_ns[si].append(n_sub)
+                    col_ll[si].append(lossless)
+            data = {c: pdf[c] for c in keep}
+            data["n_words"] = col_nw
+            data["n_chars"] = col_nc
+            for si in range(n_sets):
+                data[f"n_subwords_{si}"] = col_ns[si]
+                data[f"lossless_{si}"] = col_ll[si]
+            yield pd.DataFrame(data)
 
     return df.select(*keep, text_col).mapInPandas(kernel, out_fields)
 

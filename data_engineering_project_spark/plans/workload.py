@@ -17458,14 +17458,17 @@ def q_bpe_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     merges = bpe.train_bpe(docs, "text", top_k=2000, n_merges=40, min_count=2)
-    enc40 = bpe.apply_bpe(docs, "text", merges)
-    enc10 = bpe.apply_bpe(docs, "text", merges[:10])
-    r40 = enc40.agg(
+    # ONE Arrow pass encodes under both rank sets (r13 — apply_bpe per
+    # set paid the corpus scan and the Python boundary twice for the
+    # same tokenization; per-set stats bit-identical)
+    stats = bpe.apply_bpe_multi(docs, "text", [merges, merges[:10]])
+    r = stats.agg(
         F.sum("n_words").alias("w"),
-        F.sum("n_subwords").alias("s"),
-        F.min(F.col("lossless").cast("int")).alias("l"),
+        F.sum("n_subwords_0").alias("s"),
+        F.min(F.col("lossless_0").cast("int")).alias("l"),
+        F.sum("n_subwords_1").alias("s10"),
     ).collect()[0]
-    s10 = enc10.agg(F.sum("n_subwords").alias("s")).collect()[0]["s"]
+    r40, s10 = r, r["s10"]
     fert = r40["s"] / r40["w"]
     return local_rows(spark, 
         [
@@ -17529,16 +17532,16 @@ def q_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.train_bpe_from_counts(units, n_merges=2000, min_count=2)
     # TakeOrdered leaves one partition; spread the encode work
     enc_in = units_df.repartition(32)
-    full = bpe.apply_bpe(enc_in, "unit", merges).agg(
-        F.sum("n_subwords").alias("s"),
-        F.min(F.col("lossless").cast("int")).alias("l"),
+    # ONE Arrow pass: both rank sets + the char total (r13 — was two
+    # apply_bpe scans plus a third job for sum(length); per-set stats
+    # and the char sum are bit-identical)
+    r = bpe.apply_bpe_multi(enc_in, "unit", [merges, merges[:200]]).agg(
+        F.sum("n_subwords_0").alias("s"),
+        F.min(F.col("lossless_0").cast("int")).alias("l"),
+        F.sum("n_subwords_1").alias("s_pre"),
+        F.sum("n_chars").alias("chars"),
     ).collect()[0]
-    s_pre = (
-        bpe.apply_bpe(enc_in, "unit", merges[:200])
-        .agg(F.sum("n_subwords").alias("s"))
-        .collect()[0]["s"]
-    )
-    chars = units_df.agg(F.sum(F.length("unit"))).collect()[0][0]
+    full, s_pre, chars = r, r["s_pre"], r["chars"]
     return local_rows(spark, 
         [
             (
@@ -18288,6 +18291,17 @@ _REWIRED: dict[str, int] = {
     "ivfpq_rerank_recall": 13,
     "ivfpq_index_parity": 13,
     "pq_near_dups_incremental": 13,
+    # round 13 (optimization): the BPE trainer's heap pushes on count
+    # increases only (stale-high entries corrected at pop — merges
+    # pinned bit-identical, hash-compared against the previous form),
+    # _merge_seq_delta drops the per-token starts list for a sparse
+    # site map (20k-case fuzz vs the Counter-diff reference), and the
+    # monotone-compression entries encode both rank sets in ONE fused
+    # Arrow pass (apply_bpe_multi, per-set stats pinned bit-identical
+    # by pytest)
+    "bpe_vocab_train": 13,
+    "bpe_artifact_roundtrip": 13,
+    "bpe_fertility_audit": 13,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.

@@ -245,3 +245,42 @@ def test_fertility_audit_invariants_hold(spark, sf_dir, n_merges):
     assert row["min(lossless)"] is True
     if n_merges:
         assert row["sum(n_subwords)"] <= enc.count() * 1000  # sane
+
+
+def test_apply_bpe_multi_matches_per_set_apply_bpe(spark):
+    """r13: the fused multi-set encode pass returns bit-identical
+    per-set stats to one apply_bpe pass per merge set, plus the char
+    count Spark's length() would report."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "low lower lowest"),
+        (2, "new newer newest"),
+        (3, ""),
+        (4, "low low low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = bpe.train_bpe(df, "text", top_k=100, n_merges=12, min_count=1)
+    multi = {
+        r["doc_id"]: r
+        for r in bpe.apply_bpe_multi(
+            df, "text", [merges, merges[:3]], keep_cols=["doc_id"]
+        ).collect()
+    }
+    for si, ms in enumerate([merges, merges[:3]]):
+        single = {
+            r["doc_id"]: r
+            for r in bpe.apply_bpe(df, "text", ms, keep_cols=["doc_id"]).collect()
+        }
+        assert set(single) == set(multi)
+        for k, s in single.items():
+            m = multi[k]
+            assert m["n_words"] == s["n_words"]
+            assert m[f"n_subwords_{si}"] == s["n_subwords"]
+            assert m[f"lossless_{si}"] == s["lossless"]
+    chars = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", F.length("text").alias("c")).collect()
+    }
+    for k, m in multi.items():
+        assert m["n_chars"] == chars[k]
