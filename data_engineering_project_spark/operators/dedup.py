@@ -514,7 +514,26 @@ def winnow_minima(
     from pyspark.sql import Window
 
     t = F.lower(F.col(text_col))
-    base = df.select(F.col(id_col), t.alias("__t")).select(
+    # Hash-repartition the RAW TEXT by id before the gram explode
+    # (r13, guide §2.3/§8): the sliding-min window needs the data
+    # clustered by id anyway, and placing the exchange here moves
+    # ~k-gram-factor FEWER bytes (text once vs one ~32-byte row per
+    # character) and spreads the per-gram md5 over the cluster — a
+    # small input otherwise fits one scan split and the entire gram
+    # pipeline runs in a single task. The count is EXPLICIT because
+    # AQE coalescing sizes partitions from the shuffle's text bytes
+    # and cannot see the ~30x explode downstream (it re-coalesced the
+    # keyed repartition to one partition here); sized from the session
+    # conf, not a local constant. The window reuses this partitioning,
+    # so the exchange COUNT is unchanged.
+    spark = df.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    base = df.select(F.col(id_col), t.alias("__t")).repartition(
+        n_parts, F.col(id_col)
+    ).select(
         F.col(id_col),
         "__t",
         F.greatest(F.length("__t") - (k - 1), F.lit(1)).alias("__g"),

@@ -160,6 +160,99 @@ def _band_select(
     )
 
 
+def exact_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    ks: list[int],
+    n: int,
+    accuracy: int = 10000,
+) -> list[float]:
+    """Exact k-th smallest for SEVERAL ranks in two data passes total
+    (r13): :func:`exact_order_statistic` per rank pays one sketch job
+    plus one band-count job (plus two tiny reads) PER RANK; auditing
+    three quantiles cost ~12 jobs over the same column. Here pass 1 is
+    ONE ``approx_percentile`` sketch bracketing every rank, pass 2 is
+    ONE counting pass where each row contributes to every band it
+    falls in (bands are ~4/accuracy of the data each, so the explode
+    factor is ~len(ks) only inside the bands; below-band mass folds to
+    the -inf sentinel per band) and the tiny (band, val, c) frame is
+    collected once. Per-rank results are identical to the single-rank
+    path: same sketch (one sketch over the same data answers each
+    quantile identically), same band logic, same fallback (a missed
+    bracket re-runs that rank over full distinct counts)."""
+    v = F.col(value_col)
+    if n <= 10 * accuracy:
+        counts = (
+            df.groupBy(v.alias("val"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        return [_kth_from_counts(counts, k) for k in ks]
+    m = 2.0 / accuracy
+    bounds: list[float] = []
+    for k in ks:
+        q = k / n
+        bounds.extend((max(0.0, q - m), min(1.0, q + m)))
+    arr = ", ".join(f"{b!r}" for b in bounds)
+    bs = df.agg(
+        F.expr(
+            f"approx_percentile({value_col}, array({arr}), {accuracy})"
+        ).alias("b")
+    ).collect()[0]["b"]
+    bands = [(bs[2 * i], bs[2 * i + 1]) for i in range(len(ks))]
+    contribs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.when(v < t_lo, F.lit(_NEG_INF))
+            .when(v > t_hi, F.lit(None))
+            .otherwise(v)
+            .alias("val"),
+        )
+        for i, (t_lo, t_hi) in enumerate(bands)
+    ]
+    rows = (
+        df.select(F.explode(F.array(*contribs)).alias("s"))
+        .select(F.col("s.band").alias("band"), F.col("s.val").alias("val"))
+        .filter(F.col("val").isNotNull())
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_band: dict[int, list] = {}
+    for r in rows:
+        by_band.setdefault(int(r["band"]), []).append(
+            (float(r["val"]), int(r["c"]))
+        )
+    out: list[float] = []
+    for i, k in enumerate(ks):
+        entries = sorted(by_band.get(i, ()))
+        n_lt = sum(c for val, c in entries if val == _NEG_INF)
+        n_band = sum(c for val, c in entries if val != _NEG_INF)
+        if not (n_lt < k <= n_lt + n_band):
+            # bracket missed (tiny n, adversarial ties): full
+            # distinct-counts fallback for this rank only
+            out.append(
+                _kth_from_counts(
+                    df.groupBy(v.alias("val")).agg(
+                        F.count(F.lit(1)).alias("c")
+                    ),
+                    k,
+                )
+            )
+            continue
+        cum = 0
+        got = None
+        for val, c in entries:
+            if val == _NEG_INF:
+                continue
+            cum += c
+            if cum >= k - n_lt:
+                got = val
+                break
+        out.append(float(got))
+    return out
+
+
 def exact_quantile_disc(
     df: DataFrame,
     value_col: str,

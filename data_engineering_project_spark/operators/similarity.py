@@ -397,24 +397,63 @@ def probe_assignments(
     n_probe: int = 3,
 ) -> DataFrame:
     """→ (query_id, q_vec, cell): each query's ``n_probe`` nearest
-    cells by centroid cosine. The centroid side is a broadcast of k
-    rows; the per-query rank windows over k rows, never the corpus."""
+    cells by centroid cosine — MAP-ONLY (r13, guide §2.4).
+
+    The previous form broadcast the centroid frame, cross-joined and
+    ranked with a per-query row_number window — an Exchange + Sort of
+    k rows PER QUERY ROW, i.e. a full shuffle of the corpus whenever
+    the query side IS the corpus (the multi-probe blocking path in
+    :func:`embedding_near_dups_ann` / the stored side of the
+    incremental operator). The centroids are a bounded control-plane
+    frame (the assign_cells contract), so they inline as literals and
+    the top-``n_probe`` is ``reverse(array_sort(...))[1..n_probe]``
+    over (sim, -cell) structs in one codegen'd projection — zero
+    exchanges, identical selection and tiebreak ((sim DESC, cell ASC);
+    Spark sorts NaN greatest in both forms) and bit-identical sims
+    (same zip_with/fold arithmetic, centroid doubles round-tripped
+    exactly; cf. _argmax_cell_exprs, which these literals share).
+    ``cents`` may be a DataFrame or pre-collected rows."""
+    cent_rows = cents.collect() if hasattr(cents, "collect") else cents
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    q_scored = q.join(
-        F.broadcast(cents.select(F.col("label").alias("cell"), "centroid"))
-    ).select(
-        "query_id",
-        "q_vec",
-        "cell",
-        cosine_similarity(F.col("q_vec"), F.col("centroid")).alias("sim"),
+    if not cent_rows:
+        return q.select(
+            "query_id", "q_vec", F.lit(None).cast("int").alias("cell")
+        ).filter(F.lit(False))
+    import math
+
+    norm_sql, _ = _argmax_cell_exprs(cent_rows, "q_vec")
+    structs = []
+    for row in cent_rows:
+        vec = [float(x) for x in row["centroid"]]
+        vals = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec)
+        nc = math.sqrt(sum(x * x for x in vec))
+        dot = (
+            "aggregate(zip_with(cast(q_vec as array<double>),"
+            f" array({vals}), (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        )
+        structs.append(
+            f"struct({dot} / (__nq * CAST('{nc!r}' AS DOUBLE)) AS sim,"
+            f" {-int(row['label'])} AS negcell)"
+        )
+    top = (
+        "slice(reverse(array_sort(array("
+        + ",".join(structs)
+        + f"))), 1, {int(n_probe)})"
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
     return (
-        q_scored.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        q.withColumn("__nq", F.expr(norm_sql))
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(F.expr(top)).alias("__p"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            (-F.col("__p")["negcell"]).alias("cell"),
+        )
     )
 
 

@@ -15576,7 +15576,13 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join plus one md5 per row — the query's real cost. This is the
     # natural materialization point of a conformal pipeline (the split
     # assignment must be frozen anyway).
-    model = (
+    # the tiny per-brand model is CHECKPOINTED (r13): it feeds the
+    # calibration join (twice — sketch pass + band pass), the test
+    # join and the train count, and un-checkpointed each consumer
+    # re-ran the full train aggregation over base. Its per-brand
+    # count also answers n_train driver-side (sum of group counts ==
+    # train row count), dropping a separate counting job.
+    model_full = (
         base.filter(F.col("bucket") <= 3)
         .groupBy("p_brand")
         .agg(
@@ -15586,9 +15592,15 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             )
             .cast("double")
-            .alias("mean_price")
+            .alias("mean_price"),
+            F.count(F.lit(1)).alias("__n"),
         )
+        .localCheckpoint(eager=True)
     )
+    n_train_val = sum(
+        r["__n"] for r in model_full.select("__n").collect()
+    )
+    model = model_full.select("p_brand", "mean_price")
     from data_engineering_project_spark.operators import robust
 
     cal = (
@@ -15619,13 +15631,9 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_covered"),
         )
     )
-    n_train = base.filter(F.col("bucket") <= 3).agg(
-        F.count(F.lit(1)).cast("long").alias("n_train")
-    )
     return (
-        test.crossJoin(F.broadcast(n_train))
-        .select(
-            "n_train",
+        test.select(
+            F.lit(n_train_val).cast("long").alias("n_train"),
             F.lit(n_cal_val).cast("long").alias("n_cal"),
             "n_test", "n_covered",
             F.lit(q95_val).alias("q95_resid"),
@@ -15903,16 +15911,22 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_extendedprice").alias("v"))
         .localCheckpoint(eager=True)
     )
-    n = prices.count()
-    ks = {q: math.ceil(q * n) for q in targets}
-    exacts = {
-        q: robust.exact_order_statistic(prices, "v", ks[q], n)
-        for q in targets
-    }
+    # ONE job computes n and the audit's sketch values together; the
+    # three exact order statistics then share one sketch-bracket pass
+    # and one multi-band counting pass (robust.exact_order_statistics,
+    # r13) — the per-rank form cost ~4 jobs x 3 ranks over the same
+    # checkpointed column for identical values
     arr = ", ".join(f"{q!r}D" for q in targets)
-    sketch = prices.agg(
-        F.expr(f"approx_percentile(v, array({arr}), {acc})").alias("s")
-    ).collect()[0]["s"]
+    first = prices.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(v, array({arr}), {acc})").alias("s"),
+    ).collect()[0]
+    n, sketch = first["n"], first["s"]
+    ks = {q: math.ceil(q * n) for q in targets}
+    ex_vals = robust.exact_order_statistics(
+        prices, "v", [ks[q] for q in targets], n
+    )
+    exacts = dict(zip(targets, ex_vals))
     counts = prices.agg(
         *[
             F.sum((F.col("v") < float(s)).cast("long")).alias(f"lt{i}")

@@ -510,3 +510,53 @@ def test_kmeans_fit_retains_empty_cells(spark):
     # the emptied cell keeps its (init) centroid instead of vanishing
     assert by_label[1] == [1.0, 0.0]
 
+
+
+def test_probe_assignments_matches_window_rank_form(spark, sf_dir):
+    """r13: the map-side literal-centroid probe (reverse(array_sort)
+    slice) selects exactly what the broadcast-join + row_number window
+    form selected — same (sim DESC, cell ASC) order, same sims (shared
+    zip_with/fold arithmetic), at n_probe below, at, and above k."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, iters=1)
+
+    def probe_window(queries, n_probe):
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        scored = q.join(
+            F.broadcast(
+                cents.select(F.col("label").alias("cell"), "centroid")
+            )
+        ).select(
+            "query_id",
+            "q_vec",
+            "cell",
+            similarity.cosine_similarity(
+                F.col("q_vec"), F.col("centroid")
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("cell")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n_probe)
+            .select("query_id", "q_vec", "cell")
+        )
+
+    for n_probe in (1, 3, 9):
+        old = sorted(
+            (r["query_id"], r["cell"])
+            for r in probe_window(emb, n_probe).collect()
+        )
+        new = sorted(
+            (r["query_id"], r["cell"])
+            for r in similarity.probe_assignments(
+                emb, cents, n_probe=n_probe
+            ).collect()
+        )
+        assert old == new

@@ -95,3 +95,26 @@ def test_exact_quantile_disc_empty_frame(spark):
     df = spark.createDataFrame([], "v double")
     n, got = robust.exact_quantile_disc(df, "v", 0.95)
     assert n == 0 and got is None
+
+
+def test_exact_order_statistics_multi_matches_single(spark):
+    """r13: the fused multi-rank path returns exactly what the
+    single-rank path returns, on both the small (distinct-counts) and
+    the sketch-bracketed code paths, ties included."""
+    import math
+
+    vals = [float(x % 97) for x in range(3000)] + [5.0] * 40
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    n = len(vals)
+    ks = [1, math.ceil(0.5 * n), math.ceil(0.95 * n), n]
+    # small path (n <= 10*accuracy)
+    multi = robust.exact_order_statistics(df, "v", ks, n)
+    singles = [robust.exact_order_statistic(df, "v", k, n) for k in ks]
+    assert multi == singles
+    # sketch path (accuracy small enough that n > 10*accuracy)
+    multi_sk = robust.exact_order_statistics(df, "v", ks, n, accuracy=100)
+    singles_sk = [
+        robust.exact_order_statistic(df, "v", k, n, accuracy=100)
+        for k in ks
+    ]
+    assert multi_sk == singles_sk
