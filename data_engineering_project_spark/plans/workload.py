@@ -841,6 +841,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _stream_drain_partitions(spark):
+    """Bound the state-store instance count for the bounded verdict
+    drains (r13, guide §2.2): a Structured-Streaming aggregation
+    creates one state store per shuffle partition and commits its
+    delta/CRC files EVERY micro-batch, so a small drain at the session
+    default (32) pays 32 stores' filesystem round-trips per batch for
+    a few thousand rows (measured: complete-mode sessionize drain
+    3.9 s at 32 partitions vs 1.1 s at 8, same rows out). The count is
+    env-tunable (SPARK_GRAFT_STREAM_SHUFFLE, default 8) because on a
+    real feed state sizing follows load, not a local constant; results
+    are partition-count-invariant (same aggregation, same rows)."""
+    import os as _os
+
+    n = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def _stage_stream_source(src: str, land: str) -> None:
     """Symlink a parquet table into a streaming landing dir.
 
@@ -936,14 +962,15 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sess = stream_ops.session_counts_complete(stream, gap_seconds=3600)
         name = f"stream_sess_{tag}"
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_drain_partitions(spark):
+            q = (
+                sess.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).groupBy("user_id").agg(
             F.count("*").cast("long").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
@@ -1041,19 +1068,20 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
         table = TransactionalTable(
             spark, f"/tmp/spark_graft_stream/{app}/{tag}/sessions_closed_tbl"
         )
-        q = (
-            sess.writeStream.foreachBatch(
-                stream_ops.session_upsert_sink(table)
+        with _stream_drain_partitions(spark):
+            q = (
+                sess.writeStream.foreachBatch(
+                    stream_ops.session_upsert_sink(table)
+                )
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    f"/tmp/spark_graft_stream/{app}/{tag}/ckpt_closed",
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("append")
-            .option(
-                "checkpointLocation",
-                f"/tmp/spark_graft_stream/{app}/{tag}/ckpt_closed",
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         return (
             table.read()
             .filter(F.col("user_id") >= 0)
