@@ -18344,6 +18344,32 @@ _REWIRED: dict[str, int] = {
     "bpe_vocab_train": 13,
     "bpe_artifact_roundtrip": 13,
     "bpe_fertility_audit": 13,
+    # round 13 (optimization, continued): verdict/grid/replicate
+    # frames moved onto JVM literal relations (localframe.local_rows —
+    # values bit-identical to createDataFrame by the repr-cast
+    # contract); probe_assignments rewired from broadcast-join +
+    # row_number window to the map-side literal top-n_probe (pinned
+    # row-identical by pytest at n_probe below/at/above k — consumers
+    # ivf_recall_check / embedding_near_dups_ann traverse it);
+    # winnow_minima repartitions raw text by id below the gram explode
+    # (explicit count — AQE can't see the explode); the sessionize
+    # drains run under the bounded state-partition knob; the quantile
+    # audit's three ranks share one sketch + one multi-band pass; the
+    # conformal model is checkpointed with n_train read off its group
+    # counts. Outputs identical (SIM_r13 301/301), bodies rewired.
+    "ivf_recall_check": 13,
+    "value_quantile_sketch": 13,
+    "poisson_bootstrap_ci": 13,
+    "permutation_test_priority_value": 13,
+    "reorder_survival_km": 13,
+    "weighted_sample_ares": 13,
+    "winnow_fingerprints": 13,
+    "winnow_pairs": 13,
+    "quantile_sketch_audit": 13,
+    "conformal_price_interval": 13,
+    "streaming_sessionize": 13,
+    "streaming_sessionize_closed": 13,
+    "embedding_near_dups_ann": 13,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.
