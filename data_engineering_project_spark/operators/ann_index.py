@@ -554,6 +554,8 @@ def read_codebook_rows(spark: SparkSession, path: str) -> list[list]:
     are identical to :func:`read_codebooks`'s frames collected
     per-subspace (same files, same cells)."""
     rows = spark.read.parquet(_books_dir(path)).collect()
+    if not rows:
+        raise ValueError(f"no codebooks at {_books_dir(path)}")
     m = max(int(r["subspace"]) for r in rows) + 1
     books: list[list] = [[] for _ in range(m)]
     for r in rows:

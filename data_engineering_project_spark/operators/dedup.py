@@ -527,10 +527,13 @@ def winnow_minima(
     # conf, not a local constant. The window reuses this partitioning,
     # so the exchange COUNT is unchanged.
     spark = df.sparkSession
-    n_parts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism,
-    )
+    # the conf may be non-numeric on AQE-managed runtimes ('auto');
+    # fall back to the cluster's default parallelism (ADVICE r13)
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        conf_parts = 0
+    n_parts = max(conf_parts, spark.sparkContext.defaultParallelism)
     base = df.select(F.col(id_col), t.alias("__t")).repartition(
         n_parts, F.col(id_col)
     ).select(

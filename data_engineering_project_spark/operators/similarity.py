@@ -418,8 +418,17 @@ def probe_assignments(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     if not cent_rows:
+        # schema parity with the non-empty branch (ADVICE r13): `cell`
+        # inherits the label column's dtype when the caller handed a
+        # DataFrame; pre-collected empty rows carry no schema, so the
+        # non-empty branch's integer literal type is the fallback
+        cell_type = (
+            cents.schema["label"].dataType.simpleString()
+            if hasattr(cents, "schema") and "label" in cents.columns
+            else "int"
+        )
         return q.select(
-            "query_id", "q_vec", F.lit(None).cast("int").alias("cell")
+            "query_id", "q_vec", F.lit(None).cast(cell_type).alias("cell")
         ).filter(F.lit(False))
     import math
 
