@@ -117,15 +117,26 @@ def pq_encode(
     codebooks: list[DataFrame],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: list[str] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """→ (id, codes array<int>): each vector's per-subspace codeword
-    ids, in ONE map-only projection — all m argmaxes run in the same
-    whole-stage-codegen pass with their codewords inlined as
+    """→ (id[, *keep], codes array<int>): each vector's per-subspace
+    codeword ids, in ONE map-only projection — all m argmaxes run in
+    the same whole-stage-codegen pass with their codewords inlined as
     literals, the assign_cells shape times m. At k<=256 the codes
-    array is the m-byte compressed representation."""
+    array is the m-byte compressed representation.
+
+    ``keep`` carries extra columns of ``df`` through the projection —
+    encoding the IVF-assigned frame with ``keep=["cell"]`` yields the
+    (id, cell, codes) table the grouped ADC kernel consumes with ZERO
+    join (r14: the enc×cells equi-join shuffled the corpus twice per
+    composed retrieval for a column the assignment already had).
+    ``dim`` (optional) skips the 1-row dimensionality probe job when
+    the caller already knows the vector width."""
     book_rows = _book_rows(codebooks)
     m = len(book_rows)
-    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    if dim is None:
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
     d = dim // m
     code_cols = [
         -F.expr(_argmin_l2_expr(rows, _subvec_sql(vec_col, j, d)))[
@@ -133,7 +144,11 @@ def pq_encode(
         ]
         for j, rows in enumerate(book_rows)
     ]
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
+        F.array(*code_cols).alias("codes"),
+    )
 
 
 def _book_rows(codebooks) -> list:
@@ -547,6 +562,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     probes: DataFrame | None = None,
     probes_pdf=None,
+    shortlist_df: DataFrame | None = None,
 ) -> DataFrame:
     """The COMPOSED production IVFPQ retriever: IVF probe prunes WHICH
     rows a query touches, ADC ranks ONLY those into a ``shortlist``,
@@ -588,31 +604,40 @@ def ivfpq_topk(
         probes = probe_assignments(
             queries, cents, id_col, vec_col, n_probe
         ).localCheckpoint(eager=True)
-    if probes_pdf is None:
-        probes_pdf = probes.select("query_id", "cell").toPandas()
-    # the shortlist stage is the grouped IVFADC kernel: each code row
-    # scores against exactly the queries probing its cell, streaming
-    # the codes once — no (query, id) pair frame. A codes frame that
-    # already carries `cell` (the persisted sidecar is partitioned by
-    # it) feeds the kernel directly; otherwise the cell assignment is
-    # joined on (in-memory callers — corpus-sized but map-side against
-    # the bounded probed-cell frames downstream).
-    enc_cells = (
-        encoded
-        if "cell" in encoded.columns
-        else encoded.join(cells.select(id_col, "cell"), id_col)
-    )
-    qp = queries.select(id_col, vec_col).toPandas()
-    sl = pq_adc_topk_grouped(
-        enc_cells,
-        codebooks,
-        qp,
-        probes_pdf,
-        k=shortlist,
-        id_col=id_col,
-        query_id_col=id_col,
-        query_vec_col=vec_col,
-    )
+    if shortlist_df is not None:
+        # a caller that already ran the grouped ADC kernel at this
+        # shortlist depth (e.g. to ALSO read the bare-ADC ranking off
+        # it — ivfpq_rerank_recall) hands the frame through; the
+        # re-rank below consumes it unchanged (r14, guide §1.2: one
+        # pass, two consumers)
+        sl = shortlist_df
+    else:
+        if probes_pdf is None:
+            probes_pdf = probes.select("query_id", "cell").toPandas()
+        # the shortlist stage is the grouped IVFADC kernel: each code
+        # row scores against exactly the queries probing its cell,
+        # streaming the codes once — no (query, id) pair frame. A
+        # codes frame that already carries `cell` (the persisted
+        # sidecar is partitioned by it, and pq_encode(keep=["cell"])
+        # over the assigned frame yields it join-free) feeds the
+        # kernel directly; otherwise the cell assignment is joined on
+        # (corpus-sized — avoid at scale by carrying the cell column).
+        enc_cells = (
+            encoded
+            if "cell" in encoded.columns
+            else encoded.join(cells.select(id_col, "cell"), id_col)
+        )
+        qp = queries.select(id_col, vec_col).toPandas()
+        sl = pq_adc_topk_grouped(
+            enc_cells,
+            codebooks,
+            qp,
+            probes_pdf,
+            k=shortlist,
+            id_col=id_col,
+            query_id_col=id_col,
+            query_vec_col=vec_col,
+        )
     # exact re-rank: fetch ONLY the shortlist rows' vectors (broadcast
     # of |queries| x shortlist pairs prunes the corpus scan) and score
     # them full-precision against the query vectors the probe already

@@ -91,6 +91,11 @@ _TABLE_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """IMMUTABILITY ASSUMPTION (ADVICE r13): the memoized relation
+    snapshots the table's file listing + schema at first load; a
+    harness that rewrites an input dir mid-session must call
+    ``_TABLE_FRAMES.clear()`` (or use a fresh SparkSession) or the
+    cached frame will reference stale/deleted files."""
     _ensure_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir, table)
     df = _TABLE_FRAMES.get(key)
@@ -855,7 +860,14 @@ def _stream_drain_partitions(spark):
     3.9 s at 32 partitions vs 1.1 s at 8, same rows out). The count is
     env-tunable (SPARK_GRAFT_STREAM_SHUFFLE, default 8) because on a
     real feed state sizing follows load, not a local constant; results
-    are partition-count-invariant (same aggregation, same rows)."""
+    are partition-count-invariant (same aggregation, same rows).
+
+    SINGLE-THREADED ASSUMPTION (ADVICE r13): the override mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the drain's
+    duration, so any query PLANNED concurrently from another thread
+    silently inherits the reduced count. The registry runs entries
+    sequentially (bench.py and the driver both do); a threaded harness
+    should scope the drain via ``spark.newSession()`` instead."""
     import os as _os
 
     n = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
@@ -6635,14 +6647,14 @@ def q_ivfpq_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     persisted = persisted_lazy.localCheckpoint(eager=True)
     cells = _ivf_cells16_assigned(spark, sf_dir)
-    enc = _shared_frame(
-        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
-    )
     # checkpoint the in-memory probe: the two exceptAll directions each
     # re-executed the full composition (r13 — one exec + one fused
-    # count job instead of two jobs x two executions)
+    # count job instead of two jobs x two executions). The codes come
+    # from the session-shared cell-carrying frame (r14 — the grouped
+    # kernel reads the cell join-free).
     inmem = pq_ops.ivfpq_topk(
-        cells, enc, books, cents, queries, k=5, n_probe=4, shortlist=50
+        cells, _pq_enc_cells(spark, sf_dir), books, cents, queries,
+        k=5, n_probe=4, shortlist=50,
     ).localCheckpoint(eager=True)
     cols = ["query_id", "neighbor_id", "cosine"]
     diff = (
@@ -6831,6 +6843,34 @@ def _pq_book_rows(spark, sf_dir) -> list:
     return rows
 
 
+def _pq_dim(books: list) -> int:
+    """Vector width from the collected codebooks (m subspaces × d per
+    codeword) — saves pq_encode's 1-row dimensionality probe job."""
+    return len(books) * len(books[0][0]["centroid"])
+
+
+def _pq_enc_cells(spark, sf_dir) -> DataFrame:
+    """Session-shared PQ codes WITH the IVF cell column — (vec_id,
+    cell, codes), checkpointed once (r14, guide §2.4). pq_encode runs
+    over the session's ASSIGNED corpus frame (keep=["cell"]) instead
+    of the raw corpus: the codes are bit-identical (the encode is a
+    row-wise literal argmin over the same embedding values), and the
+    grouped ADC kernel reads the cell join-free — the previous
+    enc×cells equi-join shuffled the corpus on vec_id once per
+    composed retrieval (twice in the planted-twin entries) for a
+    column the assignment pass already carried."""
+    def build() -> DataFrame:
+        books = _pq_book_rows(spark, sf_dir)
+        return pq_ops.pq_encode(
+            _ivf_cells16_assigned(spark, sf_dir),
+            books,
+            keep=["cell"],
+            dim=_pq_dim(books),
+        )
+
+    return _shared_frame(spark, sf_dir, "pq_enc_cells", build)
+
+
 @register(
     "pq_adc_recall",
     """
@@ -6863,9 +6903,11 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants, same contract as ivf_recall_check."""
     emb = load(spark, sf_dir, "embeddings")
     books = _pq_book_rows(spark, sf_dir)
-    enc = _shared_frame(
-        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
-    )
+    # the session-shared codes (one encode pass per session, carrying
+    # the cell column the grouped consumers need); this full-scan ADC
+    # entry projects the bare (id, codes) — same rows as the previous
+    # pq_encode(emb) frame (r14)
+    enc = _pq_enc_cells(spark, sf_dir).select("vec_id", "codes")
     queries = emb.filter(F.col("vec_id") < 10)
     qp = queries.select("vec_id", "embedding").toPandas()
     # planted twins: same vectors, ids offset far beyond the corpus —
@@ -6875,7 +6917,9 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = queries.select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
-    enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
+    enc_all = enc.unionByName(
+        pq_ops.pq_encode(planted, books, dim=_pq_dim(books))
+    )
     top10 = pq_ops.pq_adc_topk(enc_all, books, qp, k=10).localCheckpoint(
         eager=True
     )
@@ -6937,48 +6981,81 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     cents = _ivf_cents16(spark, sf_dir)
     books = _pq_book_rows(spark, sf_dir)
-    enc = _shared_frame(
-        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
-    )
+    enc_cells = _pq_enc_cells(spark, sf_dir)
     cells = _ivf_cells16_assigned(spark, sf_dir)
     qp = queries.select("vec_id", "embedding").toPandas()
     planted = queries.select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )  # JVM twin derivation — see pq_adc_recall
-    cells_all = cells.unionByName(similarity.assign_cells(planted, cents))
-    enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
+    # tiny (|queries| rows): checkpoint once, feeds the cell union,
+    # the codes union AND the driver-side candidate tally
+    planted_cells = similarity.assign_cells(
+        planted, cents
+    ).localCheckpoint(eager=True)
+    cells_all = cells.unionByName(planted_cells)
+    enc_all = enc_cells.unionByName(
+        pq_ops.pq_encode(
+            planted_cells, books, keep=["cell"], dim=_pq_dim(books)
+        )
+    )
     probes = similarity.probe_assignments(
         queries, cents, n_probe=4
     ).localCheckpoint(eager=True)
-    # per-query candidate pairs: rows whose cell is among THAT query's
-    # probed cells — the search_preassigned input of the ADC stage
-    survivors = (
-        cells_all.select("vec_id", "cell")
-        .join(probes.select("query_id", "cell"), "cell")
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    probes_pdf = probes.select("query_id", "cell").toPandas()
     # |enc_all| == |corpus| + |planted| by construction (pq_encode is a
     # projection): the parquet metadata count replaces a job that
     # re-executed the planted encode expressions (r13, same number)
     n_corpus = emb.count() + len(qp)
-    cand_counts = (
-        survivors.groupBy("query_id").agg(F.count(F.lit(1)).alias("c"))
-    ).collect()
-    pruned = len(cand_counts) == len(qp) and all(
-        r["c"] < n_corpus for r in cand_counts
+    # per-query candidate tallies DRIVER-SIDE (r14, guide §5): a
+    # query's candidate count is the sum of its probed cells' sizes —
+    # one 16-group aggregate over the checkpointed assignment plus the
+    # collected planted cells replaces the corpus-sized
+    # (query_id, vec_id) pair materialization + its groupBy job. Same
+    # numbers: the pair frame held one row per (probing query, row in
+    # probed cell).
+    sizes_all: dict = {
+        r["cell"]: r["n"]
+        for r in cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in planted_cells.select("cell").collect():
+        sizes_all[r["cell"]] = sizes_all.get(r["cell"], 0) + 1
+    q_tot: dict = {}
+    for q, c in zip(probes_pdf["query_id"], probes_pdf["cell"]):
+        q_tot[q] = q_tot.get(q, 0) + sizes_all.get(c, 0)
+    nonempty = [v for v in q_tot.values() if v > 0]
+    pruned = len(nonempty) == len(qp) and all(
+        v < n_corpus for v in nonempty
     )
-    ranked = pq_ops.pq_adc_topk(
-        enc_all, books, qp, k=10, candidates=survivors
+    # the grouped IVFADC kernel over the cell-carrying codes — the
+    # same candidate relation (cell co-membership with the probes) as
+    # the previous pair-frame path, with the pair frame never
+    # materialized (pinned row-equal by tests/test_pq.py)
+    ranked = pq_ops.pq_adc_topk_grouped(
+        enc_all, books, qp, probes_pdf, k=10
     ).localCheckpoint(eager=True)
     dup_hits = ranked.filter(
         F.col("neighbor_id") == F.col("query_id") + 10_000_000
     ).count()
-    leaked = ranked.join(
-        survivors.withColumnRenamed("vec_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_anti",
-    ).count()
+    # subset check against the probe relation: a returned neighbor
+    # leaks iff its (unique) cell is not among its query's probed
+    # cells — the same condition the previous anti-join against the
+    # (query, candidate) pair frame tested
+    leaked = (
+        ranked.join(
+            cells_all.select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            ),
+            "neighbor_id",
+        )
+        .join(
+            probes.select("query_id", "cell"),
+            ["query_id", "cell"],
+            "left_anti",
+        )
+        .count()
+    )
     n_q = len(qp)
     return queries.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
@@ -7034,12 +7111,24 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     cents = _ivf_cents16(spark, sf_dir)
     books = _pq_book_rows(spark, sf_dir)
-    enc = _shared_frame(
-        spark, sf_dir, "pq_encoded", lambda: pq_ops.pq_encode(emb, books)
-    )
+    enc_cells = _pq_enc_cells(spark, sf_dir)
     cells = _ivf_cells16_assigned(spark, sf_dir)
+    qp = queries.select("vec_id", "embedding").toPandas()
+    probes = similarity.probe_assignments(
+        queries, cents, n_probe=4
+    ).localCheckpoint(eager=True)
+    probes_pdf = probes.select("query_id", "cell").toPandas()
+    # ONE grouped ADC pass at shortlist depth serves BOTH consumers
+    # (r14, guide §1.2): the composed retriever re-ranks it, and the
+    # bare-ADC comparison is its own top-5 — top-5 of the exact top-50
+    # under the identical (adc_ip desc, neighbor_id asc) total order
+    # equals the direct k=5 ranking on the same candidate sets.
+    sl50 = pq_ops.pq_adc_topk_grouped(
+        enc_cells, books, qp, probes_pdf, k=50
+    ).localCheckpoint(eager=True)
     composed = pq_ops.ivfpq_topk(
-        cells, enc, books, cents, queries, k=5, n_probe=4, shortlist=50
+        cells, enc_cells, books, cents, queries,
+        k=5, n_probe=4, shortlist=50, probes=probes, shortlist_df=sl50,
     ).localCheckpoint(eager=True)
     exact5 = _exact_topk5_q10(spark, sf_dir)
     hits = composed.join(
@@ -7049,30 +7138,32 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     # bare ADC top-5 on the SAME candidate sets — the comparison that
     # shows the re-rank stage is what buys the recall
-    probes = similarity.probe_assignments(queries, cents, n_probe=4)
-    cands = (
-        cells.select("vec_id", "cell")
-        .join(probes.select("query_id", "cell"), "cell")
-        .select("query_id", "vec_id")
-    )
-    qp = queries.select("vec_id", "embedding").toPandas()
-    adc5 = pq_ops.pq_adc_topk(enc, books, qp, k=5, candidates=cands)
+    adc5 = pq_ops._rank_topk(sl50, 5)
     adc_hits = adc5.join(
         exact5.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
         "left_semi",
     ).count()
     # planted-twin pass: same corpus + an exact copy of each probe
-    # vector under id+10M — the composed top-1 must be that twin
+    # vector under id+10M — the composed top-1 must be that twin.
+    # The twin corpus differs from the clean one, so this pass keeps
+    # its own ADC scan — but over the cell-carrying codes union
+    # (join-free; the probe frame is reused).
     planted = queries.select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )  # JVM twin derivation — see pq_adc_recall
-    cells_all = cells.unionByName(similarity.assign_cells(planted, cents))
-    enc_all = enc.unionByName(pq_ops.pq_encode(planted, books))
+    planted_cells = similarity.assign_cells(planted, cents)
+    cells_all = cells.unionByName(planted_cells)
+    enc_all = enc_cells.unionByName(
+        pq_ops.pq_encode(
+            planted_cells, books, keep=["cell"], dim=_pq_dim(books)
+        )
+    )
     top1 = (
         pq_ops.ivfpq_topk(
             cells_all, enc_all, books, cents, queries,
             k=1, n_probe=4, shortlist=50,
+            probes=probes, probes_pdf=probes_pdf,
         )
         .filter(F.col("neighbor_id") == F.col("query_id") + 10_000_000)
         .count()
