@@ -268,3 +268,16 @@ class TransactionalTable:
     def history(self) -> list[dict]:
         """Commit history, newest first (``DESCRIBE HISTORY``)."""
         return [self._read_commit(v) for v in reversed(self._versions())]
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact live row count at ``version`` from commit metadata —
+        zero Spark jobs (r14, guide §5). Every staged file's commit
+        record carries its parquet-footer row count (``_stage``), so
+        the snapshot count is a driver-side sum over the live file
+        set — the same metadata shortcut Delta's ``numRecords``
+        provides. Identical to ``read().count()`` by construction."""
+        rows_by_path: dict[str, int] = {}
+        for v in self._versions():
+            for a in self._read_commit(v).get("add", []):
+                rows_by_path[a["path"]] = a["rows"]
+        return sum(rows_by_path[f] for f in self.snapshot_files(version))

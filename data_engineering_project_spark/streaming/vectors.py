@@ -72,6 +72,13 @@ def near_dup_pairs_sink(
         batch_df = batch_df.localCheckpoint(eager=True)
         if not batch_df.count():
             return
+        # LAZY pairs (r14): the txn append below STAGES (writes) the
+        # frame before step 2 grows the index, so the
+        # pairs-materialized-before-the-fold ordering holds without a
+        # separate eager checkpoint job — and a REPLAYED batch, which
+        # the append recognizes by txn id before staging, now skips
+        # the pair kernel entirely instead of checkpointing rows it
+        # will never commit.
         pairs = ann_index.incremental_near_dups_indexed(
             spark,
             index_path,
@@ -81,7 +88,7 @@ def near_dup_pairs_sink(
             threshold=threshold,
             n_probe=n_probe,
             max_block_rows=max_block_rows,
-        ).localCheckpoint(eager=True)
+        )
         # 1) transactional pairs commit (skipped on replay by txn id)
         pairs_table.append(pairs, app_id=app_id, batch_id=batch_id)
         # 2) idempotent index fold (no-op on replay by id anti-join)

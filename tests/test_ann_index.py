@@ -342,3 +342,28 @@ def test_read_codebook_rows_matches_read_codebooks(spark, sf_dir, index_path):
         assert sorted(
             (r["label"], list(r["centroid"])) for r in bf.collect()
         ) == sorted((r["label"], list(r["centroid"])) for r in br)
+
+
+def test_index_row_count_matches_scan_count(spark, sf_dir, index_path):
+    """r14: the footer-summed row count equals a Spark count over the
+    inverted lists, including after an append."""
+    emb = workload.load(spark, sf_dir, "embeddings")
+    want = spark.read.parquet(index_path + "/cells").count()
+    assert ann_index.index_row_count(index_path) == want
+
+
+def test_cent_rows_cache_invalidated_on_rebuild(spark, sf_dir, tmp_path):
+    """r14: the frozen-centroid row cache must serve the REBUILT
+    sidecar after build_index overwrites the same path."""
+    path = str(tmp_path / "index")
+    emb = workload.load(spark, sf_dir, "embeddings")
+    ann_index.build_index(emb, path, k_cells=4, iters=1)
+    first = {r["label"]: list(r["centroid"]) for r in ann_index._cent_rows(spark, path)}
+    ann_index.build_index(emb, path, k_cells=8, iters=2)
+    again = {r["label"]: list(r["centroid"]) for r in ann_index._cent_rows(spark, path)}
+    disk = {
+        r["label"]: list(r["centroid"])
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    assert again == disk
+    assert set(again) != set(first) or again != first

@@ -113,3 +113,16 @@ def test_append_retries_through_version_race(spark, table):
     v = table.append(_df(spark, 2, 4))
     assert v == 2
     assert sorted(r.id for r in table.read().collect()) == [0, 1, 2, 3]
+
+
+def test_count_rows_matches_read_count(spark, table):
+    """r14: count_rows() sums commit-metadata row counts over the live
+    snapshot — must equal read().count() at every version, including
+    after a txn-skipped replay."""
+    table.append(_df(spark, 0, 5), app_id="a", batch_id=0)
+    table.append(_df(spark, 5, 8), app_id="a", batch_id=1)
+    assert table.count_rows() == table.read().count() == 8
+    assert table.count_rows(version=0) == table.read(version=0).count() == 5
+    # replayed batch commits nothing — the metadata count must agree
+    assert table.append(_df(spark, 0, 5), app_id="a", batch_id=0) is None
+    assert table.count_rows() == table.read().count() == 8
