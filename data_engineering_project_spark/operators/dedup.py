@@ -829,16 +829,40 @@ def scrub_duplicated_spans(
     """
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), F.col(text_col), toks.alias("__t"))
-    windows = base.select(
-        id_col,
-        F.explode(
-            F.expr(f"sequence(0, size(__t) - {n})")
-        ).alias("pos"),
-        F.expr(
-            f"array_join(slice(__t, pos + 1, {n}), ' ')"
-        ).alias("__gram"),
-    ).select(
-        id_col, "pos", portable_hash60(F.col("__gram")).alias("gh")
+    # Hash-repartition the RAW TEXT by id below the window explode
+    # (r14 — the winnow_minima pattern, guide §2.3/§8): a small corpus
+    # fits one scan split, so the ~tokens-per-doc× explode and its
+    # per-window md5 otherwise run in a single task; the exchange here
+    # moves text bytes, not exploded window rows. Explicit count — AQE
+    # sizes from the pre-explode bytes and would re-coalesce to one
+    # partition (the winnow trap).
+    spark = df.sparkSession
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        conf_parts = 0
+    n_parts = max(conf_parts, spark.sparkContext.defaultParallelism)
+    windows = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .repartition(n_parts, F.col(id_col))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(0, size(__t) - {n})")
+            ).alias("pos"),
+            F.expr(
+                f"array_join(slice(__t, pos + 1, {n}), ' ')"
+            ).alias("__gram"),
+        )
+        .select(
+            id_col, "pos", portable_hash60(F.col("__gram")).alias("gh")
+        )
+        # the window-hash table feeds TWO consumers (the cross-doc DF
+        # aggregate and the per-doc flag join) — materialize it once
+        # instead of re-exploding + re-hashing the corpus per consumer
+        # (r14, guide §5: the lake pipeline's "write the fingerprint
+        # table" step)
+        .localCheckpoint(eager=True)
     )
     flagged = (
         windows.groupBy("gh")

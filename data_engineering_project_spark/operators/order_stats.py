@@ -69,13 +69,23 @@ def _default_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
-def _ranged(df: DataFrame, order_by, num_partitions: int | None):
+def _ranged(
+    df: DataFrame,
+    order_by,
+    num_partitions: int | None,
+    extra_aggs: list | None = None,
+):
     """Phase 1 + the per-partition census.
 
     → (checkpointed frame + ``_gpid``/``_lrn`` columns, per-pid row
-    counts as a dense list of length P). ``_lrn`` is the 1-based local
-    row number in sort order; ``_gpid`` the range-partition index
-    (ascending = key order)."""
+    counts as a dense list of length P, per-pid census rows). ``_lrn``
+    is the 1-based local row number in sort order; ``_gpid`` the
+    range-partition index (ascending = key order).
+
+    ``extra_aggs`` rides additional aggregate columns on the SAME
+    census job (r14, guide §1.2: global_cumsum's per-partition value
+    totals were a second full groupBy+collect over the frame the row
+    census had just walked)."""
     p = num_partitions or _default_partitions(df)
     base = (
         df.repartitionByRange(p, *_cols(order_by))
@@ -93,12 +103,14 @@ def _ranged(df: DataFrame, order_by, num_partitions: int | None):
         .drop("_mid")
         .localCheckpoint(eager=True)
     )
-    got = {
-        r["_gpid"]: r["c"]
-        for r in base.groupBy("_gpid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
+    census = (
+        base.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("c"), *(extra_aggs or []))
+        .collect()
+    )
+    got = {r["_gpid"]: r["c"] for r in census}
     counts = [got.get(i, 0) for i in range(p)]
-    return base, counts
+    return base, counts, census
 
 
 def _offsets_expr(counts: list[int], pid_col: str = "_gpid") -> Column:
@@ -121,7 +133,7 @@ def global_row_number(
     """``df`` + exact 1-based global row number in ``order_by`` order
     (a total order — pass a tiebreak). One range shuffle, one P-row
     census, map-only rank arithmetic; never a single-partition sort."""
-    base, counts = _ranged(df, order_by, num_partitions)
+    base, counts, _ = _ranged(df, order_by, num_partitions)
     return base.withColumn(
         out, (_offsets_expr(counts) + F.col("_lrn")).cast("long")
     ).drop("_gpid", "_lrn")
@@ -156,7 +168,7 @@ def global_ntile(
     global row number via the two-phase rank, then the SQL NTILE
     bucket-size rule as closed-form integer arithmetic (total row
     count comes free from the phase-2 census)."""
-    base, counts = _ranged(df, order_by, num_partitions)
+    base, counts, _ = _ranged(df, order_by, num_partitions)
     n_rows = sum(counts)
     rn = _offsets_expr(counts) + F.col("_lrn")
     return base.withColumn(out, _ntile_from_rn(rn, n_rows, n_tiles)).drop(
@@ -194,13 +206,19 @@ def global_cumsum(
     outs = [out] if isinstance(out, str) else list(out)
     if len(value_cols) != len(outs):
         raise ValueError("value_col and out must have equal length")
-    base, counts = _ranged(df, order_by, num_partitions)
+    # per-partition value totals + non-null counts ride the row census
+    # aggregate — ONE job, not two (r14)
+    base, counts, census = _ranged(
+        df,
+        order_by,
+        num_partitions,
+        extra_aggs=[
+            *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
+            *[F.count(c).alias(f"n{i}") for i, c in enumerate(value_cols)],
+        ],
+    )
     p = len(counts)
-    sums = base.groupBy("_gpid").agg(
-        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)],
-        *[F.count(c).alias(f"n{i}") for i, c in enumerate(value_cols)],
-    ).collect()
-    per_pid = {r["_gpid"]: r for r in sums}
+    per_pid = {r["_gpid"]: r for r in census}
     agg_schema = base.select(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)]
     ).schema

@@ -764,6 +764,11 @@ def embedding_near_dups_incremental(
     blocks = stored_pruned.unionByName(new_probed)
 
     if max_block_rows is not None:
+        # the census below and the pair kernel each execute the block
+        # frame (multi-probe scoring + prune join of the stored side);
+        # materialize it once when a census is requested (r14, guide
+        # §5 — at lake scale this is the staged probed-blocks table)
+        blocks = blocks.localCheckpoint(eager=True)
         over = (
             blocks.groupBy("cell")
             .agg(F.count("*").alias("n_rows"))

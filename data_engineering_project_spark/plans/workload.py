@@ -70,13 +70,22 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_CONFS_PINNED: set[str] = set()
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Queries may run in a session WE did not build (the driver's
     harness constructs its own SparkSession): pin the runtime-settable
     confs our semantics depend on — nanos-parquet reads (events table)
-    and UTC time semantics (dayname/period vs the DuckDB oracle)."""
+    and UTC time semantics (dayname/period vs the DuckDB oracle).
+    Pinned once per application (r14): each conf.set is a py4j round
+    trip, and this runs on EVERY load() call (~540 sites per sweep)."""
+    app = spark.sparkContext.applicationId
+    if app in _CONFS_PINNED:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONFS_PINNED.add(app)
 
 
 # Session-memoized base-table RELATIONS (r13, guide §7.3): every
@@ -1997,6 +2006,25 @@ def q_activity_timeline_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_pairs_035(spark, sf_dir) -> DataFrame:
+    """Session-shared exact similar-pairs census (cosine > 0.35,
+    label-blocked BLAS kernel), checkpointed once (r14, guide §5):
+    THREE entries build the identical frame — embedding_similar_pairs
+    declares it, and the two approximation audits
+    (embedding_near_dups_ann, embedding_incremental_near_dups) use it
+    as their exact baseline — so each bench run paid the census +
+    kernel three times for bit-identical rows. Same deterministic-
+    intermediate contract as the shingle/pair-counts frames."""
+    return _shared_frame(
+        spark, sf_dir, "exact_pairs_035",
+        lambda: similarity.embedding_near_dups(
+            load(spark, sf_dir, "embeddings"),
+            threshold=0.35,
+            max_block_rows=100_000,
+        ),
+    )
+
+
 @register(
     "embedding_similar_pairs",
     """
@@ -2016,12 +2044,10 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized applyInPandas matmul kernel (operators/similarity.py).
     The 0.35 threshold is tuned to this corpus (max same-label cosine
     ≈0.47); the operator itself is the embedding near-dup detector with
-    threshold as a parameter."""
-    return similarity.embedding_near_dups(
-        load(spark, sf_dir, "embeddings"),
-        threshold=0.35,
-        max_block_rows=100_000,  # fail-loudly mega-block guard (r9)
-    )
+    threshold as a parameter. The frame is the session-shared census
+    (max_block_rows=100_000 fail-loudly guard unchanged — it runs
+    inside the shared builder)."""
+    return _exact_pairs_035(spark, sf_dir)
 
 
 @register(
@@ -2075,9 +2101,7 @@ def q_embedding_near_dups_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     nlist = max(16, n // 1000)
-    exact = similarity.embedding_near_dups(
-        emb, threshold=0.35, max_block_rows=100_000
-    )
+    exact = _exact_pairs_035(spark, sf_dir)
     cents = (
         _ivf_cents16(spark, sf_dir)
         if nlist == 16
@@ -2167,9 +2191,7 @@ def q_embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
     emb = load(spark, sf_dir, "embeddings")
     is_new = sampling.hash_bucket("vec_id") < F.lit("40")
     new, stored = emb.filter(is_new), emb.filter(~is_new)
-    exact = similarity.embedding_near_dups(
-        emb, threshold=0.35, max_block_rows=100_000
-    )
+    exact = _exact_pairs_035(spark, sf_dir)
     new_ids = new.select("vec_id")
     exact_new = (
         exact.join(
@@ -2403,7 +2425,14 @@ def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_path = root + "/index"
         src, ckpt = root + "/src", root + "/ckpt"
         cents = _ivf_cents16(spark, sf_dir)
-        ann_index.build_index(emb, index_path, centroids=cents)
+        ann_index.build_index(
+            emb, index_path, centroids=cents,
+            # row-wise filter of the session's shared assignment —
+            # bit-identical to re-running the argmax over the slice
+            cells=_ivf_cells16_assigned(spark, sf_dir).filter(
+                F.col("vec_id") % 5 == 0
+            ),
+        )
         batch1 = (
             emb.filter(F.col("vec_id") % 55 == 0)
             .select(
@@ -2429,23 +2458,33 @@ def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             map(
                 tuple,
                 similarity.embedding_near_dups_incremental(
-                    emb, batch1, threshold=0.99, n_probe=4, cents=cents
+                    emb, batch1, threshold=0.99, n_probe=4, cents=cents,
+                    # the 1-in-5 slice assigned under this exact
+                    # quantizer is a row-wise filter of the session's
+                    # shared assignment — bit-identical to re-running
+                    # the argmax over the slice (r14, guide §5)
+                    stored_cells=_ivf_cells16_assigned(
+                        spark, sf_dir
+                    ).filter(F.col("vec_id") % 5 == 0),
                 ).select(*cols).collect(),
             )
         )
         stream_equals_batch = bool(got1) and got1 == want1
-        # replay the committed micro-batch straight into the sink
+        # replay the committed micro-batch straight into the sink.
+        # Counts come from commit metadata / parquet footers — the
+        # exact numbers read().count() aggregated, with zero Spark
+        # jobs (r14, guide §5)
         committed = [c for c in table.history() if c.get("txn")]
         replay_id = int(committed[0]["txn"]["batch_id"])
-        n_pairs = table.read().count()
-        n_idx = spark.read.parquet(index_path + "/cells").count()
+        n_pairs = table.count_rows()
+        n_idx = ann_index.index_row_count(index_path)
         vec_stream.near_dup_pairs_sink(
             spark, index_path, table, app_id="vec-ingest",
             threshold=0.99, n_probe=4,
         )(batch1, replay_id)
         replay_is_noop = (
-            table.read().count() == n_pairs
-            and spark.read.parquet(index_path + "/cells").count() == n_idx
+            table.count_rows() == n_pairs
+            and ann_index.index_row_count(index_path) == n_idx
         )
         # batch 2: exact copies of batch 1 — twins must be found
         batch2 = batch1.select(
@@ -12222,7 +12261,16 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("d"),
         )
     )
-    per_t = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    # checkpoint the boundary rollup before the range phase (r14,
+    # guide §5): repartitionByRange SAMPLES its input to pick
+    # boundaries, so an un-materialized upstream (the sessionize
+    # window + two aggregates here) executes twice — once for the
+    # sample, once for the shuffle
+    per_t = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").alias("dd"))
+        .localCheckpoint(eager=True)
+    )
     sweep = order_stats.global_cumsum(
         per_t, [F.asc("t")], "dd", out="concurrent"
     ).select(F.col("t").cast("date").alias("day"), "concurrent")

@@ -382,3 +382,72 @@ def test_collected_book_rows_score_identically_to_frames(spark, emb, books, enco
     enc_frames = pq.pq_encode(emb.limit(50), books)
     assert enc_rows.exceptAll(enc_frames).count() == 0
     assert enc_frames.exceptAll(enc_rows).count() == 0
+
+
+def test_pq_encode_keep_carries_cell_with_identical_codes(emb, books, encoded):
+    """r14: pq_encode(keep=["cell"], dim=...) over the ASSIGNED frame
+    must produce bit-identical codes to the bare encode over the raw
+    corpus (the join-free path the composed retrievers now consume),
+    with the carried cell equal to the assignment's."""
+    from data_engineering_project_spark.operators import similarity
+
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    assigned = similarity.assign_cells(emb, cents)
+    dim = len(books) * len(books[0].collect()[0]["centroid"])
+    kept = pq.pq_encode(assigned, books, keep=["cell"], dim=dim)
+    assert kept.columns == ["vec_id", "cell", "codes"]
+    got = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in kept.collect()}
+    want_codes = {r["vec_id"]: list(r["codes"]) for r in encoded.collect()}
+    want_cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert {k: v[1] for k, v in got.items()} == want_codes
+    assert {k: v[0] for k, v in got.items()} == want_cells
+
+
+def test_topk_of_deeper_shortlist_matches_direct_k(spark, emb, books, encoded):
+    """r14: the bare-ADC top-5 read off the k=50 shortlist
+    (_rank_topk(sl50, 5)) must equal the direct k=5 ranking on the
+    same candidate sets — top-5 of the exact top-50 under the
+    identical (adc_ip desc, neighbor_id asc) total order."""
+    from data_engineering_project_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    cells = similarity.assign_cells(emb, cents)
+    enc_cells = encoded.join(cells.select("vec_id", "cell"), "vec_id")
+    probes = similarity.probe_assignments(queries, cents, n_probe=3)
+    qp = queries.select("vec_id", "embedding").toPandas()
+    probes_pdf = probes.select("query_id", "cell").toPandas()
+    sl50 = pq.pq_adc_topk_grouped(enc_cells, books, qp, probes_pdf, k=50)
+    direct5 = pq.pq_adc_topk_grouped(enc_cells, books, qp, probes_pdf, k=5)
+    a = sorted(map(tuple, pq._rank_topk(sl50, 5).collect()))
+    b = sorted(map(tuple, direct5.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivfpq_topk_accepts_precomputed_shortlist(spark, emb, books, encoded):
+    """r14: handing the grouped-kernel shortlist through shortlist_df
+    must return the identical composed top-k as letting ivfpq_topk
+    run the kernel itself."""
+    from data_engineering_project_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    cells = similarity.assign_cells(emb, cents)
+    enc_cells = encoded.join(cells.select("vec_id", "cell"), "vec_id")
+    probes = similarity.probe_assignments(
+        queries, cents, n_probe=3
+    ).localCheckpoint(eager=True)
+    qp = queries.select("vec_id", "embedding").toPandas()
+    probes_pdf = probes.select("query_id", "cell").toPandas()
+    sl = pq.pq_adc_topk_grouped(enc_cells, books, qp, probes_pdf, k=20)
+    via_df = pq.ivfpq_topk(
+        cells, enc_cells, books, cents, queries,
+        k=3, n_probe=3, shortlist=20, probes=probes, shortlist_df=sl,
+    )
+    direct = pq.ivfpq_topk(
+        cells, enc_cells, books, cents, queries,
+        k=3, n_probe=3, shortlist=20, probes=probes, probes_pdf=probes_pdf,
+    )
+    a = sorted(map(tuple, via_df.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
