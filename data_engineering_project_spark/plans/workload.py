@@ -2021,6 +2021,16 @@ def _exact_pairs_035(spark, sf_dir) -> DataFrame:
             load(spark, sf_dir, "embeddings"),
             threshold=0.35,
             max_block_rows=100_000,
+            # fail-loudly total-work budget (r14, VERDICT r13 item 3):
+            # an exact all-pairs census is O(Σ g²); per-block bounds
+            # alone cannot catch blocks that grow WITH the corpus
+            # (the one ×100 super-linear flag). 10⁸ pair-scores is
+            # ~1000× the sf0.1 census (~10⁵) and ~50× the ×10 rung,
+            # and trips at the ×100 rung (~10⁹) where the measured
+            # exact run costs ~320 s and keeps growing quadratically —
+            # above it the attested substitute is the ANN operator
+            # (recall measured in SCALING_X100.json ann_substitution).
+            max_total_pair_work=100_000_000,
         ),
     )
 

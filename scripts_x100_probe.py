@@ -448,9 +448,14 @@ def main() -> int:
         .mapInPandas(lambda it: it, "id long")
     )
 
+    from data_engineering_project_spark.operators.similarity import (
+        BlockSizeExceeded,
+    )
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     first_run: dict[str, float] = {}
+    guard_trips: dict[str, str] = {}
     for name in probe_list:
         per_run = []
         for _ in range(runs):
@@ -465,8 +470,22 @@ def main() -> int:
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
             start = time.perf_counter()
-            force(workload.QUERIES[name](spark, WORK))
+            try:
+                force(workload.QUERIES[name](spark, WORK))
+            except BlockSizeExceeded as exc:
+                # the entry REFUSED the quadratic work (r14 guard):
+                # record the refusal verbatim — the adjudication is
+                # the guard message + the measured ann_substitution
+                # section, not a silent absence
+                guard_trips[name] = str(exc)[:400]
+                break
             per_run.append(round(time.perf_counter() - start, 3))
+        if name in guard_trips:
+            print(
+                f"{name}: guard tripped — {guard_trips[name][:120]}",
+                file=sys.stderr,
+            )
+            continue
         # samples stay CHRONOLOGICAL: entries that persist state
         # (streaming txlog drain, incremental index) are near-no-ops
         # on repeat runs — the 1st-vs-rest pattern must stay visible,
@@ -522,6 +541,20 @@ def main() -> int:
             "no_baseline": r1 is None,
             "super_linear": flag,
         }
+    for name, msg in guard_trips.items():
+        rows[name] = {
+            "sf0.1_sec": base["queries"].get(name),
+            "x10_sec": x10["queries"].get(name),
+            "x100_sec": None,
+            "guard_tripped": msg,
+            "no_baseline": base["queries"].get(name) is None,
+            # the entry fails loudly above its stated pair-work budget
+            # and routes to the measured ANN substitute — the
+            # quadratic regime is refused by code, not hidden by the
+            # probe (the census cost itself is measured in
+            # ann_substitution.exact_sec)
+            "super_linear": False,
+        }
     # merge: rows not re-measured this run carry over verbatim from
     # the committed artifact (flags included)
     rows = {**prev.get("queries", {}), **rows}
@@ -560,10 +593,18 @@ def main() -> int:
     out = {
         "k": K,
         "probe_total_sec": round(
-            sum(r["x100_sec"] for r in rows.values()), 3
+            sum(
+                r["x100_sec"]
+                for r in rows.values()
+                if r["x100_sec"] is not None
+            ),
+            3,
         ),
         "n_probed": len(rows),
         "flagged_super_linear": flagged,
+        "guarded_families": sorted(
+            n for n, r in rows.items() if r.get("guard_tripped")
+        ),
         "no_baseline_families": no_baseline,
         "ann_substitution": sub,
         "ann_recall_at_5": ann_recall,

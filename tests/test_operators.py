@@ -144,6 +144,28 @@ def test_embedding_near_dups_block_guard(spark, sf_dir):
     assert ok.count() > 0  # sane bound: no raise, pairs still flow
 
 
+def test_embedding_near_dups_total_pair_work_guard(spark, sf_dir):
+    """r14: the census-wide pair-work budget trips when the summed
+    C(g,2) across blocks exceeds the bound — even when every block
+    respects max_block_rows — and a sane budget changes nothing."""
+    import pytest
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    sizes = [r["count"] for r in emb.groupBy("label").count().collect()]
+    total_work = sum(n * (n - 1) // 2 for n in sizes)
+    with pytest.raises(similarity.BlockSizeExceeded, match="max_total_pair_work"):
+        similarity.embedding_near_dups(
+            emb,
+            threshold=0.3,
+            max_block_rows=max(sizes),
+            max_total_pair_work=total_work - 1,
+        )
+    ok = similarity.embedding_near_dups(
+        emb, threshold=0.3, max_total_pair_work=total_work
+    )
+    assert ok.count() > 0
+
+
 def test_embedding_near_dups_ann_subset_and_recall(spark, sf_dir):
     """r10 ANN path: every emitted pair is a true above-threshold pair
     (precision 1.0 by construction — cosines exact inside blocks), no
