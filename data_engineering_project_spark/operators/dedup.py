@@ -223,24 +223,31 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        # carry the previous label through the round's checkpoint so
+        # the convergence check is a scan of materialized rows instead
+        # of a per-round join of the two label frames (r14 — same
+        # labels, same stopping round)
         updated = (
             labels.join(neighbor_labels, labels.doc_id == neighbor_labels.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     "cluster_id", F.coalesce("nbr_label", "cluster_id")
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                F.col("cluster_id").alias("prev_cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            updated.filter(
+                F.col("new_cluster_id") != F.col("prev_cluster_id")
+            )
             .limit(1)
             .count()
         )
-        labels = updated
+        labels = updated.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        )
         if changed == 0:
             break
     return labels

@@ -18519,6 +18519,57 @@ _REWIRED: dict[str, int] = {
     "streaming_sessionize": 13,
     "streaming_sessionize_closed": 13,
     "embedding_near_dups_ann": 13,
+    # round 14 (optimization round 2): the composed IVFPQ retrievals
+    # consume the session-shared cell-carrying codes frame (pq_encode
+    # keep=["cell"] — the enc×cells equi-join is gone); the rerank
+    # entry reads both the composed re-rank and the bare-ADC top-5 off
+    # ONE grouped kernel pass (shortlist_df; top-5-of-top-50 pinned by
+    # pytest); ivfpq_recall swaps the materialized candidate pair
+    # frame for the grouped kernel + driver-side cell-size tallies;
+    # the persisted-index paths run on cached frozen-centroid rows
+    # with lazy probes/pairs and metadata row counts; the streaming
+    # entry reuses the session assignment for the index build and the
+    # batch twin; the exact 0.35-census is session-shared across its
+    # three consumers and guarded by max_total_pair_work; the span
+    # scrub shuffles text below the explode and materializes the
+    # window-hash table once; peak's boundary rollup is checkpointed
+    # before the range phase; _ranged fuses cumsum's value census into
+    # the row census (one collect) — every two-phase consumer
+    # traverses it; dup_clusters carries the previous label through
+    # the round checkpoint (convergence check is join-free). Outputs
+    # identical (driver-sim green per change; SIM_r14 full sweep at
+    # close), bodies rewired.
+    "pq_adc_recall": 14,
+    "ivfpq_recall": 14,
+    "ivfpq_rerank_recall": 14,
+    "ivfpq_index_parity": 14,
+    "ann_index_parity": 14,
+    "pq_near_dups_incremental": 14,
+    "embedding_near_dups_indexed": 14,
+    "streaming_near_dups": 14,
+    "embedding_similar_pairs": 14,
+    "embedding_near_dups_ann": 14,
+    "embedding_incremental_near_dups": 14,
+    "span_scrub_stats": 14,
+    "peak_concurrent_sessions": 14,
+    "order_value_deciles": 14,
+    "rfm_segments": 14,
+    "part_abc_classes": 14,
+    "customer_revenue_gini": 14,
+    "ranking_rank_correlation": 14,
+    "zipf_fit": 14,
+    "mannwhitney_priority_value": 14,
+    "ks_priority_value": 14,
+    "score_decile_lift": 14,
+    "revenue_lorenz_deciles": 14,
+    "hybrid_rank_fusion": 14,
+    "dedup_clusters": 14,
+    "dedup_clusters_portable": 14,
+    "dedup_keep_list": 14,
+    # winnow entries traverse the shuffle-partitions conf fallback
+    # (ADVICE r13 fix) in winnow_minima
+    "winnow_fingerprints": 14,
+    "winnow_pairs": 14,
 }
 
 # Late registrations: FIFO fairness inside the never-proven queue.
